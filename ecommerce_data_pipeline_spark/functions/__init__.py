@@ -1,0 +1,40 @@
+"""Shared column-expression helpers (SURVEY.md §2.6 scalar functions).
+
+Money discipline: the reference carries money as double dollars converted
+from integer cents (silver_payments.py:45). Summing 2-dp doubles is
+float-order-sensitive, so every money aggregate here goes through
+``money_sum``: round to integer cents, sum exactly as int64, divide once.
+This is bit-identical across engines and summation orders — which is both
+the oracle-parity trick and the right call at 100 TB where partial-aggregate
+ordering is nondeterministic by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_sum(col: Column | str) -> Column:
+    """Exact sum of a 2-dp dollar column: cents-int64 sum / 100."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * F.lit(100)).cast("long")) / F.lit(100.0)
+
+
+def money_sum_sql(expr: str) -> str:
+    """DuckDB twin of money_sum for oracle SQL."""
+    return f"sum(CAST(round(({expr})*100) AS BIGINT))/100.0"
+
+
+def cents_to_dollars(cents: Column) -> Column:
+    """amount_cents → double dollars (silver_payments.py:45)."""
+    return cents.cast("double") / F.lit(100.0)
+
+
+def synthetic_id(prefix: str, *parts: Column) -> Column:
+    """sha256 lineage id over ':'-joined parts (silver_payments.py:53-54)."""
+    return F.sha2(F.concat_ws(":", F.lit(prefix), *parts), 256)
+
+
+def as_string(c: Column) -> Column:
+    return c.cast("string")

@@ -1,0 +1,330 @@
+"""Deduplication operators.
+
+Two families:
+
+1. **Kafka-identity dedup (W1)** — the reference's at-least-once cleanup:
+   ``row_number() over (partition by topic,partition,offset order by
+   kafka_timestamp desc)`` keep rn=1 (silver_orders.py:47-50). Correct for
+   broker redelivery, intentionally NOT for producer-side logical duplicates
+   (docs/events.md:33) — parity preserved.
+
+2. **Document dedup for training-data pipelines** (engine extension):
+   exact, n-gram Jaccard, MinHash+LSH, SimHash. All hashing is md5-derived
+   and therefore deterministic/oracle-checkable; no Python UDFs — shingling,
+   min-hashing and banding are built-in array expressions (transform /
+   aggregate / explode) that stay in codegen.
+
+Scale notes (100 TB of documents):
+- exact dedup is one hash-partitioned groupBy on a 16-byte digest — the
+  canonical shuffle; AQE handles residual skew.
+- MinHash: signatures are computed scan-side (no shuffle); LSH banding
+  explodes to ``n_bands`` rows per doc and groups by (band, band-hash) —
+  shuffle volume is bands×docs small fixed-width rows, independent of doc
+  size. Candidate verification joins docs back only for bucket-collision
+  pairs (tiny). This is the standard shingle→minhash→band→bucket-join plan.
+- n-gram Jaccard is quadratic in colliding shingles; it is the *verifier*
+  for candidate pairs, or a direct method only at small corpus sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# W1: Kafka-identity dedup
+# ---------------------------------------------------------------------------
+
+def kafka_identity_dedup(df: DataFrame) -> DataFrame:
+    """Keep the newest record per (topic, partition, offset)."""
+    w = Window.partitionBy("topic", "partition", "offset").orderBy(
+        F.col("kafka_timestamp").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared text hashing primitives (all built-in expressions)
+# ---------------------------------------------------------------------------
+
+def _md5_long(c: Column) -> Column:
+    """First 15 hex chars of md5 → non-negative int64. Deterministic across
+    engines (DuckDB oracle replicates with the same md5 substring)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(text: Column, k: int = 12) -> Column:
+    """Distinct k-character shingles of lower(text) as an array<string>.
+
+    Built with sequence+transform (codegen), not a Python UDF.
+    """
+    t = F.lower(text)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(k)))
+    )
+
+
+# Universal-hash constants for MinHash permutations: h_i(x) = (a_i*x + b_i) mod P
+# with P = 2^31 - 1 (prime). One md5 per shingle, then n cheap affine maps —
+# ~100x cheaper than hashing every (permutation, shingle) pair, and products
+# stay < 2^62 so int64 arithmetic never overflows (ANSI-mode safe).
+MINHASH_PRIME = 2_147_483_647
+_A_MULT = 2_654_435_761
+_B_MULT = 40_503
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 128) -> Column:
+    """MinHash signature as array<long> of length n_hashes."""
+    base = F.transform(shingles, lambda s: _md5_long(s) % MINHASH_PRIME)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: (
+                    ((i * _A_MULT) % MINHASH_PRIME) * h + (i * _B_MULT) % MINHASH_PRIME
+                )
+                % MINHASH_PRIME,
+            )
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal by content digest: keep min id per md5(text).
+
+    Returns (doc_id, content_hash, dup_count) — one row per distinct content.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (explode + self-join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (d1 < d2) pairs with char-k-gram Jaccard >= threshold.
+
+    Plan: explode distinct shingles → self equi-join on shingle (hash
+    shuffle on the shingle string) → count intersections → join per-doc
+    shingle counts (broadcast) → Jaccard. Only docs sharing ≥1 shingle ever
+    meet, so the join output is bounded by true collisions — at corpus scale
+    use minhash_lsh_pairs instead and keep this as the verifier.
+    Output: (doc_id_a, doc_id_b, jaccard) with jaccard rounded to 4dp.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_id_a")
+        .join(F.broadcast(cb), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate generation, exact-verified
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 12,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via shingle→minhash→band→bucket-join, then exact
+    Jaccard verification of candidates.
+
+    32 bands × 4 rows: P(candidate | j) = 1-(1-j^4)^32 — ≈1-1e-14 at j=0.9,
+    ~0.03 at j=0.2. Verification makes precision exact, so on near-dup
+    corpora with a bimodal similarity distribution (true dups >=0.9,
+    background <0.3, as in the test corpus) the output equals
+    ngram_jaccard_pairs while scaling like LSH: shuffle volume is
+    bands x docs fixed-width rows and quadratic work happens only inside
+    colliding buckets.
+    Output: (doc_id_a, doc_id_b, jaccard).
+    """
+    rows_per_band = n_hashes // n_bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    banded = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    lhs = banded.alias("x")
+    rhs = banded.alias("y")
+    candidates = (
+        lhs.join(
+            rhs,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over the shingle sets.
+    sh = base.select("doc_id", "shingles")
+    va = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    vb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        candidates.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, k: int = 12, bits: int = 64, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: bit b is 1 iff the majority of shingle
+    hashes have bit b set. Pure array expressions (no UDF).
+
+    Output: (doc_id, simhash long).
+    """
+    sh = char_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, _md5_long)
+    n = F.size(hashes)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 2)),  # use 63 bits to stay in signed int64
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "simhash"
+        ),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, k: int = 12, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by 4-way band blocking (pigeonhole: two hashes
+    within Hamming 3 of each other agree on ≥1 of 4 16-bit bands), then
+    exact popcount verification — the classic scalable SimHash plan.
+    Output: (doc_id_a, doc_id_b, hamming).
+    """
+    sig = simhash(docs, k=k, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

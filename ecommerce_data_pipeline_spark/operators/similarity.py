@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (engine extension).
+
+Brute-force cosine top-k as the exactness baseline, and a bucketed
+(IVF-style) variant as the scale path. All vector math is built-in array
+expressions (zip_with + aggregate) — JVM-side, no Python UDF, no shuffle for
+the math itself.
+
+Scale notes (100 TB / billions of vectors):
+- brute force is a broadcast-join of the (small) query set against the
+  vector corpus followed by a per-query top-k — one shuffle of k rows per
+  query (TakeOrdered-style), never a global sort.
+- the IVF variant prunes the corpus to the query's cell before scoring;
+  cells come from any coarse quantizer (here: the precomputed ``label``
+  column, standing in for a k-means assignment step). Probing n cells =
+  union of n cell filters; the scored set shrinks by ~n_cells/corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, rounded to 4dp (the
+    rounding both stabilizes fp-summation order and matches the oracle)."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); self-matches are
+    excluded. Ties broken by neighbor id for determinism.
+    Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: score only vectors in the query's cell.
+
+    The cell assignment (``label``) plays the role of the coarse-quantizer
+    centroid id; the join on cell id makes the scored set 1/n_cells of the
+    corpus. Same output shape as cosine_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines (engine extension,
+SURVEY.md §7.1 step 9).
+
+All built-in column expressions — regexp/split/transform/aggregate — so the
+hot path stays in whole-stage codegen and scales as a pure map stage (no
+shuffle). Regex patterns are restricted to constructs with identical
+semantics in Java regex (Spark) and RE2 (DuckDB oracle): literal classes,
+no backrefs, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for n-gram-free language ID. Heuristic:
+# score = fraction of tokens that are stopwords of language L; argmax wins.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"],
+}
+
+
+def _words(text: Column) -> Column:
+    """Lowercased alpha tokens. Identical split semantics across engines:
+    strip non-[a-z ], split on single space, drop empties."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z ]", "")
+    return F.filter(F.split(cleaned, " "), lambda w: w != "")
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language ID.
+
+    Output: (doc_id, n_tokens, en_ratio, predicted_lang). predicted_lang is
+    the argmax stopword-hit-ratio, 'und' (undetermined) when every score is 0.
+    """
+    words = _words(F.col(text_col))
+    ratios = {
+        lang: F.round(
+            F.size(F.filter(words, lambda w: w.isin(sw)))
+            / F.greatest(F.size(words), F.lit(1)),
+            4,
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*ratios.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # first-match-wins in dict order, mirrored in SQL
+        pred = pred.when(ratios[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_tokens"),
+        ratios["en"].alias("en_ratio"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features: char length, token count, mean token length, alpha ratio
+    (share of [a-z ] chars after lowercasing), stopword ratio. Score is a
+    simple thresholded composite in [0,1] — the shape of C4/Gopher-style
+    quality filters, kept deterministic and SQL-expressible.
+    Output: (doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio,
+    stopword_ratio, quality_score).
+    """
+    t = F.col(text_col)
+    lower = F.lower(t)
+    words = _words(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(lower, "[^a-z ]", ""))
+    en_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS["en"])))
+    mean_tok = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(en_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    score = F.round(
+        (
+            F.when((n_tokens >= 10) & (n_tokens <= 100000), 0.25).otherwise(0.0)
+            + F.when(mean_tok.between(3, 10), 0.25).otherwise(0.0)
+            + F.when(alpha_ratio >= 0.8, 0.25).otherwise(0.0)
+            + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
+        ),
+        2,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (runs of letters / digits / single other chars — the classic GPT-2
+    pre-tokenizer shape without the learned merges).
+    Output: (doc_id, ws_tokens, bpe_ish_tokens, distinct_tokens).
+    """
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    bpe = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_ish_tokens"),
+        F.size(F.array_distinct(ws)).alias("distinct_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: full-content md5 plus a winnowing-style
+    min-of-shingle-hashes signature (robust to local edits).
+    Output: (doc_id, content_md5, min_shingle_md5).
+    """
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.md5(F.substr(t, i, F.lit(k)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(t).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    )

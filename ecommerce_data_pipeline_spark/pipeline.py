@@ -1,0 +1,106 @@
+"""End-to-end medallion pipeline (batch mode).
+
+One SparkSession replaces the reference's Airflow + Spark + dbt + Trino stack
+(SURVEY.md §3.1): bronze projection → W1 dedup → silver parse → MERGE →
+enrich → incremental gold fact → quality checks. The streaming variant in
+``streaming/`` reuses exactly these transform functions inside foreachBatch —
+DataFrame-in → DataFrame-out, trigger-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_data_pipeline_spark.lake import ParquetTable
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import build_fct_sales_minute
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+
+
+@dataclass
+class Lakehouse:
+    """Table layout for one pipeline instance rooted at ``root``.
+
+    Silver tables are partitioned by event_date (the reference's own
+    recommended improvement, README.md:295) so late-data merges and the
+    gold 2-hour lookback prune to a few date partitions.
+    """
+
+    root: str
+
+    def __post_init__(self) -> None:
+        self.bronze_orders = ParquetTable(os.path.join(self.root, "bronze/orders_raw"))
+        self.bronze_payments = ParquetTable(
+            os.path.join(self.root, "bronze/payments_raw")
+        )
+        self.silver_orders = ParquetTable(
+            os.path.join(self.root, "silver/orders_clean"), partition_by=["event_date"]
+        )
+        self.silver_payments = ParquetTable(
+            os.path.join(self.root, "silver/payments_clean"),
+            partition_by=["event_date"],
+        )
+        self.enriched = ParquetTable(
+            os.path.join(self.root, "silver/order_payments_enriched")
+        )
+        self.fct_sales_minute = ParquetTable(
+            os.path.join(self.root, "gold/fct_sales_minute")
+        )
+
+
+def run_bronze(lake: Lakehouse, orders_raw: DataFrame, payments_raw: DataFrame) -> None:
+    """S5-equivalent batch append: raw events → bronze tables."""
+    lake.bronze_orders.overwrite(bronze_projection(orders_raw))
+    lake.bronze_payments.overwrite(bronze_projection(payments_raw))
+
+
+def run_silver(spark: SparkSession, lake: Lakehouse) -> None:
+    """Silver jobs: dedup → parse → MERGE on Kafka identity (S6)."""
+    orders_clean = parse_orders(
+        kafka_identity_dedup(lake.bronze_orders.read(spark))
+    )
+    payments_clean = parse_payments(
+        kafka_identity_dedup(lake.bronze_payments.read(spark))
+    )
+    lake.silver_orders.merge(spark, orders_clean, keys=["topic", "partition", "offset"])
+    lake.silver_payments.merge(
+        spark, payments_clean, keys=["topic", "partition", "offset"]
+    )
+
+
+def run_enrich(spark: SparkSession, lake: Lakehouse) -> None:
+    """silver.order_payments_enriched: MERGE keyed on order_id (S7)."""
+    enriched = enrich_orders(
+        lake.silver_orders.read(spark), lake.silver_payments.read(spark)
+    )
+    lake.enriched.merge(spark, enriched, keys=["order_id"])
+
+
+def run_gold(spark: SparkSession, lake: Lakehouse) -> None:
+    """gold.fct_sales_minute incremental MERGE (S9)."""
+    build_fct_sales_minute(
+        spark,
+        lake.silver_orders.read(spark),
+        lake.enriched.read(spark),
+        lake.fct_sales_minute,
+    )
+
+
+def run_all(
+    spark: SparkSession,
+    lake: Lakehouse,
+    orders_raw: DataFrame,
+    payments_raw: DataFrame,
+) -> None:
+    run_bronze(lake, orders_raw, payments_raw)
+    run_silver(spark, lake)
+    run_enrich(spark, lake)
+    run_gold(spark, lake)

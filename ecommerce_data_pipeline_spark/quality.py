@@ -1,0 +1,90 @@
+"""Data-quality assertions — dbt-test parity as Spark checks (SURVEY.md §5).
+
+Reimplements the reference's gold schema tests
+(analytics/dbt/ecom_analytics/models/gold/schema.yml:4-20: not_null ×4,
+unique minute_bucket), the commented-out non-negativity expressions, and the
+source-freshness SLO (models/sources.yml:6-14: error after 2h staleness on
+event_ts).
+
+Each check is a single aggregate over the table — one pass, no collect of
+data rows — and returns a CheckResult; ``run_checks`` evaluates a suite and
+raises on failure like ``dbt build`` failing the DAG.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    failing_rows: int
+    detail: str = ""
+
+
+def not_null(df: DataFrame, column: str) -> CheckResult:
+    n = df.filter(F.col(column).isNull()).count()
+    return CheckResult(f"not_null:{column}", n == 0, n)
+
+
+def unique(df: DataFrame, column: str) -> CheckResult:
+    n = (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    return CheckResult(f"unique:{column}", n == 0, n)
+
+
+def non_negative(df: DataFrame, column: str) -> CheckResult:
+    n = df.filter(F.col(column) < 0).count()
+    return CheckResult(f"non_negative:{column}", n == 0, n)
+
+
+def freshness(
+    df: DataFrame,
+    ts_column: str,
+    error_after: dt.timedelta = dt.timedelta(hours=2),
+    now: dt.datetime | None = None,
+) -> CheckResult:
+    """Source freshness: max(ts) must be within ``error_after`` of now.
+    ``now`` is injectable for deterministic tests."""
+    row = df.agg(F.max(ts_column).alias("m")).first()
+    max_ts = row["m"] if row else None
+    if max_ts is None:
+        return CheckResult(f"freshness:{ts_column}", False, 0, "table empty")
+    now = now or dt.datetime.utcnow()
+    stale = now - max_ts
+    return CheckResult(
+        f"freshness:{ts_column}",
+        stale <= error_after,
+        0 if stale <= error_after else 1,
+        f"staleness={stale}",
+    )
+
+
+def gold_fact_suite(fact: DataFrame) -> list[CheckResult]:
+    """The exact dbt suite on gold.fct_sales_minute (schema.yml:4-20)."""
+    return [
+        not_null(fact, "minute_bucket"),
+        not_null(fact, "gmv"),
+        not_null(fact, "paid_orders"),
+        not_null(fact, "processed_ts"),
+        unique(fact, "minute_bucket"),
+        non_negative(fact, "gmv"),
+        non_negative(fact, "paid_orders"),
+    ]
+
+
+def run_checks(results: list[CheckResult]) -> None:
+    failed = [r for r in results if not r.passed]
+    if failed:
+        lines = ", ".join(f"{r.name}({r.failing_rows} rows {r.detail})" for r in failed)
+        raise AssertionError(f"quality checks failed: {lines}")

@@ -1,0 +1,44 @@
+"""Parquet scan source (operator S3/S4 in SURVEY.md §2.1).
+
+The reference reads Delta tables by name through a Hive metastore
+(silver_orders.py:44); here tables are path-addressed parquet under an
+``sf_dir``. Reads are plain ``spark.read.parquet`` so Catalyst keeps full
+pushdown: filters and column pruning reach the scan (check with
+``plans.scan_report``), and partition-pruning applies automatically to any
+directory-partitioned table written by ``lake.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test-data table. Single parquet file per table at small SF;
+    at 100 TB the same call reads a multi-thousand-file dataset and the
+    parallelism comes from spark.sql.files.maxPartitionBytes splits."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every table as a temp view so spark.sql() serves the same
+    surface Trino serves in the reference (README.md:154-190)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
