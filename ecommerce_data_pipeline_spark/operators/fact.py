@@ -90,7 +90,7 @@ def vw_sales_last_n_minutes(fact_df: DataFrame, minutes: int = 60, anchor=None) 
     """
     anchor_col = F.lit(anchor) if anchor is not None else F.current_timestamp()
     return fact_df.filter(
-        F.col("minute_bucket") >= F.timestampadd("MINUTE", F.lit(-minutes), anchor_col)
+        F.col("minute_bucket") >= F.timestamp_add("MINUTE", F.lit(-minutes), anchor_col)
     )
 
 

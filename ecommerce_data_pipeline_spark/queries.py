@@ -364,7 +364,7 @@ def events_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored = _anchor_join(fct, F.max("minute_bucket"))
     return anchored.filter(
         F.col("minute_bucket")
-        >= F.timestampadd("MINUTE", F.lit(-60), F.col("__anchor"))
+        >= F.timestamp_add("MINUTE", F.lit(-60), F.col("__anchor"))
     ).select("minute_bucket", "gmv", "purchases")
 
 
@@ -388,7 +388,7 @@ def events_incremental_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         anchored.filter(
             (F.col("event_type") == "purchase")
-            & (F.col("ts") >= F.timestampadd("HOUR", F.lit(-2), F.col("__anchor")))
+            & (F.col("ts") >= F.timestamp_add("HOUR", F.lit(-2), F.col("__anchor")))
         )
         .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_bucket"))
         .agg(money_sum("value").alias("gmv"), F.count(F.lit(1)).alias("purchases"))

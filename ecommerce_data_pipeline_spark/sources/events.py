@@ -149,7 +149,7 @@ def payments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = all_pay.select(
         F.col("order_key"),
         F.col("order_key").cast("string").alias("raw_key"),
-        F.timestampadd(
+        F.timestamp_add(
             "SECOND",
             (F.lit(30) + F.pmod(F.col("order_key"), F.lit(570)) + F.col("seq") * 60).cast(
                 "int"

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -30,11 +32,26 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Columns stored as TIMESTAMP(NANOS) in the driver test data. Spark rejects
+# nanos parquet outright (PARQUET_TYPE_ILLEGAL) unless read as long via
+# spark.sql.legacy.parquet.nanosAsLong; we then convert ns→µs with *integer*
+# division (double division corrupts microseconds at ~1.7e18 ns).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test-data table. Single parquet file per table at small SF;
     at 100 TB the same call reads a multi-thousand-file dataset and the
     parallelism comes from spark.sql.files.maxPartitionBytes splits."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Set here (runtime SQL conf), not only in session.py: the driver's
+    # verify harness passes its own SparkSession that did not go through
+    # our factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
