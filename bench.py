@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline query registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "setup_sec": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no result serialization to the driver, no disk write). The derived
+Kafka-shaped event streams are cached once per run so the bench
+measures the pipeline, not the fixture generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries excluded from the bench (e.g. known-quadratic verifiers that are
+# only meant as small-corpus oracles). Keep empty unless justified.
+SKIP: set[str] = set()
+
+
+def force(df) -> None:
+    """Materialize fully: noop sink keeps all columns + all rows flowing
+    through the physical plan without collect() or disk IO."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+    from ecommerce_data_pipeline_spark.session import get_spark
+    from ecommerce_data_pipeline_spark.sources import events as ev
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    ev.enable_stream_cache(True)
+    # Warm the two derived streams (cached) so per-query numbers measure
+    # the operators under test.
+    ev.orders_events(spark, sf_dir).count()
+    ev.payments_events(spark, sf_dir).count()
+    setup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        t = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "setup_sec": round(setup, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,35 @@ from ecommerce_data_pipeline_spark.sources.parquet import load_table
 
 N_KAFKA_PARTITIONS = 6  # deploy/kafka/init-topics.sh:8-10
 
+# Optional per-session memo of the derived streams. The fixture derivation
+# (row_number over 6 Kafka partitions) is test-rig-only work; bench and the
+# driver's multi-query correctness run would otherwise pay it once per query.
+# Enabled by bench.py / callers via enable_stream_cache(); correctness
+# semantics are unchanged (the derivation is deterministic).
+_STREAM_CACHE: dict[tuple[str, str, str], "DataFrame"] = {}
+_CACHE_ENABLED = False
+
+
+def enable_stream_cache(enabled: bool = True) -> None:
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = enabled
+    if not enabled:
+        for df in _STREAM_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+        _STREAM_CACHE.clear()
+
+
+def _memo(spark: SparkSession, sf_dir: str, which: str, build):
+    if not _CACHE_ENABLED:
+        return build()
+    key = (spark.sparkContext.applicationId, sf_dir, which)
+    if key not in _STREAM_CACHE:
+        _STREAM_CACHE[key] = build().cache()
+    return _STREAM_CACHE[key]
+
 
 def _with_kafka_metadata(df: DataFrame, topic: str) -> DataFrame:
     """Attach topic/partition/offset/timestampType. Partition = key % 6
@@ -57,6 +86,10 @@ def orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver from_json parse, so silver output can be oracle-checked against
     the orders table directly.
     """
+    return _memo(spark, sf_dir, "orders", lambda: _orders_events(spark, sf_dir))
+
+
+def _orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     items = (
@@ -117,6 +150,10 @@ def orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def payments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """payment.succeeded stream: flat JSON payloads with amount_cents."""
+    return _memo(spark, sf_dir, "payments", lambda: _payments_events(spark, sf_dir))
+
+
+def _payments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     r = F.pmod(F.col("o_orderkey"), F.lit(10))
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
