@@ -80,20 +80,57 @@ _A_MULT = 2_654_435_761
 _B_MULT = 40_503
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 128) -> Column:
-    """MinHash signature as array<long> of length n_hashes."""
-    base = F.transform(shingles, lambda s: _md5_long(s) % MINHASH_PRIME)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(n_hashes)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: (
-                    ((i * _A_MULT) % MINHASH_PRIME) * h + (i * _B_MULT) % MINHASH_PRIME
-                )
-                % MINHASH_PRIME,
+def _exploded_shingle_hashes(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, h): one md5-derived int64 per distinct shingle per doc.
+
+    Explode-then-hash guarantees each shingle is hashed exactly ONCE — an
+    array-expression formulation that references the hashed array from N
+    per-permutation lambdas gets re-inlined by Catalyst and evaluates md5
+    N× per shingle (a measured 100× constant-factor blow-up)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc_id", _md5_long(F.col("shingle")).alias("h"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 12,
+    n_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures.
+
+    Plan: explode shingles → md5 once per (doc, shingle) row → n_hashes
+    min-aggregates of cheap affine permutations. The groupBy shuffles ~1
+    combined row per doc per input partition (map-side partial min), so
+    shuffle volume is docs × n_hashes fixed-width longs — independent of
+    document size. This is the scan-side signature step of the standard
+    shingle→minhash→band plan.
+    """
+    hashed = _exploded_shingle_hashes(docs, k, text_col, id_col).select(
+        "doc_id", (F.col("h") % MINHASH_PRIME).alias("h")
+    )
+    aggs = [
+        F.min(
+            (
+                F.lit((i * _A_MULT) % MINHASH_PRIME) * F.col("h")
+                + F.lit((i * _B_MULT) % MINHASH_PRIME)
             )
-        ),
+            % MINHASH_PRIME
+        ).alias(f"__mh{i}")
+        for i in range(1, n_hashes + 1)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"__mh{i}" for i in range(1, n_hashes + 1)]).alias("sig"),
+        )
     )
 
 
@@ -194,8 +231,9 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         char_shingles(F.col(text_col), k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-    banded = base.select(
+    )
+    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -254,33 +292,31 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, k: int = 12, bits: int = 64, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: bit b is 1 iff the majority of shingle
-    hashes have bit b set. Pure array expressions (no UDF).
+    """SimHash per document: bit b is 1 iff the majority of shingle hashes
+    have bit b set. Uses bits-1 (≤63) bit positions to stay in signed int64;
+    _md5_long yields 60-bit hashes so positions ≥60 never vote 1.
 
+    Plan: explode shingles → md5 once per (doc, shingle) → one conditional-sum
+    aggregate per bit position (Python-int shift amounts, so everything stays
+    a built-in JVM expression). Map-side partial aggregation collapses the
+    shuffle to docs × bits longs.
     Output: (doc_id, simhash long).
     """
-    sh = char_shingles(F.col(text_col), k)
-    hashes = F.transform(sh, _md5_long)
-    n = F.size(hashes)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 2)),  # use 63 bits to stay in signed int64
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-            )
-            * 2
-            > n,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
-            "simhash"
-        ),
-    )
+    n_bits = bits - 1
+    hashed = _exploded_shingle_hashes(docs, k, text_col, id_col)
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__v{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *votes)
+    sig = None
+    for b in range(n_bits):
+        term = (
+            F.when(F.col(f"__v{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
