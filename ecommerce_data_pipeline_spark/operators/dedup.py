@@ -59,6 +59,33 @@ def _md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small test corpora arrive as ONE parquet file → one input partition →
+    the CPU-bound shingle/hash map stage runs single-threaded. Fanning out
+    first costs one tiny shuffle of (id, text) rows; at production scale
+    (thousands of input files) the input is already spread and this is a
+    cheap rebalance."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _hashed_shingle_arrays(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, shingles array<long>): distinct shingles as xxhash64 longs.
+    Set operations (intersect/union sizes) on fixed-width longs are ~10x
+    cheaper than on 12-char strings; Jaccard over hashes equals Jaccard
+    over strings absent 64-bit collisions (birthday-bound safe below ~2^32
+    distinct shingles)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    )
+
+
 def char_shingles(text: Column, k: int = 12) -> Column:
     """Distinct k-character shingles of lower(text) as an array<string>.
 
@@ -89,7 +116,7 @@ def _exploded_shingle_hashes(
     array-expression formulation that references the hashed array from N
     per-permutation lambdas gets re-inlined by Catalyst and evaluates md5
     N× per shingle (a measured 100× constant-factor blow-up)."""
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
     ).select("doc_id", _md5_long(F.col("shingle")).alias("h"))
@@ -144,7 +171,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     Returns (doc_id, content_hash, dup_count) — one row per distinct content.
     """
     return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        _spread(docs).select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias(id_col),
@@ -165,36 +192,61 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All (d1 < d2) pairs with char-k-gram Jaccard >= threshold.
+    """All (d1 < d2) pairs with char-k-gram Jaccard >= threshold — exact.
 
-    Plan: explode distinct shingles → self equi-join on shingle (hash
-    shuffle on the shingle string) → count intersections → join per-doc
-    shingle counts (broadcast) → Jaccard. Only docs sharing ≥1 shingle ever
-    meet, so the join output is bounded by true collisions — at corpus scale
-    use minhash_lsh_pairs instead and keep this as the verifier.
+    Prefix-filtered set-similarity join (Vernica/Carey/Li, SIGMOD'10 shape):
+    a pair with Jaccard >= t must share a shingle among each doc's
+    ``n - ceil(t*n) + 1`` globally-rarest shingles, so only those "prefix"
+    shingles generate candidates. On a common-vocabulary corpus this cuts
+    the self-join blow-up ~20x (frequent shingles never join). Candidates
+    are then verified exactly with one array-intersect per pair. Shingles
+    join as xxhash64 longs (8-byte shuffle keys); a 64-bit collision needs
+    ~2^32 distinct shingles — at that corpus size use minhash_lsh_pairs and
+    keep this as the verifier.
     Output: (doc_id_a, doc_id_b, jaccard) with jaccard rounded to 4dp.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    base = _hashed_shingle_arrays(_spread(docs), k, text_col, id_col)
+    sh = base.select("doc_id", F.explode("shingles").alias("sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("rk", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "sh", "rk", "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # PPJoin positional filter: the intersection is at most 1 (this shared
+    # shingle) + the shorter remaining suffix, and J >= t needs
+    # |inter| >= t/(1+t) * (na+nb); drop join rows that cannot reach it.
+    ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
     )
-    ca = counts.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    required = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n")))
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ub >= required),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    vb = base.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     return (
-        inter.join(F.broadcast(ca), "doc_id_a")
-        .join(F.broadcast(cb), "doc_id_b")
+        candidates.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -228,10 +280,7 @@ def minhash_lsh_pairs(
     Output: (doc_id_a, doc_id_b, jaccard).
     """
     rows_per_band = n_hashes // n_bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(F.col(text_col), k).alias("shingles"),
-    )
+    base = _hashed_shingle_arrays(_spread(docs), k, text_col, id_col)
     sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
     banded = sigs.select(
         "doc_id",

@@ -128,6 +128,9 @@ def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text", id_col: st
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.md5(F.substr(t, i, F.lit(k)))
     )
+    # Single-file test corpora scan as one partition; the per-shingle md5
+    # map stage is CPU-bound, so fan out first (no-op at multi-file scale).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(t).alias("content_md5"),
