@@ -128,13 +128,27 @@ class ParquetTable:
         target = self.read(spark)
         part_cols = [c for c in self.partition_by if c in updates.columns]
         if part_cols:
-            # Partition-pruned merge: read only the partitions the updates
-            # touch (Catalyst prunes the scan via the IN-list filter), merge,
-            # then dynamic-partition-overwrite just those directories. The
-            # untouched 99.9% of a large table is never read or rewritten.
-            touched = [
-                tuple(r) for r in updates.select(*part_cols).distinct().collect()
-            ]
+            # Partition-pruned merge: rewrite only partitions the updates
+            # touch, PLUS any partition where an update key already lives
+            # under a different partition value (e.g. a redelivered event
+            # with a corrected event_date) — otherwise the stale row in the
+            # untouched partition would survive and duplicate the key,
+            # diverging from Delta MERGE semantics. The relocation probe is
+            # a column-pruned scan of (keys + partition cols) semi-joined
+            # against the update keys — key-column bytes only, not the table.
+            upd_keys = updates.select(*keys).distinct()
+            relocated = (
+                target.select(*keys, *part_cols)
+                .join(F.broadcast(upd_keys), on=keys, how="left_semi")
+                .select(*part_cols)
+                .distinct()
+            )
+            touched = {
+                tuple(r)
+                for r in updates.select(*part_cols).distinct().collect()
+            }
+            touched |= {tuple(r) for r in relocated.collect()}
+            touched = sorted(touched, key=lambda t: tuple(str(x) for x in t))
             pred = None
             for values in touched:
                 clause = None
@@ -148,13 +162,26 @@ class ParquetTable:
             staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").parquet(staging)
             try:
+                staged = spark.read.parquet(staging)
                 (
-                    spark.read.parquet(staging)
-                    .write.mode("overwrite")
+                    staged.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy(*self.partition_by)
                     .parquet(self.path)
                 )
+                # A partition whose only rows were relocated keys is absent
+                # from the merged output, so dynamic overwrite leaves its old
+                # directory behind — drop it explicitly.
+                written = {
+                    tuple(r)
+                    for r in staged.select(*part_cols).distinct().collect()
+                }
+                for values in set(map(tuple, touched)) - written:
+                    subdir = os.path.join(
+                        self.path,
+                        *[f"{c}={v}" for c, v in zip(part_cols, values)],
+                    )
+                    shutil.rmtree(subdir, ignore_errors=True)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         else:

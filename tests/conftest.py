@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ecommerce_data_pipeline_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def kafka_rows(spark):
+    """Literal bronze-shaped rows: builder for operator goldens."""
+
+    def make(rows):
+        return spark.createDataFrame(
+            rows,
+            "raw_key string, raw_value string, topic string, partition int, "
+            "offset long, kafka_timestamp timestamp, timestampType int",
+        )
+
+    return make

@@ -1,0 +1,355 @@
+"""Operator goldens on literal DataFrames (SURVEY.md §5 test plan).
+
+Each test pins one operator's contract — the W1 dedup edges, the payment
+residue semantics (unpaid/partial/split/overpaid), null-tolerant parsing,
+cents-exact money sums — independent of the fixture generator.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.functions import money_sum
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    kafka_identity_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
+from tests.conftest import ts
+
+
+def _order_value(order_id, total, event_time="2024-01-01T10:00:00Z"):
+    return json.dumps(
+        {
+            "event_type": "order.created",
+            "order_id": order_id,
+            "user_id": f"u{order_id}@example.com",
+            "currency": "USD",
+            "total_amount": total,
+            "status": "CREATED",
+            "event_time": event_time,
+            "event_id": f"evt-{order_id}",
+        }
+    )
+
+
+def _payment_value(order_id, cents):
+    return json.dumps(
+        {
+            "type": "payment.succeeded",
+            "order_id": int(order_id),
+            "amount_cents": cents,
+            "currency": "USD",
+            "user_email": f"u{order_id}@example.com",
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 dedup
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_identity_dedup_keeps_newest(kafka_rows):
+    df = kafka_rows(
+        [
+            ("1", "old", "t", 0, 0, ts("2024-01-01 10:00:00"), 0),
+            ("1", "new", "t", 0, 0, ts("2024-01-01 10:00:05"), 0),
+            ("2", "only", "t", 0, 1, ts("2024-01-01 10:00:01"), 0),
+            ("2", "other-partition", "t", 1, 1, ts("2024-01-01 10:00:01"), 0),
+        ]
+    )
+    out = kafka_identity_dedup(df).orderBy("partition", "offset").collect()
+    assert [r["raw_value"] for r in out] == ["new", "only", "other-partition"]
+
+
+def test_kafka_identity_dedup_exact_duplicate_rows(kafka_rows):
+    # Broker redelivery: identical rows → exactly one survives.
+    row = ("1", "v", "t", 0, 0, ts("2024-01-01 10:00:00"), 0)
+    assert kafka_identity_dedup(kafka_rows([row, row])).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# P1-P3 parse
+# ---------------------------------------------------------------------------
+
+
+def test_parse_orders_happy_path(kafka_rows):
+    raw = kafka_rows(
+        [("7", _order_value("7", 12.5), "orders.events", 0, 0, ts("2024-01-01 10:00:01"), 0)]
+    )
+    row = parse_orders(bronze_projection(raw)).first()
+    assert row["order_id"] == "7"
+    assert row["total_amount"] == 12.5
+    assert row["event_ts"] == ts("2024-01-01 10:00:00")
+    assert str(row["event_date"]) == "2024-01-01"
+
+
+def test_parse_orders_null_tolerant(kafka_rows):
+    raw = kafka_rows(
+        [
+            ("x", "NOT JSON{{", "orders.events", 0, 0, ts("2024-01-01 10:00:00"), 0),
+            ("y", json.dumps({"order_id": "9"}), "orders.events", 0, 1, ts("2024-01-01 10:00:00"), 0),
+        ]
+    )
+    out = parse_orders(bronze_projection(raw)).orderBy("offset").collect()
+    # Bad JSON: row retained, all parsed fields null (silver_orders.py contract).
+    assert out[0]["order_id"] is None and out[0]["event_ts"] is None
+    # Missing fields: present ones parsed, absent ones null.
+    assert out[1]["order_id"] == "9" and out[1]["total_amount"] is None
+
+
+def test_parse_payments_cents_and_ids(kafka_rows):
+    raw = kafka_rows(
+        [("7", _payment_value("7", 1255), "payments.events", 3, 42, ts("2024-01-02 00:00:00"), 0)]
+    )
+    row = parse_payments(bronze_projection(raw)).first()
+    assert row["amount"] == 12.55
+    assert row["status"] == "succeeded"
+    # event_ts is the Kafka timestamp (silver_payments.py:56 quirk).
+    assert row["event_ts"] == ts("2024-01-02 00:00:00")
+    # sha256 lineage ids are deterministic functions of the Kafka identity.
+    assert row["event_id"] != row["payment_id"]
+    assert len(row["event_id"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# A1/J1 enrichment — the payment residues
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_orders_payment_residues(kafka_rows):
+    orders = parse_orders(
+        bronze_projection(
+            kafka_rows(
+                [
+                    ("1", _order_value("1", 100.0), "orders.events", 0, 0, ts("2024-01-01 10:00:01"), 0),
+                    ("2", _order_value("2", 100.0), "orders.events", 0, 1, ts("2024-01-01 10:00:01"), 0),
+                    ("3", _order_value("3", 100.0), "orders.events", 0, 2, ts("2024-01-01 10:00:01"), 0),
+                    ("4", _order_value("4", 100.0), "orders.events", 0, 3, ts("2024-01-01 10:00:01"), 0),
+                ]
+            )
+        )
+    )
+    payments = parse_payments(
+        bronze_projection(
+            kafka_rows(
+                [
+                    # order 2: split 60/40 — reconstructs exactly
+                    ("2", _payment_value("2", 6000), "payments.events", 0, 0, ts("2024-01-01 10:05:00"), 0),
+                    ("2", _payment_value("2", 4000), "payments.events", 0, 1, ts("2024-01-01 10:06:00"), 0),
+                    # order 3: partial
+                    ("3", _payment_value("3", 5000), "payments.events", 0, 2, ts("2024-01-01 10:05:00"), 0),
+                    # order 4: overpaid
+                    ("4", _payment_value("4", 11000), "payments.events", 0, 3, ts("2024-01-01 10:05:00"), 0),
+                    # orphan: no matching order → must drop out
+                    ("99", _payment_value("99", 123), "payments.events", 0, 4, ts("2024-01-01 10:05:00"), 0),
+                ]
+            )
+        )
+    )
+    out = {r["order_id"]: r for r in enrich_orders(orders, payments).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    assert out["1"]["paid_amount"] == 0.0 and not out["1"]["fully_paid"]
+    assert out["2"]["paid_amount"] == 100.0 and out["2"]["fully_paid"]
+    assert out["3"]["paid_amount"] == 50.0 and not out["3"]["fully_paid"]
+    assert out["4"]["paid_amount"] == 110.0 and out["4"]["fully_paid"]
+    # updated_ts = greatest(order_ts, last_payment_ts); unpaid falls back to order_ts.
+    assert out["2"]["updated_ts"] == ts("2024-01-01 10:06:00")
+    assert out["1"]["updated_ts"] == out["1"]["order_ts"]
+
+
+def test_money_sum_is_order_insensitive(spark):
+    # 0.1+0.2-style doubles: naive sum gives 0.30000000000000004-ish drift;
+    # cents-exact sum is bit-stable.
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "v double")
+    assert df.agg(money_sum("v").alias("s")).first()["s"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# A2 minute fact
+# ---------------------------------------------------------------------------
+
+
+def test_sales_minute_agg_buckets_and_filters(spark):
+    orders = spark.createDataFrame(
+        [
+            ("1", ts("2024-01-01 10:00:10"), 10.0),
+            ("2", ts("2024-01-01 10:00:50"), 20.0),
+            ("3", ts("2024-01-01 10:01:10"), 40.0),
+            ("4", None, 80.0),  # P4: null event_ts excluded
+            ("5", ts("2024-01-01 10:00:30"), 160.0),  # not fully paid → excluded
+        ],
+        "order_id string, event_ts timestamp, total_amount double",
+    )
+    enriched = spark.createDataFrame(
+        [("1", True), ("2", True), ("3", True), ("4", True), ("5", False)],
+        "order_id string, fully_paid boolean",
+    )
+    out = {
+        str(r["minute_bucket"]): r
+        for r in sales_minute_agg(orders, enriched).collect()
+    }
+    assert len(out) == 2
+    assert out["2024-01-01 10:00:00"]["gmv"] == 30.0
+    assert out["2024-01-01 10:00:00"]["paid_orders"] == 2
+    assert out["2024-01-01 10:01:00"]["gmv"] == 40.0
+
+
+# ---------------------------------------------------------------------------
+# Windows: state view, sessionization, paging
+# ---------------------------------------------------------------------------
+
+
+def test_current_state_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", ts("2024-01-01 10:00:00"), "CREATED"),
+            (1, "b", ts("2024-01-01 10:00:00"), "PAID"),  # same ts → id desc wins
+            (2, "c", ts("2024-01-01 09:00:00"), "CREATED"),
+        ],
+        "user_id long, event_id string, ts timestamp, event_type string",
+    )
+    out = {r["user_id"]: r["event_type"] for r in win.current_state(df, "user_id", "ts", "event_id").collect()}
+    assert out == {1: "PAID", 2: "CREATED"}
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0),
+            (1, ts("2024-01-01 10:10:00"), 2.0),
+            (1, ts("2024-01-01 11:00:00"), 4.0),  # 50-min gap → new session
+            (2, ts("2024-01-01 10:00:00"), 8.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = win.sessionize(df).orderBy("user_id", "session_id").collect()
+    assert [(r["user_id"], r["session_id"], r["n_events"], r["total_value"]) for r in out] == [
+        (1, 1, 2, 3.0),
+        (1, 2, 1, 4.0),
+        (2, 1, 1, 8.0),
+    ]
+
+
+def test_paged_offset_limit(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    out = [r["k"] for r in win.paged(df, ["k"], offset=20, limit=5).collect()]
+    assert out == [20, 21, 22, 23, 24]
+
+
+# ---------------------------------------------------------------------------
+# Dedup family on literal documents
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog again and again!"),  # near dup
+    (4, "completely different content about spark query engines at scale"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(_docs(spark)).collect()}
+    # min doc_id per content group survives
+    assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_and_minhash_agree(spark):
+    docs = _docs(spark)
+    exact_pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    lsh_pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert exact_pairs == lsh_pairs
+    assert exact_pairs[(1, 2)] == 1.0
+    assert exact_pairs[(1, 3)] > 0.9
+
+
+def test_simhash_identical_docs_and_pairs(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in simhash_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = cosine_topk(vecs, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_language_id_english(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is that for sure"),
+         (2, "zzz qqq xxx 12345")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in tx.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "und"
+
+
+def test_token_stats_counts(spark):
+    docs = spark.createDataFrame([(1, "Hello world, 42 times hello")], "doc_id long, text string")
+    row = tx.token_stats(docs).first()
+    assert row["ws_tokens"] == 5
+    assert row["distinct_tokens"] == 5  # 'Hello' != 'hello' (case-sensitive ws tokens)
+    # lower: 'hello','world',',','42','times','hello' → 6
+    assert row["bpe_ish_tokens"] == 6
+
+
+def test_quality_score_features(spark):
+    good = "the quick brown fox jumps over the lazy dog and then it runs away for a while"
+    docs = spark.createDataFrame([(1, good), (2, "@@@@ ####")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.quality_score(docs).collect()}
+    assert out[1]["quality_score"] == 1.0
+    assert out[2]["quality_score"] <= 0.25
+    # n_tokens counts alpha tokens ("@@@@ ####" strips to nothing).
+    assert out[2]["n_tokens"] == 0

@@ -1,0 +1,174 @@
+"""End-to-end pipeline tests: run_all on a tmpdir Lakehouse, MERGE
+idempotency, late-data recompute, partition-relocation semantics, quality
+suite (SURVEY.md §5; reference parity: silver_orders.py:72-85,
+fct_sales_minute.sql:35-40, dbt schema.yml:4-20)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark import pipeline, quality
+from ecommerce_data_pipeline_spark.lake import ParquetTable
+from ecommerce_data_pipeline_spark.operators.fact import build_fct_sales_minute
+from ecommerce_data_pipeline_spark.queries import QUERIES
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from tests.conftest import SF_DIR, ts
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """run_all over the sf0.001 fixture streams, once per module."""
+    root = str(tmp_path_factory.mktemp("lake"))
+    lh = pipeline.Lakehouse(root)
+    pipeline.run_all(
+        spark,
+        lh,
+        orders_events(spark, SF_DIR),
+        payments_events(spark, SF_DIR),
+    )
+    return lh
+
+
+def test_run_all_fact_matches_registry_query(spark, lake):
+    """The lakehouse-built gold fact equals the registry's direct
+    fct_sales_minute computation (which is DuckDB-oracle-verified)."""
+    built = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in lake.fct_sales_minute.read(spark).collect()
+    }
+    direct = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in QUERIES["fct_sales_minute"](spark, SF_DIR).collect()
+    }
+    assert built == direct
+
+
+def test_gold_quality_suite_passes(spark, lake):
+    results = quality.gold_fact_suite(lake.fct_sales_minute.read(spark))
+    quality.run_checks(results)  # raises on failure
+    assert all(r.passed for r in results)
+
+
+def test_silver_partitioned_by_event_date(spark, lake):
+    import os
+
+    entries = os.listdir(lake.silver_orders.path)
+    assert any(e.startswith("event_date=") for e in entries)
+
+
+def test_merge_idempotency(spark, lake):
+    """Re-running silver/enrich/gold must not change row counts (MERGE
+    semantics S6/S7/S9; mirrors silver_orders.py:72-79 re-run safety)."""
+    before = {
+        "silver_orders": lake.silver_orders.read(spark).count(),
+        "enriched": lake.enriched.read(spark).count(),
+        "fact": lake.fct_sales_minute.read(spark).count(),
+    }
+    pipeline.run_silver(spark, lake)
+    pipeline.run_enrich(spark, lake)
+    pipeline.run_gold(spark, lake)
+    after = {
+        "silver_orders": lake.silver_orders.read(spark).count(),
+        "enriched": lake.enriched.read(spark).count(),
+        "fact": lake.fct_sales_minute.read(spark).count(),
+    }
+    assert before == after
+    # And keys stay unique after the re-merge.
+    assert (
+        lake.fct_sales_minute.read(spark)
+        .groupBy("minute_bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_late_data_recompute(spark, tmp_path):
+    """ST5: an event 90 minutes older than the fact head lands inside the
+    2-hour lookback → its minute bucket is recomputed and MERGEd
+    (fct_sales_minute.sql:35-40)."""
+    fact = ParquetTable(str(tmp_path / "fact"))
+
+    def silver(rows):
+        return spark.createDataFrame(
+            rows, "order_id string, event_ts timestamp, total_amount double"
+        )
+
+    def enriched(rows):
+        return spark.createDataFrame(rows, "order_id string, fully_paid boolean")
+
+    head = ts("2024-01-01 12:00:00")
+    s1 = silver([("1", head, 10.0)])
+    e1 = enriched([("1", True)])
+    build_fct_sales_minute(spark, s1, e1, fact)
+    assert fact.read(spark).count() == 1
+
+    late_ts = head - dt.timedelta(minutes=90)
+    s2 = silver([("1", head, 10.0), ("2", late_ts, 5.0), ("3", late_ts, 7.0)])
+    e2 = enriched([("1", True), ("2", True), ("3", True)])
+    build_fct_sales_minute(spark, s2, e2, fact)
+    out = {str(r["minute_bucket"]): r for r in fact.read(spark).collect()}
+    assert len(out) == 2
+    assert out["2024-01-01 10:30:00"]["gmv"] == 12.0
+    assert out["2024-01-01 10:30:00"]["paid_orders"] == 2
+    # Head bucket re-merged, not duplicated.
+    assert out["2024-01-01 12:00:00"]["gmv"] == 10.0
+
+
+def test_too_late_data_ignored(spark, tmp_path):
+    """An event older than the 2-hour lookback does NOT rewrite history —
+    the incremental bound excludes it (reference behavior: the cron+lookback
+    never reprocesses buckets older than 2h)."""
+    fact = ParquetTable(str(tmp_path / "fact"))
+    head = ts("2024-01-01 12:00:00")
+    s = spark.createDataFrame(
+        [("1", head, 10.0)], "order_id string, event_ts timestamp, total_amount double"
+    )
+    e = spark.createDataFrame([("1", True)], "order_id string, fully_paid boolean")
+    build_fct_sales_minute(spark, s, e, fact)
+
+    ancient = head - dt.timedelta(hours=5)
+    s2 = spark.createDataFrame(
+        [("1", head, 10.0), ("2", ancient, 99.0)],
+        "order_id string, event_ts timestamp, total_amount double",
+    )
+    e2 = spark.createDataFrame(
+        [("1", True), ("2", True)], "order_id string, fully_paid boolean"
+    )
+    build_fct_sales_minute(spark, s2, e2, fact)
+    buckets = {str(r["minute_bucket"]) for r in fact.read(spark).collect()}
+    assert buckets == {"2024-01-01 12:00:00"}
+
+
+def test_partitioned_merge_key_relocation(spark, tmp_path):
+    """A key that arrives with a corrected partition value must not leave a
+    stale duplicate in its old partition (Delta MERGE parity; ADVICE r01)."""
+    t = ParquetTable(str(tmp_path / "t"), partition_by=["event_date"])
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double, event_date date"
+    )
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t.merge(spark, df([("a", 1.0, d1), ("b", 1.0, d1)]), keys=["k"])
+    # 'a' moves to a corrected date; 'b' stays.
+    t.merge(spark, df([("a", 2.0, d2)]), keys=["k"])
+    out = {(r["k"], str(r["event_date"])): r["v"] for r in t.read(spark).collect()}
+    assert out == {("a", "2024-01-02"): 2.0, ("b", "2024-01-01"): 1.0}
+
+    # Relocation that empties a partition removes it entirely.
+    t.merge(spark, df([("b", 3.0, d2)]), keys=["k"])
+    rows = t.read(spark).collect()
+    assert {(r["k"], str(r["event_date"]), r["v"]) for r in rows} == {
+        ("a", "2024-01-02", 2.0),
+        ("b", "2024-01-02", 3.0),
+    }
+
+
+def test_freshness_check_injectable_now(spark):
+    df = spark.createDataFrame([(ts("2024-01-01 10:00:00"),)], "event_ts timestamp")
+    ok = quality.freshness(df, "event_ts", now=ts("2024-01-01 11:00:00"))
+    stale = quality.freshness(df, "event_ts", now=ts("2024-01-01 13:00:00"))
+    assert ok.passed and not stale.passed
