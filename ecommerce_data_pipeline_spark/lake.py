@@ -149,14 +149,37 @@ class ParquetTable:
             }
             touched |= {tuple(r) for r in relocated.collect()}
             touched = sorted(touched, key=lambda t: tuple(str(x) for x in t))
-            pred = None
-            for values in touched:
-                clause = None
-                for c, v in zip(part_cols, values):
-                    cond = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-                    clause = cond if clause is None else (clause & cond)
-                pred = clause if pred is None else (pred | clause)
-            touched_target = target.filter(pred) if pred is not None else target.limit(0)
+            # Filter with isin (one flat IN-list reaches the scan as a
+            # partition-pruning predicate); an OR-of-AND chain over hundreds
+            # of partitions overflows the Catalyst visitor stack. Composite
+            # partition keys would need tuple-IN support — none of our
+            # tables use one, so that path keeps the flat-predicate shape
+            # only when it is safely small.
+            if not touched:
+                touched_target = target.limit(0)
+            elif len(part_cols) == 1:
+                c = part_cols[0]
+                vals = [t[0] for t in touched if t[0] is not None]
+                pred = F.col(c).isin(vals) if vals else F.lit(False)
+                if any(t[0] is None for t in touched):
+                    pred = pred | F.col(c).isNull()
+                touched_target = target.filter(pred)
+            elif len(touched) <= 64:
+                pred = None
+                for values in touched:
+                    clause = None
+                    for c, v in zip(part_cols, values):
+                        cond = (
+                            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                        )
+                        clause = cond if clause is None else (clause & cond)
+                    pred = clause if pred is None else (pred | clause)
+                touched_target = target.filter(pred)
+            else:
+                # Too many composite partitions for a flat predicate: give
+                # up pruning, keep correctness (full merge rewrite).
+                self.overwrite(merge_upsert(target, updates, keys))
+                return
             merged = merge_upsert(touched_target, updates, keys)
             # Materialize before overwriting partitions we are reading from.
             staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"

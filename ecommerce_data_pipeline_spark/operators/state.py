@@ -1,0 +1,117 @@
+"""Keyed event-state machines (operator ST7, SURVEY.md §2.7).
+
+The reference folds events into per-key state row-at-a-time in Python
+consumers with legal-transition guards:
+
+- order: CREATED → PAID on ``payment.succeeded``, idempotent skip if already
+  PAID (services/order/app/kafka/consumer.py:52-77);
+- shipment: PENDING_PAYMENT → READY_TO_SHIP → DISPATCHED, illegal
+  transitions rejected (services/shipping/app/kafka/consumer.py:100-141).
+
+Both machines are *monotone*: states form a total order and legal
+transitions only move forward. A monotone fold needs no sequential replay —
+the final state is simply the maximum state rank observed per key, and the
+transition timestamp is the earliest event that reached that rank (the
+consumer's idempotent-skip means later same-state events don't update).
+That turns per-key state into ONE hash aggregation — embarrassingly
+scalable, no Python state loop, no ordering shuffle.
+
+For streaming, ``conditional_state_merge`` applies the same guard as a
+MERGE: an update wins only if it advances the rank (Delta
+``whenMatchedUpdate(condition=...)`` shape) — replayed/duplicate micro-
+batches are naturally idempotent (ST3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+ORDER_STATE_RANKS = {"CREATED": 0, "PAID": 1}
+SHIPMENT_STATE_RANKS = {"PENDING_PAYMENT": 0, "READY_TO_SHIP": 1, "DISPATCHED": 2}
+
+
+def _rank_col(state_col, ranks: dict[str, int]):
+    expr = F.lit(None).cast("int")
+    for name, rank in ranks.items():
+        expr = F.when(state_col == name, F.lit(rank)).otherwise(expr)
+    return expr
+
+
+def fold_state_events(
+    events: DataFrame,
+    ranks: dict[str, int] = ORDER_STATE_RANKS,
+    key_col: str = "order_id",
+    state_col: str = "state",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Batch fold of a (key, state, ts) event stream into current state.
+
+    Unknown states (not in ``ranks``) are illegal and ignored — the
+    consumer's guard. Output: (key, state, state_ts, n_events) where
+    state_ts is the FIRST event that reached the final rank.
+    """
+    ranked = events.select(
+        F.col(key_col),
+        _rank_col(F.col(state_col), ranks).alias("__rank"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("__rank").isNotNull())
+    agg = ranked.groupBy(key_col).agg(
+        F.max("__rank").alias("__max_rank"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # min ts among events at the final rank: second pass joined on (key, rank).
+    firsts = ranked.groupBy(key_col, "__rank").agg(F.min("__ts").alias("__first_ts"))
+    inv = {v: k for k, v in ranks.items()}
+    state_expr = F.lit(None).cast("string")
+    for rank, name in inv.items():
+        state_expr = F.when(F.col("__max_rank") == rank, F.lit(name)).otherwise(
+            state_expr
+        )
+    return (
+        agg.join(
+            firsts,
+            (agg[key_col] == firsts[key_col])
+            & (agg["__max_rank"] == firsts["__rank"]),
+        )
+        .select(
+            agg[key_col],
+            state_expr.alias("state"),
+            F.col("__first_ts").alias("state_ts"),
+            "n_events",
+        )
+    )
+
+
+def conditional_state_merge(
+    spark: SparkSession,
+    table: ParquetTable,
+    updates: DataFrame,
+    ranks: dict[str, int] = ORDER_STATE_RANKS,
+    key_col: str = "order_id",
+) -> None:
+    """Streaming-side ST7: MERGE state updates with the legal-transition
+    guard — an update applies only when it advances the state rank
+    (whenMatchedUpdate(condition="new.rank > old.rank") shape). New keys
+    insert; regressions and replays are no-ops (ST3 replay tolerance).
+
+    ``updates`` must be pre-folded to one row per key (fold_state_events).
+    """
+    if not table.exists():
+        table.overwrite(updates)
+        return
+    current = table.read(spark).select(
+        F.col(key_col).alias("__k"),
+        _rank_col(F.col("state"), ranks).alias("__cur_rank"),
+    )
+    advancing = (
+        updates.join(current, updates[key_col] == current["__k"], "left")
+        .filter(
+            F.col("__cur_rank").isNull()
+            | (_rank_col(F.col("state"), ranks) > F.col("__cur_rank"))
+        )
+        .drop("__k", "__cur_rank")
+    )
+    table.merge(spark, advancing, keys=[key_col])

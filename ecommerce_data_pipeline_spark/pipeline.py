@@ -31,22 +31,28 @@ class Lakehouse:
 
     Silver tables are partitioned by event_date (the reference's own
     recommended improvement, README.md:295) so late-data merges and the
-    gold 2-hour lookback prune to a few date partitions.
+    gold 2-hour lookback prune to a few date partitions. Set
+    ``partition_silver=False`` when the workload's dates are uniformly
+    scattered (e.g. the TPC-H-derived test fixture spans ~2400 days, so
+    every micro-batch would touch every date partition — the partitioning
+    win assumes event time clusters near 'now', which real streams do).
     """
 
     root: str
+    partition_silver: bool = True
 
     def __post_init__(self) -> None:
+        silver_parts = ["event_date"] if self.partition_silver else []
         self.bronze_orders = ParquetTable(os.path.join(self.root, "bronze/orders_raw"))
         self.bronze_payments = ParquetTable(
             os.path.join(self.root, "bronze/payments_raw")
         )
         self.silver_orders = ParquetTable(
-            os.path.join(self.root, "silver/orders_clean"), partition_by=["event_date"]
+            os.path.join(self.root, "silver/orders_clean"), partition_by=silver_parts
         )
         self.silver_payments = ParquetTable(
             os.path.join(self.root, "silver/payments_clean"),
-            partition_by=["event_date"],
+            partition_by=silver_parts,
         )
         self.enriched = ParquetTable(
             os.path.join(self.root, "silver/order_payments_enriched")

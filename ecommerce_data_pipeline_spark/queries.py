@@ -895,3 +895,92 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample_plan(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Streaming layer (ST1-ST5) + ST7 state machine as registry queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_fct_sales_minute",
+    # Same oracle as fct_sales_minute: micro-batched ingest through the
+    # checkpointed streaming medallion must land on the identical gold fact.
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT date_trunc('minute', o_orderdate) AS minute_bucket,
+  {money_sum_sql('total_amount')} AS gmv,
+  count(*) AS paid_orders
+FROM enriched WHERE fully_paid
+GROUP BY 1
+""",
+)
+def q_streaming_fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST4 end-to-end: stage the event streams as files, ingest them as
+    checkpointed micro-batches (availableNow; maxFilesPerTrigger=2 over 8
+    files → 4 batches/stream), run silver as foreachBatch MERGE, then
+    enrich+gold — and return the gold fact. Equality with the batch oracle
+    proves trigger-shape independence."""
+    import tempfile
+
+    from ecommerce_data_pipeline_spark import pipeline as pl
+    from ecommerce_data_pipeline_spark.streaming import (
+        run_streaming_pipeline,
+        stage_event_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_fct_")
+    o_src, p_src = f"{root}/src/orders", f"{root}/src/payments"
+    o_schema = stage_event_files(spark, orders_events(spark, sf_dir), o_src)
+    p_schema = stage_event_files(spark, payments_events(spark, sf_dir), p_src)
+    # Unpartitioned silver: the fixture's order dates scatter uniformly over
+    # ~7 years, so date-partitioned micro-batch merges would rewrite every
+    # partition every batch (see Lakehouse docstring).
+    lake = pl.Lakehouse(f"{root}/lake", partition_silver=False)
+    run_streaming_pipeline(
+        spark, lake, o_src, p_src, o_schema, p_schema, f"{root}/ckpt"
+    )
+    return lake.fct_sales_minute.read(spark).drop("processed_ts")
+
+
+@register(
+    "order_status_current",
+    oracle=f"""
+WITH {PAY_SQL},
+pay_known AS (
+  SELECT order_key, kafka_timestamp FROM pay
+  JOIN orders ON o_orderkey = order_key
+),
+agg AS (
+  SELECT order_key, count(*) AS n_pay, min(kafka_timestamp) AS first_pay
+  FROM pay_known GROUP BY 1
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+  CASE WHEN a.order_key IS NOT NULL THEN 'PAID' ELSE 'CREATED' END AS state,
+  CASE WHEN a.order_key IS NOT NULL THEN a.first_pay
+       ELSE date_trunc('second', o_orderdate) END AS state_ts,
+  CAST(1 + coalesce(a.n_pay, 0) AS BIGINT) AS n_events
+FROM orders LEFT JOIN agg a ON a.order_key = o_orderkey
+""",
+)
+def q_order_status_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 as a monotone fold: CREATED→PAID per order, first PAID event
+    wins (consumer.py:52-77 idempotent-skip semantics); payment events for
+    unknown orders are dropped like the consumer's failed lookup."""
+    from ecommerce_data_pipeline_spark.operators.state import fold_state_events
+
+    orders_clean = parse_orders(
+        kafka_identity_dedup(bronze_projection(orders_events(spark, sf_dir)))
+    )
+    payments_clean = parse_payments(
+        kafka_identity_dedup(bronze_projection(payments_events(spark, sf_dir)))
+    )
+    known = orders_clean.select("order_id").distinct()
+    ev = orders_clean.select(
+        "order_id", F.lit("CREATED").alias("state"), F.col("event_ts")
+    ).unionByName(
+        payments_clean.join(known, "order_id", "left_semi").select(
+            "order_id", F.lit("PAID").alias("state"), F.col("event_ts")
+        )
+    )
+    return fold_state_events(ev)

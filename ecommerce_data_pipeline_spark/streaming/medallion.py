@@ -1,0 +1,202 @@
+"""Streaming medallion: file-source Structured Streaming variant of the
+batch pipeline.
+
+Reference shape being reproduced (Kafka → Delta):
+
+- S1/S2 Kafka source: ``readStream.format("kafka").option("subscribe",…)
+  .option("startingOffsets","earliest").option("failOnDataLoss","false")``
+  (bronze_orders_raw.py:37-43). The Kafka connector jar is not bundled in
+  this environment, so sources here are file streams of the same
+  Kafka-shaped rows — swapping ``_read_stream`` for the Kafka reader is a
+  one-line change and nothing downstream moves.
+- S5/ST1/ST2: checkpointed append sink with a 10 s processing-time trigger
+  (bronze_orders_raw.py:56-61). Tests use ``availableNow`` (drain all
+  pending input as micro-batches, then stop) — same code path, bounded run.
+- ST3: replay tolerance — re-running with a fresh checkpoint re-reads
+  everything; the downstream W1 dedup + MERGE keys make that idempotent.
+- ST4/ST5: silver/gold run as ``foreachBatch`` over the SAME batch
+  transforms, so the late-data policy (2-hour lookback MERGE) is identical
+  in both modes; ``streaming_minute_fact`` shows the watermark formulation.
+
+Scale notes: the bronze stage is per-record projection — scales with source
+partitions, no state. The silver/gold foreachBatch stages bound their work
+per micro-batch (dedup+merge of the batch only); state lives in the lake
+tables, not the state store, which is what keeps an order_id-keyed stream
+joinable at 100 TB (SURVEY.md §7.3 risk 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ecommerce_data_pipeline_spark.functions import money_sum
+from ecommerce_data_pipeline_spark.pipeline import Lakehouse
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import build_fct_sales_minute
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+
+DEFAULT_TRIGGER = {"processingTime": "10 seconds"}  # bronze_orders_raw.py:60
+
+
+def stage_event_files(
+    spark: SparkSession, events: DataFrame, out_dir: str, n_files: int = 8
+) -> StructType:
+    """Write a derived event stream as N parquet files — the stand-in for a
+    Kafka topic with N segments; ``maxFilesPerTrigger`` then carves them
+    into micro-batches. Returns the schema for the streaming reader."""
+    events.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).schema
+
+
+def _read_stream(
+    spark: SparkSession, src_dir: str, schema: StructType, files_per_trigger: int
+) -> DataFrame:
+    # Kafka equivalent (requires the kafka connector jar):
+    #   spark.readStream.format("kafka").option("subscribe", topic)
+    #        .option("startingOffsets", "earliest")
+    #        .option("failOnDataLoss", "false").load()
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def stream_bronze(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    bronze_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    files_per_trigger: int = 2,
+):
+    """S5: checkpointed streaming append of the bronze projection.
+
+    Returns the started StreamingQuery; callers ``awaitTermination`` (the
+    availableNow trigger stops by itself after draining pending input).
+    """
+    raw = _read_stream(spark, src_dir, schema, files_per_trigger)
+    return (
+        bronze_projection(raw)
+        .writeStream.format("parquet")
+        .option("path", bronze_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    lake: Lakehouse,
+    orders_src: str,
+    payments_src: str,
+    orders_schema: StructType,
+    payments_schema: StructType,
+    checkpoint_root: str,
+    files_per_trigger: int = 2,
+) -> None:
+    """End-to-end streaming medallion with availableNow semantics.
+
+    Bronze: two checkpointed append streams (S5). Silver: foreachBatch over
+    the bronze streams — each micro-batch is deduped, parsed and MERGEd into
+    the silver tables (ST4: periodic batch as streaming; the MERGE keys make
+    replays idempotent, ST3). Enrich + gold run once after the streams
+    drain, exactly like the reference's dataset-triggered dbt run.
+    """
+    q1 = stream_bronze(
+        spark,
+        orders_src,
+        orders_schema,
+        lake.bronze_orders.path,
+        os.path.join(checkpoint_root, "bronze_orders"),
+        files_per_trigger=files_per_trigger,
+    )
+    q2 = stream_bronze(
+        spark,
+        payments_src,
+        payments_schema,
+        lake.bronze_payments.path,
+        os.path.join(checkpoint_root, "bronze_payments"),
+        files_per_trigger=files_per_trigger,
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    def _silver_orders_batch(batch: DataFrame, batch_id: int) -> None:
+        clean = parse_orders(kafka_identity_dedup(batch))
+        lake.silver_orders.merge(
+            batch.sparkSession, clean, keys=["topic", "partition", "offset"]
+        )
+
+    def _silver_payments_batch(batch: DataFrame, batch_id: int) -> None:
+        clean = parse_payments(kafka_identity_dedup(batch))
+        lake.silver_payments.merge(
+            batch.sparkSession, clean, keys=["topic", "partition", "offset"]
+        )
+
+    bronze_orders_schema = spark.read.parquet(lake.bronze_orders.path).schema
+    bronze_payments_schema = spark.read.parquet(lake.bronze_payments.path).schema
+    s1 = (
+        _read_stream(spark, lake.bronze_orders.path, bronze_orders_schema, files_per_trigger)
+        .writeStream.foreachBatch(_silver_orders_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_root, "silver_orders"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    s2 = (
+        _read_stream(spark, lake.bronze_payments.path, bronze_payments_schema, files_per_trigger)
+        .writeStream.foreachBatch(_silver_payments_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_root, "silver_payments"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    s1.awaitTermination()
+    s2.awaitTermination()
+
+    enriched = enrich_orders(
+        lake.silver_orders.read(spark), lake.silver_payments.read(spark)
+    )
+    lake.enriched.merge(spark, enriched, keys=["order_id"])
+    build_fct_sales_minute(
+        spark,
+        lake.silver_orders.read(spark),
+        lake.enriched.read(spark),
+        lake.fct_sales_minute,
+    )
+
+
+def streaming_minute_fact(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """ST5 as a watermark: the idiomatic streaming formulation of the
+    2-hour late-data policy — a tumbling 1-minute window aggregation that
+    keeps accepting events up to 2 hours late and finalizes (emits in
+    append mode) once the watermark passes.
+
+    Works on a streaming DataFrame; on a batch DataFrame the watermark is a
+    no-op and the result equals the batch minute fact (tested both ways).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute").alias("w"))
+        .agg(
+            money_sum(value_col).alias("gmv"),
+            F.count(F.lit(1)).alias("purchases"),
+        )
+        .select(F.col("w.start").alias("minute_bucket"), "gmv", "purchases")
+    )

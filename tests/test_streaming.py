@@ -1,0 +1,185 @@
+"""Streaming-layer tests (ST1-ST5, ST7): micro-batched ingest must produce
+exactly the batch pipeline's output; replays must be idempotent; the state
+machine must enforce legal transitions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark import pipeline
+from ecommerce_data_pipeline_spark.lake import ParquetTable
+from ecommerce_data_pipeline_spark.operators.state import (
+    SHIPMENT_STATE_RANKS,
+    conditional_state_merge,
+    fold_state_events,
+)
+from ecommerce_data_pipeline_spark.queries import QUERIES
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from ecommerce_data_pipeline_spark.streaming import (
+    run_streaming_pipeline,
+    stage_event_files,
+    streaming_minute_fact,
+)
+from tests.conftest import SF_DIR, ts
+
+
+@pytest.fixture(scope="module")
+def streamed_lake(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    orders_src = str(root / "src/orders")
+    payments_src = str(root / "src/payments")
+    o_schema = stage_event_files(spark, orders_events(spark, SF_DIR), orders_src)
+    p_schema = stage_event_files(spark, payments_events(spark, SF_DIR), payments_src)
+    lake = pipeline.Lakehouse(str(root / "lake"))
+    run_streaming_pipeline(
+        spark,
+        lake,
+        orders_src,
+        payments_src,
+        o_schema,
+        p_schema,
+        checkpoint_root=str(root / "ckpt"),
+    )
+    return lake
+
+
+def test_streaming_fact_equals_batch(spark, streamed_lake):
+    """The defining check: micro-batched ingest (4+ batches per stream via
+    maxFilesPerTrigger=2 over 8 files) ends at the same gold fact as the
+    single-shot batch pipeline / the oracle-verified registry query."""
+    streamed = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in streamed_lake.fct_sales_minute.read(spark).collect()
+    }
+    direct = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in QUERIES["fct_sales_minute"](spark, SF_DIR).collect()
+    }
+    assert streamed == direct
+
+
+def test_streaming_bronze_checkpointed(spark, streamed_lake):
+    # Bronze kept every raw record (incl. redelivery duplicates) — dedup is
+    # silver's job (ST3); checkpoint dir exists and is non-trivial.
+    bronze_n = streamed_lake.bronze_orders.read(spark).count()
+    silver_n = streamed_lake.silver_orders.read(spark).count()
+    assert bronze_n > silver_n  # the %20==0 redelivery dups
+
+
+def test_streaming_silver_replay_idempotent(spark, streamed_lake):
+    """ST3: replaying a full micro-batch into the silver MERGE changes
+    nothing (at-least-once tolerance via MERGE keys)."""
+    from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+    from ecommerce_data_pipeline_spark.operators.parse import parse_orders
+
+    before = streamed_lake.silver_orders.read(spark).count()
+    replay = parse_orders(
+        kafka_identity_dedup(streamed_lake.bronze_orders.read(spark).limit(500))
+    )
+    streamed_lake.silver_orders.merge(
+        spark, replay, keys=["topic", "partition", "offset"]
+    )
+    assert streamed_lake.silver_orders.read(spark).count() == before
+
+
+def test_streaming_minute_fact_batch_equivalence(spark):
+    """The watermarked window agg equals the batch minute fact when run on
+    a bounded frame (watermark is a no-op in batch — same column contract)."""
+    from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
+    wm = {
+        str(r["minute_bucket"]): (r["gmv"], r["purchases"])
+        for r in streaming_minute_fact(ev).collect()
+    }
+    batch = {
+        str(r["minute_bucket"]): (r["gmv"], r["purchases"])
+        for r in QUERIES["events_minute_fact"](spark, SF_DIR).collect()
+    }
+    assert wm == batch
+
+
+def test_streaming_minute_fact_emits_closed_windows(spark, tmp_path):
+    """Run the watermarked agg as a real stream in append mode: only
+    windows the watermark has passed are finalized."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:10"), 10.0),
+            (2, ts("2024-01-01 10:01:10"), 20.0),
+            (3, ts("2024-01-01 14:00:00"), 40.0),  # advances watermark past 10:0x
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    schema = stage_event_files(spark, ev, src, n_files=1)
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    q = (
+        streaming_minute_fact(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {str(r["minute_bucket"]): r["gmv"] for r in spark.read.parquet(out).collect()}
+    # 10:00 and 10:01 are > 2h behind the 14:00 watermark → finalized;
+    # 14:00 itself is still open → not emitted.
+    assert rows == {"2024-01-01 10:00:00": 10.0, "2024-01-01 10:01:00": 20.0}
+
+
+# ---------------------------------------------------------------------------
+# ST7 state machine
+# ---------------------------------------------------------------------------
+
+
+def test_fold_state_events_monotone(spark):
+    ev = spark.createDataFrame(
+        [
+            ("o1", "CREATED", ts("2024-01-01 10:00:00")),
+            ("o1", "PAID", ts("2024-01-01 10:05:00")),
+            ("o1", "PAID", ts("2024-01-01 10:06:00")),  # idempotent skip: first PAID wins
+            ("o2", "CREATED", ts("2024-01-01 09:00:00")),
+            ("o3", "BOGUS", ts("2024-01-01 09:00:00")),  # illegal → ignored entirely
+        ],
+        "order_id string, state string, event_ts timestamp",
+    )
+    out = {r["order_id"]: r for r in fold_state_events(ev).collect()}
+    assert set(out) == {"o1", "o2"}
+    assert out["o1"]["state"] == "PAID"
+    assert out["o1"]["state_ts"] == ts("2024-01-01 10:05:00")
+    assert out["o2"]["state"] == "CREATED"
+
+
+def test_conditional_state_merge_guards(spark, tmp_path):
+    table = ParquetTable(str(tmp_path / "state"))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "order_id string, state string, state_ts timestamp, n_events long"
+    )
+    conditional_state_merge(
+        spark, table, mk([("o1", "READY_TO_SHIP", ts("2024-01-01 10:00:00"), 1)]),
+        ranks=SHIPMENT_STATE_RANKS,
+    )
+    # Regression attempt: PENDING_PAYMENT < READY_TO_SHIP → rejected.
+    conditional_state_merge(
+        spark, table, mk([("o1", "PENDING_PAYMENT", ts("2024-01-01 11:00:00"), 1)]),
+        ranks=SHIPMENT_STATE_RANKS,
+    )
+    assert table.read(spark).first()["state"] == "READY_TO_SHIP"
+    # Legal advance applies; new key inserts.
+    conditional_state_merge(
+        spark,
+        table,
+        mk([
+            ("o1", "DISPATCHED", ts("2024-01-01 12:00:00"), 1),
+            ("o2", "PENDING_PAYMENT", ts("2024-01-01 12:00:00"), 1),
+        ]),
+        ranks=SHIPMENT_STATE_RANKS,
+    )
+    out = {r["order_id"]: r["state"] for r in table.read(spark).collect()}
+    assert out == {"o1": "DISPATCHED", "o2": "PENDING_PAYMENT"}
