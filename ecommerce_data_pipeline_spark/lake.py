@@ -50,13 +50,15 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     """Pure-DataFrame MERGE: rows of ``target`` whose key appears in
     ``updates`` are replaced (update-all), new keys are inserted.
 
-    The anti-join build side is just the distinct update keys — small relative
-    to the target — so Catalyst broadcasts it and the target is never
-    shuffled. Column order follows the target contract.
+    The anti-join build side is the distinct update keys. No broadcast hint:
+    for a gold merge that set is tiny and AQE broadcasts it anyway; for a
+    silver merge it is the whole batch's key set, which at real batch sizes
+    would OOM a forced broadcast — AQE picks shuffle join there. Column
+    order follows the target contract.
     """
     cols = target.columns
     update_keys = updates.select(*keys).distinct()
-    kept = target.join(F.broadcast(update_keys), on=keys, how="left_anti")
+    kept = target.join(update_keys, on=keys, how="left_anti")
     return kept.unionByName(updates.select(*cols))
 
 
@@ -139,7 +141,7 @@ class ParquetTable:
             upd_keys = updates.select(*keys).distinct()
             relocated = (
                 target.select(*keys, *part_cols)
-                .join(F.broadcast(upd_keys), on=keys, how="left_semi")
+                .join(upd_keys, on=keys, how="left_semi")
                 .select(*part_cols)
                 .distinct()
             )

@@ -6,13 +6,16 @@ expressions (zip_with + aggregate) — JVM-side, no Python UDF, no shuffle for
 the math itself.
 
 Scale notes (100 TB / billions of vectors):
-- brute force is a broadcast-join of the (small) query set against the
-  vector corpus followed by a per-query top-k — one shuffle of k rows per
-  query (TakeOrdered-style), never a global sort.
-- the IVF variant prunes the corpus to the query's cell before scoring;
-  cells come from any coarse quantizer (here: the precomputed ``label``
-  column, standing in for a k-means assignment step). Probing n cells =
-  union of n cell filters; the scored set shrinks by ~n_cells/corpus.
+- brute force scores map-side (broadcast of the small query set — no
+  shuffle to score), then takes per-query top-k with a window, which
+  SHUFFLES ALL |Q|×|corpus| scored rows on query_id: per-key partial
+  top-k is not expressible with built-in aggregates (collect_list partial
+  buffers carry every row). That is the honest cost of the exact baseline —
+  it is the verifier / small-|Q| path.
+- the SCALE path is ivf_topk: prune the corpus to the query's cell before
+  scoring, so both the scoring work and the top-k shuffle shrink by
+  ~1/n_cells. Cells come from any coarse quantizer (here: the precomputed
+  ``label`` column, standing in for a k-means assignment step).
 """
 
 from __future__ import annotations
@@ -75,6 +78,50 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold.
+
+    With ``cell_col`` set (an IVF/LSH bucket id), candidates are generated
+    only within cells — the 100 TB shape (near-dups at 0.95+ cosine land in
+    the same coarse cell for any reasonable quantizer; cross-cell misses are
+    the recall trade-off every production ANN dedup makes). Without it the
+    join is the exact quadratic baseline for verifier-scale corpora.
+    Output: (vec_id_a, vec_id_b, cosine_sim).
+    """
+    # Single-file test corpora scan as one partition; the probe side drives
+    # join parallelism, so fan it out (no-op at multi-file scale).
+    spread = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    )
+    a = spread.select(
+        F.col(id_col).alias("vec_id_a"),
+        _as_double(F.col(vec_col)).alias("va"),
+        *([F.col(cell_col).alias("cell")] if cell_col else []),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_id_b"),
+        _as_double(F.col(vec_col)).alias("vb"),
+        *([F.col(cell_col).alias("cell")] if cell_col else []),
+    )
+    cond = F.col("vec_id_a") < F.col("vec_id_b")
+    if cell_col:
+        pairs = a.join(b, "cell").filter(cond)
+    else:
+        pairs = a.join(b, cond)
+    return (
+        pairs.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine_sim")
     )
 
 

@@ -984,3 +984,28 @@ def q_order_status_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fold_state_events(ev)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  round(list_inner_product(a.e, b.e)
+        / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4)
+    AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.e, b.e)
+        / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4)
+      >= 0.4
+""",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (the scale path
+    buckets by a coarse-quantizer cell first — see
+    similarity.embedding_near_dup_pairs). Threshold 0.4 because the
+    synthetic corpus has no true near-dups (max pairwise cosine ≈0.51) —
+    this exercises the operator on a non-trivial result set."""
+    return sim.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
