@@ -62,13 +62,18 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("qn", _norm(F.col("q_vec")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("nn", _norm(F.col("n_vec")))
     scored = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("qn") * F.col("nn")), 4
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -103,23 +108,32 @@ def embedding_near_dup_pairs(
     spread = vectors.repartition(
         vectors.sparkSession.sparkContext.defaultParallelism
     )
+    # Hoist the norm to a per-vector column: the quadratic stage then does
+    # one dot product + one divide per pair instead of re-deriving both
+    # norms (3x the array work) 2M times. Same expression shape as the
+    # oracle (dot/(norm_a*norm_b)) so 4dp rounding stays bit-compatible.
     a = spread.select(
         F.col(id_col).alias("vec_id_a"),
         _as_double(F.col(vec_col)).alias("va"),
         *([F.col(cell_col).alias("cell")] if cell_col else []),
-    )
+    ).withColumn("na", _norm(F.col("va")))
     b = vectors.select(
         F.col(id_col).alias("vec_id_b"),
         _as_double(F.col(vec_col)).alias("vb"),
         *([F.col(cell_col).alias("cell")] if cell_col else []),
-    )
+    ).withColumn("nb", _norm(F.col("vb")))
     cond = F.col("vec_id_a") < F.col("vec_id_b")
     if cell_col:
         pairs = a.join(b, "cell").filter(cond)
     else:
         pairs = a.join(b, cond)
     return (
-        pairs.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine_sim")
     )
@@ -143,16 +157,21 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("qn", _norm(F.col("q_vec")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("n_vec"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("nn", _norm(F.col("n_vec")))
     scored = (
         v.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("qn") * F.col("nn")), 4
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -9,10 +9,12 @@ DataFrame-in → DataFrame-out, trigger-agnostic.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.lake import ParquetTable
 from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
@@ -55,7 +57,8 @@ class Lakehouse:
             partition_by=silver_parts,
         )
         self.enriched = ParquetTable(
-            os.path.join(self.root, "silver/order_payments_enriched")
+            os.path.join(self.root, "silver/order_payments_enriched"),
+            partition_by=["order_date"] if self.partition_silver else [],
         )
         self.fct_sales_minute = ParquetTable(
             os.path.join(self.root, "gold/fct_sales_minute")
@@ -82,11 +85,45 @@ def run_silver(spark: SparkSession, lake: Lakehouse) -> None:
     )
 
 
-def run_enrich(spark: SparkSession, lake: Lakehouse) -> None:
-    """silver.order_payments_enriched: MERGE keyed on order_id (S7)."""
-    enriched = enrich_orders(
-        lake.silver_orders.read(spark), lake.silver_payments.read(spark)
-    )
+def run_enrich(
+    spark: SparkSession,
+    lake: Lakehouse,
+    lookback: dt.timedelta = dt.timedelta(hours=2),
+) -> None:
+    """silver.order_payments_enriched: MERGE keyed on order_id (S7).
+
+    Incremental after bootstrap: only orders with activity (an order or
+    payment event) inside the lookback window are re-enriched — for those
+    keys the FULL payment history is re-aggregated (semi-join), so the
+    merged rows are exact, and the order-grain table stops being rewritten
+    wholesale every run (the order_date partitioning then prunes the
+    rewrite to recently-active dates). Same policy shape as the gold
+    2-hour lookback (fct_sales_minute.sql:35-40)."""
+    orders_clean = lake.silver_orders.read(spark)
+    payments_clean = lake.silver_payments.read(spark)
+    if lake.enriched.exists():
+        row = (
+            lake.enriched.read(spark).agg(F.max("updated_ts").alias("m")).first()
+        )
+        if row is not None and row["m"] is not None:
+            bound = row["m"] - lookback
+            recent_keys = (
+                orders_clean.filter(F.col("event_ts") >= F.lit(bound))
+                .select("order_id")
+                .unionByName(
+                    payments_clean.filter(F.col("event_ts") >= F.lit(bound)).select(
+                        "order_id"
+                    )
+                )
+                .distinct()
+            )
+            orders_clean = orders_clean.join(recent_keys, "order_id", "left_semi")
+            payments_clean = payments_clean.join(
+                recent_keys, "order_id", "left_semi"
+            )
+    enriched = enrich_orders(orders_clean, payments_clean)
+    if lake.enriched.partition_by:
+        enriched = enriched.withColumn("order_date", F.to_date(F.col("order_ts")))
     lake.enriched.merge(spark, enriched, keys=["order_id"])
 
 

@@ -1009,3 +1009,70 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@register(
+    "notification_emails",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT CAST(p.order_key AS VARCHAR) AS order_id,
+  sha256(concat('pay:payments.events:', CAST(p.partition AS VARCHAR), ':',
+                CAST(p."offset" AS VARCHAR))) AS payment_id,
+  concat('user', CAST(o.o_custkey AS VARCHAR), '@example.com') AS user_email,
+  p.amount_cents/100.0 AS amount,
+  p.kafka_timestamp AS event_ts
+FROM pay p JOIN orders o ON o.o_orderkey = p.order_key
+""",
+)
+def q_notification_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/ST8: the notifications service's order_id→email cache expressed
+    as a join — every payment event enriched with the buyer's email from
+    the order stream (notifications/app/kafka/consumer.py:13-16,46-94).
+    Orphan payments drop out exactly like a cache miss does. In streaming
+    this is a stream-static join of the payment stream against silver
+    orders (bounded state — no stream-stream buffer)."""
+    orders_clean = parse_orders(
+        kafka_identity_dedup(bronze_projection(orders_events(spark, sf_dir)))
+    )
+    payments_clean = parse_payments(
+        kafka_identity_dedup(bronze_projection(payments_events(spark, sf_dir)))
+    )
+    return payments_clean.join(
+        orders_clean.select("order_id", F.col("user_id").alias("user_email")),
+        "order_id",
+    ).select("order_id", "payment_id", "user_email", "amount", "event_ts")
+
+
+@register(
+    "orders_kafka_encoded",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+  to_json(struct_pack(
+    event_type := 'order.created',
+    order_id := CAST(o_orderkey AS VARCHAR),
+    currency := 'USD',
+    status := 'CREATED',
+    total_amount := round(o_totalprice, 2)
+  )) AS value
+FROM orders
+""",
+)
+def q_orders_kafka_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: producer-side Kafka encoding — key by order_id, compact JSON
+    value (producer.py:79-80). The result is what df.write.format("kafka")
+    would ship; non-null fields only (Spark's to_json drops nulls)."""
+    from ecommerce_data_pipeline_spark.sources.sinks import to_kafka_shape
+
+    clean = parse_orders(
+        kafka_identity_dedup(bronze_projection(orders_events(spark, sf_dir)))
+    )
+    encoded = clean.select(
+        "order_id",
+        F.col("event_type"),
+        F.col("currency"),
+        F.col("status"),
+        F.col("total_amount"),
+    )
+    return to_kafka_shape(
+        encoded, "order_id", ["event_type", "order_id", "currency", "status", "total_amount"]
+    )

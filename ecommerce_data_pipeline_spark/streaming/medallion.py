@@ -36,8 +36,6 @@ from pyspark.sql.types import StructType
 from ecommerce_data_pipeline_spark.functions import money_sum
 from ecommerce_data_pipeline_spark.pipeline import Lakehouse
 from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
-from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
-from ecommerce_data_pipeline_spark.operators.fact import build_fct_sales_minute
 from ecommerce_data_pipeline_spark.operators.parse import (
     bronze_projection,
     parse_orders,
@@ -165,16 +163,10 @@ def run_streaming_pipeline(
     s1.awaitTermination()
     s2.awaitTermination()
 
-    enriched = enrich_orders(
-        lake.silver_orders.read(spark), lake.silver_payments.read(spark)
-    )
-    lake.enriched.merge(spark, enriched, keys=["order_id"])
-    build_fct_sales_minute(
-        spark,
-        lake.silver_orders.read(spark),
-        lake.enriched.read(spark),
-        lake.fct_sales_minute,
-    )
+    from ecommerce_data_pipeline_spark.pipeline import run_enrich, run_gold
+
+    run_enrich(spark, lake)
+    run_gold(spark, lake)
 
 
 def streaming_minute_fact(

@@ -1,0 +1,50 @@
+"""S4/S10/S12: namespace DDL, path-registered tables, and SQL views over a
+built lakehouse."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_data_pipeline_spark import pipeline
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from ecommerce_data_pipeline_spark.sources.sinks import register_catalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cataloged(spark, tmp_path_factory):
+    lake = pipeline.Lakehouse(str(tmp_path_factory.mktemp("cat")))
+    pipeline.run_all(
+        spark, lake, orders_events(spark, SF_DIR), payments_events(spark, SF_DIR)
+    )
+    register_catalog(spark, lake)
+    return lake
+
+
+def test_namespaced_tables_queryable(spark, cataloged):
+    n = spark.sql("SELECT count(*) AS n FROM silver.orders_clean").first()["n"]
+    assert n == cataloged.silver_orders.read(spark).count()
+    joined = spark.sql(
+        """
+        SELECT count(*) AS n
+        FROM silver.order_payments_enriched e
+        JOIN gold.fct_sales_minute f
+          ON date_trunc('minute', e.order_ts) = f.minute_bucket
+        WHERE e.fully_paid
+        """
+    ).first()["n"]
+    assert joined > 0
+
+
+def test_view_sink(spark, cataloged):
+    rows = spark.sql("SELECT * FROM gold.vw_sales_last_60min").collect()
+    fact_head = spark.sql(
+        "SELECT max(minute_bucket) AS m FROM gold.fct_sales_minute"
+    ).first()["m"]
+    assert rows  # non-empty: the head bucket is always within its own hour
+    assert all((fact_head - r["minute_bucket"]).total_seconds() <= 3600 for r in rows)
+
+
+def test_ddl_idempotent(spark, cataloged):
+    register_catalog(spark, cataloged)  # second run must not raise
+    assert spark.sql("SELECT count(*) FROM bronze_raw.orders_raw").first()[0] > 0
