@@ -128,13 +128,20 @@ def run_enrich(
 
 
 def run_gold(spark: SparkSession, lake: Lakehouse) -> None:
-    """gold.fct_sales_minute incremental MERGE (S9)."""
+    """gold.fct_sales_minute incremental MERGE (S9) + quality gate.
+
+    The quality suite runs on every gold build and raises on failure,
+    exactly like the reference's ``dbt build`` failing the DAG
+    (rt_pipeline.py:142-143, schema.yml:4-20)."""
     build_fct_sales_minute(
         spark,
         lake.silver_orders.read(spark),
         lake.enriched.read(spark),
         lake.fct_sales_minute,
     )
+    from ecommerce_data_pipeline_spark import quality
+
+    quality.run_checks(quality.gold_fact_suite(lake.fct_sales_minute.read(spark)))
 
 
 def run_all(

@@ -34,13 +34,13 @@ from ecommerce_data_pipeline_spark.sources.parquet import load_table
 
 N_KAFKA_PARTITIONS = 6  # deploy/kafka/init-topics.sh:8-10
 
-# Optional per-session memo of the derived streams. The fixture derivation
+# Per-session memo of the derived streams. The fixture derivation
 # (row_number over 6 Kafka partitions) is test-rig-only work; bench and the
 # driver's multi-query correctness run would otherwise pay it once per query.
-# Enabled by bench.py / callers via enable_stream_cache(); correctness
-# semantics are unchanged (the derivation is deterministic).
+# On by default (the derivation is deterministic and small — ~100 MB cached
+# at sf0.1); disable via enable_stream_cache(False) to measure cold paths.
 _STREAM_CACHE: dict[tuple[str, str, str], "DataFrame"] = {}
-_CACHE_ENABLED = False
+_CACHE_ENABLED = True
 
 
 def enable_stream_cache(enabled: bool = True) -> None:
