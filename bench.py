@@ -63,6 +63,34 @@ def main() -> int:
         timings[name] = round(time.time() - t, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Like-for-like numbers against BASELINE.md's dbt anchor: the anchor
+    # measures an incremental gold MERGE (0.551s) / full build incl. tests
+    # (0.994s) on a pre-built lakehouse at demo volume. Build the lakehouse
+    # once, then time (a) the full batch medallion, (b) a pure incremental
+    # gold MERGE + quality suite (the dbt-build twin).
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark import pipeline as pl
+    from ecommerce_data_pipeline_spark.sources.events import (
+        orders_events,
+        payments_events,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        lake = pl.Lakehouse(root, partition_silver=False)
+        t0 = time.time()
+        pl.run_all(
+            spark, lake, orders_events(spark, sf_dir), payments_events(spark, sf_dir)
+        )
+        full_build = round(time.time() - t0, 3)
+        t0 = time.time()
+        pl.run_gold(spark, lake)  # incremental MERGE + quality gate
+        gold_incremental = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -73,6 +101,8 @@ def main() -> int:
                 "sf": sf_val,
                 "setup_sec": round(setup, 3),
                 "n_queries": len(timings),
+                "pipeline_full_build_sec": full_build,
+                "gold_incremental_merge_sec": gold_incremental,
             }
         )
     )

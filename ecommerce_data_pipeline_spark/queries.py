@@ -1076,3 +1076,44 @@ def q_orders_kafka_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_kafka_shape(
         encoded, "order_id", ["event_type", "order_id", "currency", "status", "total_amount"]
     )
+
+
+@register(
+    "language_id_confusion",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+r AS (
+  SELECT doc_id, lang,
+    {", ".join(
+        f"round(len(list_filter(words, t -> list_contains({_sw_list(lang)}, t)))*1.0"
+        f" / greatest(len(words), 1), 4) AS r_{lang}"
+        for lang in tx.STOPWORDS
+    )}
+  FROM w
+),
+p AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(r_en, r_es, r_fr, r_de) <= 0 THEN 'und'
+         {" ".join(
+             f"WHEN r_{lang} = greatest(r_en, r_es, r_fr, r_de) THEN '{lang}'"
+             for lang in tx.STOPWORDS
+         )}
+    END AS predicted_lang
+  FROM r
+)
+SELECT lang AS true_lang, predicted_lang, count(*) AS n_docs
+FROM p GROUP BY 1, 2
+""",
+)
+def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluated against the corpus's stored ground-truth
+    ``lang`` column: the (true, predicted) confusion counts — the quality
+    metric a training-data pipeline actually tracks for its filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", "predicted_lang"), "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
