@@ -1,0 +1,167 @@
+"""Coarse quantization for IVF-style ANN (engine extension; replaces the
+``label``-column stand-in noted in round 1).
+
+Deterministic Lloyd's k-means built from DataFrame aggregations only:
+
+- init: the k vectors with the smallest md5(vec_id) — pseudorandom but
+  fixed, so runs are reproducible across clusters and sessions (no
+  Math.random, no seed-dependent RDD sampling);
+- assign: argmin squared distance over the k broadcast centroid literals —
+  a pure map stage (k × dim multiply-adds per row, whole-stage codegen);
+- update: per-cell component means = one hash aggregation (dim avg
+  aggregates), k×dim doubles collected to the driver per iteration — the
+  same bounded-scalar pattern as the gold incremental bound.
+
+Scale notes (billions of vectors): train on a SAMPLE (``fit_sample``) —
+k-means quality needs ~100×k points, not the corpus — then assign the full
+corpus with one map stage. Empty cells keep their previous centroid
+(standard Lloyd degeneracy handling). Multi-probe search widens recall by
+scoring the ``nprobe`` nearest cells per query instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _norm,
+)
+
+
+def _dist2(v: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cell_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """0-based argmin-distance cell id; ties resolve to the lowest index
+    (array_position returns the first match — deterministic)."""
+    dists = F.array(*[_dist2(v, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means; returns the centroid list."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if fit_sample is not None:
+        # Deterministic "sample": smallest md5(id) — uniform over ids.
+        v = (
+            v.withColumn("__h", F.md5(F.col("id").cast("string")))
+            .orderBy("__h")
+            .limit(fit_sample)
+            .drop("__h")
+        )
+    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism)
+    init_rows = (
+        v.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = v.withColumn("cell", _cell_expr(F.col("v"), centroids))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for row in means:
+            new[row["cell"]] = [row[f"c{i}"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): full-corpus cell assignment — one map stage."""
+    return vectors.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("cell", _cell_expr(F.col("v"), centroids))
+
+
+def multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF multi-probe ANN: score each query against the vectors of its
+    ``nprobe`` nearest cells. Recall grows with nprobe; work per query is
+    ~nprobe/k_cells of the corpus. Same output shape as cosine_topk.
+    """
+    from pyspark.sql.window import Window
+
+    corpus = assign_cells(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("n_vec"),
+        "cell",
+    ).withColumn("nn", _norm(F.col("n_vec")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("q_vec"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = qv.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"]
+            )
+        ),
+    ).withColumn("qn", _norm(F.col("q_vec")))
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("qn") * F.col("nn")),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1117,3 +1117,21 @@ def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register("kmeans_ivf_topk")  # iterative (Lloyd's) → not SQL-expressible;
+# rows-only driver check. Correctness is pinned by tests/test_quantize.py:
+# nprobe == k_cells reproduces the exact brute-force top-k bit-for-bit,
+# and the quantizer is deterministic across runs.
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a REAL coarse quantizer: deterministic k-means (8
+    cells, 3 Lloyd iterations) + multi-probe search (3 cells/query)."""
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        kmeans_fit,
+        multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    return multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=3)

@@ -1,0 +1,48 @@
+"""K-means IVF quantizer: determinism, assignment sanity, and multi-probe
+recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.quantize import (
+    assign_cells,
+    kmeans_fit,
+    multiprobe_topk,
+)
+from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
+from ecommerce_data_pipeline_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_deterministic_and_covers_cells(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = kmeans_fit(emb, k=8, iters=3)
+    c2 = kmeans_fit(emb, k=8, iters=3)
+    assert c1 == c2  # bit-identical across runs (deterministic init + plan)
+    cells = assign_cells(emb, c1)
+    counts = {r["cell"]: r["n"] for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(counts) >= 4  # clustering actually spreads the corpus
+    assert sum(counts.values()) == emb.count()
+
+
+def test_multiprobe_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_topk(emb, queries, centroids, k=5, nprobe=8).collect()
+    }
+    # nprobe == k_cells probes everything → must equal the exact answer.
+    assert approx_full == exact
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_topk(emb, queries, centroids, k=5, nprobe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"multi-probe recall {recall} too low"
