@@ -1135,3 +1135,66 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     centroids = kmeans_fit(emb, k=8, iters=3)
     return multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=3)
+
+
+@register(
+    "events_minute_users",
+    oracle="""
+SELECT date_trunc('minute', ts) AS minute_bucket,
+  count(DISTINCT user_id) AS active_users,
+  count(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def q_events_minute_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per minute, written as the explicit two-phase form
+    (dedupe on (bucket,user) first, then count): the partial aggregation of
+    the dedupe phase absorbs hot-key skew BEFORE the wide row hits one
+    reducer — the shape countDistinct expands to, stated explicitly so the
+    skew story is visible in the plan (Expand → partial HashAggregate →
+    shuffle → final)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", F.col("ts")).alias("minute_bucket"), "user_id"
+    )
+    per_user = ev.groupBy("minute_bucket", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_user.groupBy("minute_bucket").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n_name AS nation, r_name AS region,
+  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic fact-to-dimension star join (orders ⋈ customer ⋈ nation ⋈
+    region): nation/region are broadcast (tiny dims at ANY scale factor),
+    customer broadcasts until it outgrows the threshold and AQE flips it to
+    shuffle — the fact side is never shuffled for the joins, only for the
+    final rollup. Cents-exact revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
