@@ -172,3 +172,25 @@ def test_freshness_check_injectable_now(spark):
     ok = quality.freshness(df, "event_ts", now=ts("2024-01-01 11:00:00"))
     stale = quality.freshness(df, "event_ts", now=ts("2024-01-01 13:00:00"))
     assert ok.passed and not stale.passed
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    """OPTIMIZE-equivalent: many small merge-written files coalesce into
+    ~target-sized ones with identical content."""
+    import os
+
+    t = ParquetTable(str(tmp_path / "t"))
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(str(i), float(i)) for i in range(lo, hi)], "k string, v double"
+    ).repartition(8)
+    t.merge(spark, mk(0, 100), keys=["k"])
+    t.merge(spark, mk(50, 150), keys=["k"])
+    t.merge(spark, mk(100, 200), keys=["k"])
+    before = sum(
+        1 for _, _, fs in os.walk(t.path) for f in fs if f.endswith(".parquet")
+    )
+    data_before = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    after = t.compact(spark)
+    assert after < before
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == data_before
+    assert len(data_before) == 200
