@@ -1,0 +1,203 @@
+"""Training-data curation operators (engine extension, SURVEY.md §7.1
+step 9 family): PII redaction, deterministic sampling, benchmark
+contamination checks, intra-document repetition stats, and deterministic
+shard assignment for training-order shuffles.
+
+All pure built-in column expressions (regexp / split / arrays / window),
+so every operator is either a shuffle-free map stage or one well-keyed
+shuffle — the shapes that survive a 100 TB corpus:
+
+- redact_pii / repetition_stats: per-row map, no shuffle, stays in
+  whole-stage codegen; scales with input splits.
+- stratified_sample: map-side deterministic hash filter — no sampling
+  state, no driver RNG, reproducible across runs/retries (critical for
+  exactly-once semantics when a stage is re-executed).
+- ngram_contamination: the eval set is tiny by construction → its
+  exploded n-gram set broadcasts; the corpus side is an exploded map +
+  broadcast semi-join + per-doc count. One shuffle (the groupBy doc_id),
+  volume bounded by matched n-grams only.
+- shard_assign: one hash repartition by shard + per-shard sort — the
+  canonical "global shuffle" for training-data ordering, expressed so
+  each shard sorts independently (no global total order bottleneck).
+
+Regexes are restricted to constructs with identical semantics in Java
+regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+repeats, no backrefs/lookaround.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.operators.dedup import (
+    _md5_long,
+    _spread,
+    char_shingles,
+)
+
+# PII patterns (Java+RE2-portable). Order of application matters: emails
+# first (an email contains no phone/ip match but keeps counts stable),
+# then IPv4, then phone numbers.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PHONE_RE = "[+][0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers, keeping counts.
+
+    Output: (doc_id, n_emails, n_ips, n_phones, redacted_text).
+    Pure map stage — no shuffle; regexp_count/replace are codegen
+    expressions evaluated once per row.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+            ),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted_text"),
+    )
+
+
+def deterministic_keep(key: Column, rate_bp: Column | int, salt: str = "v1") -> Column:
+    """True iff md5(key:salt) falls in the first ``rate_bp`` of 10,000
+    basis-point buckets. Deterministic (same row → same verdict on every
+    run/retry/executor), uniform, and oracle-replicable — the correct
+    sampling primitive for distributed pipelines, unlike rand()-based
+    df.sample which resamples per stage retry."""
+    bucket = _md5_long(F.concat_ws(":", key.cast("string"), F.lit(salt))) % 10000
+    return bucket < rate_bp
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    stratum_col: str = "stratum",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: per-stratum keep-rates in
+    basis points (en→5000 keeps ~50% of English docs). Map-side filter,
+    no shuffle, no RNG state.
+
+    Output: input rows that survive, plus their stratum and hash bucket.
+    """
+    rate = F.lit(default_bp)
+    for stratum, bp in rates_bp.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
+    bucket = _md5_long(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    ) % 10000
+    return (
+        docs.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < rate)
+        .withColumnRenamed("__bucket", "sample_bucket")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, how many of
+    its distinct character n-grams appear in ANY eval-set document
+    (the n-gram-overlap decontamination rule used for LLM training sets;
+    n=13 chars ≈ the classic 13-token variant scaled to char shingles).
+
+    Plan: the eval set's distinct n-grams are tiny → broadcast inner
+    join against the corpus's exploded n-grams, then count per doc. Docs
+    with zero overlap are kept via left join so the output has one row
+    per corpus doc. Join keys are the raw n-gram strings (13 bytes,
+    broadcast side only holds the eval set) — collision-free and
+    oracle-identical; xxhash64 keys would shave broadcast bytes at the
+    cost of an engine-specific hash.
+    Output: (doc_id, n_contaminated, contaminated).
+    """
+    doc_grams = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("g"),
+    )
+    eval_grams = (
+        eval_docs.select(
+            F.explode(char_shingles(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, sep: str = ". ", text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition (the Gopher 'repetitious content' family):
+    split into units on ``sep``, measure how much of the document is
+    duplicated units. Pure map stage.
+
+    Output: (doc_id, n_units, n_distinct_units, dup_unit_ratio).
+    """
+    # Spark split() takes a regex; escape so ``sep`` is treated literally
+    # (DuckDB's string_split is literal already — oracle parity).
+    units = F.filter(F.split(F.col(text_col), re.escape(sep), -1), lambda u: u != "")
+    n_units = F.size(units)
+    n_distinct = F.size(F.array_distinct(units))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_units.alias("n_units"),
+        n_distinct.alias("n_distinct_units"),
+        F.round(
+            (n_units - n_distinct) / F.greatest(n_units, F.lit(1)).cast("double"), 4
+        ).alias("dup_unit_ratio"),
+    )
+
+
+def shard_assign(
+    docs: DataFrame, n_shards: int = 8, id_col: str = "doc_id", salt: str = "v1"
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard by
+    md5(doc_id:salt), position within shard by the same hash (ties by
+    doc_id). The canonical pre-training data-order shuffle, expressed as
+    one hash repartition + independent per-shard sorts — no global total
+    order, so it scales linearly with shard count.
+
+    Output: (doc_id, shard, pos).
+    """
+    h = _md5_long(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(F.col(id_col).alias(id_col), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .repartition(F.col("shard"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "shard",
+            (F.row_number().over(w) - 1).alias("pos"),
+        )
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
 from ecommerce_data_pipeline_spark.operators import dedup as dd
 from ecommerce_data_pipeline_spark.operators import similarity as sim
 from ecommerce_data_pipeline_spark.operators import text as tx
@@ -1198,3 +1199,147 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: curation (PII, sampling, contamination,
+# repetition, shard assignment) — operators/curate.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1 555-000-1234 at 10.0.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{cu.EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{cu.IPV4_RE}')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{cu.PHONE_RE}')) AS INTEGER) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{cu.EMAIL_RE}', '[EMAIL]', 'g'),
+      '{cu.IPV4_RE}', '[IP]', 'g'),
+      '{cu.PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+FROM d
+""",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / phones) with counts. The corpus text is
+    synthetic and PII-free, so the query plants one deterministic instance
+    of each PII kind per document before redacting — the operator itself
+    (operators/curate.py:redact_pii) sees ordinary dirty text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-1234 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return cu.redact_pii(docs)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, text, lang, source, n_chars,
+  CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} % 10000 AS BIGINT)
+    AS sample_bucket
+FROM documents
+WHERE {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} % 10000
+  < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample by language: keep 50% of
+    en, 25% of es, 10% otherwise — md5-bucketed, so the verdict per row is
+    reproducible across runs/retries/executors (unlike rand()-based
+    df.sample, which resamples when a stage retries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.stratified_sample(
+        docs, rates_bp={"en": 5000, "es": 2500}, default_bp=1000, stratum_col="lang"
+    )
+
+
+@register(
+    "ngram_contamination",
+    oracle="""
+WITH dg AS (
+  SELECT doc_id,
+    unnest(list_distinct([substr(lower(text), i, 13)
+      for i in generate_series(1, greatest(length(text) - 12, 1))])) AS g
+  FROM documents
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct([substr(lower(text), i, 13)
+      for i in generate_series(1, greatest(length(text) - 12, 1))])) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM dg JOIN eg USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct 13-grams shared
+    with the 'benchmark' subset (doc_id % 97 == 0 plays the eval set). The
+    eval n-gram set broadcasts; the corpus side is a pure map + broadcast
+    join, so the only shuffle is the per-doc hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return cu.ngram_contamination(docs, eval_docs, n=13)
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+    list_filter(string_split(text, '. '), x -> x <> '') AS units
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(units) AS INTEGER) AS n_units,
+  CAST(len(list_distinct(units)) AS INTEGER) AS n_distinct_units,
+  round((len(units) - len(list_distinct(units))) * 1.0
+        / greatest(len(units), 1), 4) AS dup_unit_ratio
+FROM u
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style repetitious-content filter):
+    share of '. '-delimited units that are duplicates. Pure map stage."""
+    return cu.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "shard_assign",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+    {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INTEGER)
+    AS pos
+FROM h
+""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5-hash docs into 8 shards
+    with a stable position inside each shard — one hash repartition +
+    independent per-shard sorts, no global total order."""
+    return cu.shard_assign(load_table(spark, sf_dir, "documents"), n_shards=8)

@@ -1,0 +1,100 @@
+"""Operator goldens for the training-data curation module
+(operators/curate.py): PII redaction, deterministic sampling,
+contamination, repetition, shard assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators import curate as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at a.b+c@ex-ample.org or 10.1.2.3 call +1 555-123-4567 ok"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.co one ip 255.255.255.255"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cu.redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["redacted_text"] == "mail me at [EMAIL] or [IP] call [PHONE] ok"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["redacted_text"] == "no pii here"
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 1)
+    assert "[EMAIL]" in out[3]["redacted_text"] and "[IP]" in out[3]["redacted_text"]
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "xx") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, stratum string")
+    kept = cu.stratified_sample(df, {"en": 5000}, default_bp=0).collect()
+    # Only the en stratum survives; rate ≈ 50% of the 1000 en docs.
+    assert all(r["stratum"] == "en" for r in kept)
+    assert 400 <= len(kept) <= 600
+    # Deterministic: second run keeps exactly the same doc_ids.
+    kept2 = cu.stratified_sample(df, {"en": 5000}, default_bp=0).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in kept2)
+    # Buckets actually bound the rate.
+    assert all(r["sample_bucket"] < 5000 for r in kept)
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "quick brown fox jumps over"),  # shares 13-grams with doc 1
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "the quick brown fox jumps")])
+    out = {r["doc_id"]: r for r in cu.ngram_contamination(corpus, eval_docs).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] > 0
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    assert out[3]["contaminated"]
+
+
+def test_repetition_stats_duplicate_units(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta. gamma delta. alpha beta. epsilon"),
+            (2, "unique one. unique two. unique three"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cu.repetition_stats(df).collect()}
+    assert out[1]["n_units"] == 4 and out[1]["n_distinct_units"] == 3
+    assert out[1]["dup_unit_ratio"] == 0.25
+    assert out[2]["dup_unit_ratio"] == 0.0
+
+
+def test_shard_assign_partitions_and_positions(spark):
+    df = _docs(spark, [(i, f"d{i}") for i in range(500)])
+    out = cu.shard_assign(df, n_shards=4).collect()
+    assert len(out) == 500
+    shards = {r["shard"] for r in out}
+    assert shards == {0, 1, 2, 3}
+    # Positions are dense 0..n-1 within each shard.
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions)))
+    # Deterministic across runs.
+    out2 = cu.shard_assign(df, n_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out2
+    }
+
+
+def test_deterministic_keep_uniformity(spark):
+    df = spark.range(10000).select(F.col("id"))
+    kept = df.filter(cu.deterministic_keep(F.col("id"), 2500)).count()
+    assert 2200 <= kept <= 2800
