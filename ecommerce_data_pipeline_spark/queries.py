@@ -1343,3 +1343,120 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a stable position inside each shard — one hash repartition +
     independent per-shard sorts, no global total order."""
     return cu.shard_assign(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Analytical depth: scan-heavy rollups and distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0
+    AS sum_disc_price,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT))/1000000.0
+    AS sum_charge,
+  round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 / count(*), 4) AS avg_qty,
+  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 / count(*), 4)
+    AS avg_price,
+  round(sum(CAST(round(l_discount*100) AS BIGINT))/100.0 / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy rollup.
+    One pass over the fact table, filter pushed to the parquet scan, all
+    aggregation map-side partial then a 4-group shuffle — the plan is
+    scan-bound at any scale. Money math in exact integer sub-units
+    (cents / 1e-4 / 1e-6) so the double sums are order-independent and
+    bit-stable; at >sf1000 swap the 1e-6-unit int64 sums for
+    DecimalType(38,6) (overflow headroom)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    charge_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1000000
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_u) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_u) / 1000000.0).alias("sum_charge"),
+            F.round((F.sum(cents("l_quantity")) / 100.0) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round((F.sum(cents("l_extendedprice")) / 100.0) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round((F.sum(cents("l_discount")) / 100.0) / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group value quantiles (linear interpolation — identical
+    semantics to DuckDB quantile_cont). Exact percentile sorts each group;
+    at 100 TB use the approx_percentile twin below (t-digest-style sketch,
+    mergeable map-side, no per-group sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("events_value_quantiles_approx")  # sketch output: rows-only check
+def q_events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB formulation of events_value_quantiles: approx_percentile
+    (mergeable quantile sketch, map-side combine, no sort) — estimates are
+    engine-specific so the driver records a rows-only check; the pytest
+    suite bounds its error against the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("approx_distinct_users")  # sketch output: rows-only check
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counts per event_type: hll_sketch_agg
+    builds mergeable binary sketches map-side (fixed bytes per group —
+    the shuffle is independent of cardinality), hll_sketch_estimate reads
+    them out. Sketches are engine-specific → rows-only driver check; the
+    pytest suite bounds the estimate error vs exact countDistinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Analytical rollups and sketch-accuracy bounds (queries.py additions:
+lineitem_pricing_summary, events_value_quantiles[_approx],
+approx_distinct_users)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.queries import QUERIES
+from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_shape_and_totals(spark):
+    out = QUERIES["lineitem_pricing_summary"](spark, SF_DIR).collect()
+    # 2 return flags x 2 line statuses max; every group has positive sums.
+    assert 1 <= len(out) <= 6
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    assert sum(r["count_order"] for r in out) == li.count()
+    for r in out:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert abs(r["avg_qty"] - r["sum_qty"] / r["count_order"]) < 1e-3
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    exact = {r["event_type"]: r for r in QUERIES["events_value_quantiles"](spark, SF_DIR).collect()}
+    approx = {r["event_type"]: r for r in QUERIES["events_value_quantiles_approx"](spark, SF_DIR).collect()}
+    assert exact.keys() == approx.keys()
+    # Rank-based bound: approx_percentile returns an actual data element,
+    # exact interpolates — so compare against the exact quantile envelope
+    # at p±0.02 rather than a relative-value tolerance (tails of small
+    # groups can jump several % in value within one rank).
+    ev = load_table(spark, SF_DIR, "events")
+    env = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", max(p - 0.02, 0.0)).alias(f"lo{int(p*100)}")
+                for p in (0.5, 0.9, 0.99)
+            ],
+            *[
+                F.percentile("value", min(p + 0.02, 1.0)).alias(f"hi{int(p*100)}")
+                for p in (0.5, 0.9, 0.99)
+            ],
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n"] == e["n"]
+        for q, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+            assert env[et][f"lo{p}"] - 1e-9 <= a[q] <= env[et][f"hi{p}"] + 1e-9, (et, q)
+
+
+def test_hll_distinct_users_within_error_bound(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["u"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    assert exact.keys() == est.keys()
+    for et, u in exact.items():
+        # lgConfigK=14 → relative error ~0.8%; allow 5% slack.
+        assert abs(est[et] - u) <= max(0.05 * u, 2), et
