@@ -1,0 +1,116 @@
+"""Distributed connected components — dedup-cluster assignment.
+
+A training-data dedup pipeline needs more than near-dup PAIRS: transitive
+closure groups pairs into clusters so exactly one canonical document per
+cluster is kept (A~B, B~C => drop two of {A,B,C} even if A!~C directly).
+
+Implementation: iterative min-label propagation (the `large-star` half of
+the Kiveris et al. "Connected Components in MapReduce" algorithm,
+simplified for the near-dup-graph regime where components are tiny and
+shallow):
+
+  comp(v) <- min(comp(v), min over neighbors comp(u))
+
+Each round is two distributed hash joins (edges x labels) + a groupBy-min
+— all shuffle-partitioned by vertex id, no driver data movement except a
+single converged? count. Rounds needed = graph diameter (near-dup
+clusters: 2-4). `localCheckpoint` truncates the lineage each round so the
+plan does not grow exponentially across iterations (the classic iterative-
+Spark trap).
+
+At 100 TB: labels and edges are both id->id pairs (16 bytes); rounds are
+O(diameter) which for dedup graphs is tiny. For adversarial long-chain
+graphs switch to alternating large-star/small-star (log^2 rounds) — same
+join primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id reachable from it.
+
+    ``edges`` is undirected (each pair listed once is enough). ``vertices``
+    optionally supplies isolated vertices (no edges) which come back as
+    singleton components. Output: (id, component).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    nodes = sym.select(F.col("u").alias(id_col)).distinct()
+    if vertices is not None:
+        nodes = nodes.union(vertices.select(F.col(id_col))).distinct()
+
+    labels = nodes.select(id_col, F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Min label among each vertex's neighbors (one join + groupBy-min),
+        # then fold with the vertex's own label.
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed(id_col, "v"), "v")
+            .groupBy(F.col("u").alias(id_col))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_id_a",
+    pair_b: str = "doc_id_b",
+) -> DataFrame:
+    """Cluster assignment + canonical-keep decision for every document.
+
+    ``pairs`` are near-dup edges (e.g. from minhash_lsh_pairs). Every doc
+    gets (doc_id, cluster_id, is_canonical): cluster_id is the minimum
+    doc_id in its connected component (singleton = itself), and the
+    canonical keeper is that minimum doc. `docs.filter(is_canonical)` is
+    the deduplicated corpus.
+    """
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, vertices=docs.select(F.col(id_col).alias("id")), id_col="id"
+    )
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col)
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            (F.col("component") == F.col(id_col)).alias("is_canonical"),
+        )
+    )

@@ -1460,3 +1460,270 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, interval-overlap range join, dedup clustering, OLAP shapes
+# ---------------------------------------------------------------------------
+
+from ecommerce_data_pipeline_spark.operators import graph as gr  # noqa: E402
+from ecommerce_data_pipeline_spark.operators.asof import (  # noqa: E402
+    asof_join,
+    interval_overlap_pairs,
+)
+
+
+@register(
+    "asof_view_before_purchase",
+    oracle="""
+WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type='purchase'),
+     v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type='view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+  v.ts AS view_ts, v.event_id AS view_event_id, v.value AS view_value,
+  date_diff('microsecond', v.ts, p.ts) AS gap_us
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the user's most
+    recent prior (or simultaneous) page view — the canonical ASOF JOIN,
+    which Spark lacks natively. Union-sort plan (operators/asof.py): ONE
+    shuffle of |purchases|+|views| rows on user_id, a per-key sort, zero
+    row blow-up — vs the naive non-equi join's |P|x|V| per user. Oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "value"], prefix="view_",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "view_ts", "view_event_id", "view_value",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+_SESSIONS_SQL = """
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id,
+    ts
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=f"""
+WITH {_SESSIONS_SQL}
+SELECT a.user_id AS a_user_id, a.session_id AS a_session_id,
+       b.user_id AS b_user_id, b.session_id AS b_session_id,
+       date_diff('microsecond',
+                 greatest(a.session_start, b.session_start),
+                 least(a.session_end, b.session_end)) AS overlap_us
+FROM sessions a JOIN sessions b
+  ON a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+ AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+ AND a.user_id <> b.user_id
+""",
+)
+def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: concurrent sessions of different users.
+    Binned range-join plan (operators/asof.py): sessions explode onto
+    1-hour buckets, pairs meet on a bucket equi-join (shuffle keyed by
+    bucket — parallel, prunable), the exact overlap predicate filters, and
+    the first-shared-bucket rule de-dups without a distinct. The oracle is
+    the O(n^2) literal non-equi join — same rows, different plan."""
+    sessions = win.sessionize(load_table(spark, sf_dir, "events"))
+    pairs = interval_overlap_pairs(
+        sessions,
+        id_cols=["session_id"],
+        start_col="session_start",
+        end_col="session_end",
+        partition_col="user_id",
+        bucket_seconds=3600,
+    )
+    return pairs.select(
+        "a_user_id", "a_session_id", "b_user_id", "b_session_id",
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("overlap_us"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION SELECT doc_id_b, doc_id_a FROM jac
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH pairs -> connected
+    components (iterative min-label propagation, operators/graph.py) ->
+    every doc labeled with its cluster's min doc_id and a keep/drop flag.
+    THE missing piece between pair detection and an actually-deduplicated
+    training corpus. Oracle: recursive-CTE transitive closure over the
+    exact-Jaccard pair set (= the LSH pair set on this corpus, separately
+    oracle-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return gr.dedup_clusters(docs, pairs)
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+SELECT coalesce(n_name, 'ALL') AS nation,
+  CAST(coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS VARCHAR) AS order_year,
+  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: (nation, year) -> nation subtotals -> grand total in
+    one pass. Spark plans a single Expand + hash aggregate — partial
+    aggregation still map-side, one shuffle for all three grouping levels
+    (vs three scans if written as UNION ALL). NULL grouping slots are
+    labeled 'ALL' on both sides so the hash compare is unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("string").alias("order_year_raw"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("n_name", "order_year_raw")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("order_year_raw", F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+  count(*) AS total
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list: statuses become columns. Listing the
+    pivot values keeps it a single-pass conditional aggregation (no extra
+    distinct-values job, which at 100 TB is a full shuffle you don't want
+    for a known enum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    total = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        p.join(total, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+            "total",
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+WITH spend AS (
+  SELECT n_name AS nation, c_custkey, c_name,
+    sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend,
+    count(*) AS n_orders
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY nation
+      ORDER BY total_spend DESC, c_custkey) AS rank
+  FROM spend
+)
+SELECT nation, rank, c_custkey, c_name, total_spend, n_orders
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: spend rollup (one shuffle, map-side partial) then a
+    per-nation row_number window — Spark runs the window sort WITHIN the
+    nation partitions of the aggregate output (already small), never a
+    global sort. Deterministic c_custkey tiebreak so top-3 is stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey", "c_name")
+        .agg(
+            money_sum("o_totalprice").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("nation", "rank", "c_custkey", "c_name", "total_spend", "n_orders")
+    )
