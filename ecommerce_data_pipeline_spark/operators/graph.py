@@ -56,6 +56,10 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    # Labels only ever DECREASE (min-propagation), so sum(component)
+    # strictly decreases iff any label changed — a one-number convergence
+    # probe per round instead of a full old-vs-new join.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         # Min label among each vertex's neighbors (one join + groupBy-min),
         # then fold with the vertex's own label.
@@ -74,16 +78,11 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

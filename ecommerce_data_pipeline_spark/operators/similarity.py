@@ -182,3 +182,86 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs via **block-matrix
+    multiplication** — same result set as ``embedding_near_dup_pairs``,
+    restructured for throughput.
+
+    This is the one place Pandas beats built-ins by design: higher-order
+    array expressions (zip_with/aggregate) are interpreted per element, so
+    an exact O(n^2 * d) pair scan pays ~d interpreter steps per pair. Here
+    vectors land in ``n_blocks`` hash blocks, every block-pair (i <= j)
+    becomes ONE applyInPandas task, and the task computes the whole
+    |bi| x |bj| cosine matrix as a single BLAS matmul over Arrow-delivered
+    batches — ~100x less per-pair overhead, identical 4dp-rounded values.
+
+    Scale shape: each vector is replicated to its (n_blocks - blk + blk + 1)
+    partner block-pairs => total shuffled rows n*(n_blocks+1) — the standard
+    sqrt-replication cross-product; pick n_blocks ~ sqrt(cluster cores) so
+    block pairs ~ cores. Per-task memory is two (n/n_blocks) x d float64
+    panels. The quadratic WORK is inherent to the exact baseline; the
+    bucketed variant (cell_col on embedding_near_dup_pairs) stays the
+    recall-tradeoff scale path.
+    """
+    n_blocks = int(n_blocks)
+    thr = float(threshold)
+
+    def _block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series(dtype="int64"),
+                 "vec_id_b": pd.Series(dtype="int64"),
+                 "cosine_sim": pd.Series(dtype="float64")}
+            )
+        A = np.vstack(a["vec"].to_numpy())
+        B = np.vstack(b["vec"].to_numpy())
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        S = (A @ B.T) / (na[:, None] * nb[None, :])
+        S = np.round(S, 4)
+        ia, ib = np.nonzero(S >= thr)
+        ids_a = a["vid"].to_numpy()[ia]
+        ids_b = b["vid"].to_numpy()[ib]
+        sims = S[ia, ib]
+        diagonal = pdf["pi"].iloc[0] == pdf["pj"].iloc[0]
+        if diagonal:
+            # Both orientations (and self-pairs) present: keep a < b once.
+            keep = ids_a < ids_b
+            lo, hi = ids_a[keep], ids_b[keep]
+            sims = sims[keep]
+        else:
+            # Disjoint blocks: each unordered pair appears exactly once;
+            # orient to (min, max).
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "cosine_sim": sims})
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("blk", F.pmod(F.hash("vid"), F.lit(n_blocks)))
+    a_side = v.withColumn(
+        "pj", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    ).select(F.col("blk").alias("pi"), "pj", F.lit(0).alias("role"), "vid", "vec")
+    b_side = v.withColumn(
+        "pi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select("pi", F.col("blk").alias("pj"), F.lit(1).alias("role"), "vid", "vec")
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("pi", "pj")
+        .applyInPandas(
+            _block_pairs, "vec_id_a long, vec_id_b long, cosine_sim double"
+        )
+    )

@@ -58,30 +58,28 @@ def fold_state_events(
         _rank_col(F.col(state_col), ranks).alias("__rank"),
         F.col(ts_col).alias("__ts"),
     ).filter(F.col("__rank").isNotNull())
+    # Single-pass fold: lexicographic max of (rank, -ts) selects the
+    # highest rank and, within it, the EARLIEST event — one hash
+    # aggregation with map-side partials, one shuffle, no second pass or
+    # self-join. -unix_micros keeps the struct-max exact to the microsecond.
     agg = ranked.groupBy(key_col).agg(
-        F.max("__rank").alias("__max_rank"),
+        F.max(
+            F.struct(
+                F.col("__rank").alias("r"),
+                (-F.unix_micros("__ts")).alias("neg_us"),
+            )
+        ).alias("__m"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    # min ts among events at the final rank: second pass joined on (key, rank).
-    firsts = ranked.groupBy(key_col, "__rank").agg(F.min("__ts").alias("__first_ts"))
     inv = {v: k for k, v in ranks.items()}
     state_expr = F.lit(None).cast("string")
     for rank, name in inv.items():
-        state_expr = F.when(F.col("__max_rank") == rank, F.lit(name)).otherwise(
-            state_expr
-        )
-    return (
-        agg.join(
-            firsts,
-            (agg[key_col] == firsts[key_col])
-            & (agg["__max_rank"] == firsts["__rank"]),
-        )
-        .select(
-            agg[key_col],
-            state_expr.alias("state"),
-            F.col("__first_ts").alias("state_ts"),
-            "n_events",
-        )
+        state_expr = F.when(F.col("__m.r") == rank, F.lit(name)).otherwise(state_expr)
+    return agg.select(
+        F.col(key_col),
+        state_expr.alias("state"),
+        F.timestamp_micros(-F.col("__m.neg_us")).alias("state_ts"),
+        "n_events",
     )
 
 

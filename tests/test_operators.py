@@ -353,3 +353,23 @@ def test_quality_score_features(spark):
     assert out[2]["quality_score"] <= 0.25
     # n_tokens counts alpha tokens ("@@@@ ####" strips to nothing).
     assert out[2]["n_tokens"] == 0
+
+
+def test_blocked_cosine_pairs_equals_expression_form(spark):
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+    from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+    v = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr_pairs = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_pairs(v, threshold=0.4).collect()
+    }
+    blas_pairs = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_pairs_blocked(v, threshold=0.4, n_blocks=4).collect()
+    }
+    assert expr_pairs == blas_pairs
+    assert len(blas_pairs) > 0
