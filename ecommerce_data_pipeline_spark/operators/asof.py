@@ -174,3 +174,44 @@ def interval_overlap_pairs(
         "b_start",
         "b_end",
     )
+
+
+def resample_locf(
+    observations: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    step: str = "interval 1 hour",
+    origin_trunc: str = "hour",
+) -> DataFrame:
+    """Hypertable-style regularization: resample an irregular per-key
+    series onto a fixed grid with last-observation-carried-forward.
+
+    Grid: per key, ``date_trunc(origin_trunc, min(ts)) .. max(ts)`` in
+    ``step`` increments (sequence+explode — generated distributed, sized by
+    each key's own span, no driver loop). Values: one as-of join of grid
+    points against observations — the union-sort plan, so the whole
+    operator is two shuffles on the key (bounds agg + as-of) regardless of
+    grid density. Grid points before the first observation are dropped
+    (inner as-of semantics).
+
+    Output: key cols, grid_ts, matched_<ts_col> (the carried observation's
+    time) and matched_<value_cols>.
+    """
+    obs = observations.select(*on, ts_col, *(value_cols or []))
+    bounds = obs.groupBy(*on).agg(
+        F.date_trunc(origin_trunc, F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).alias("__t1"),
+    )
+    grid = bounds.select(
+        *on,
+        F.explode(F.sequence("__t0", "__t1", F.expr(step))).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        obs,
+        on=on,
+        left_ts="grid_ts",
+        right_ts=ts_col,
+        value_cols=value_cols,
+    )

@@ -1729,3 +1729,115 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("nation", "rank", "c_custkey", "c_name", "total_spend", "n_orders")
     )
+
+
+from ecommerce_data_pipeline_spark.operators.asof import resample_locf  # noqa: E402
+
+
+@register(
+    "events_resampled_locf",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, e.ts AS matched_ts, e.value AS matched_value
+FROM grid g ASOF JOIN events e ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+""",
+)
+def q_events_resampled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: each user's irregular event series onto
+    an hourly grid with last-observation-carried-forward. Grid generation
+    is distributed (per-key sequence+explode, sized by the key's own
+    span); fill is ONE union-sort as-of join — two key shuffles total, no
+    per-grid-point probe. Oracle: DuckDB generate_series + ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        ev, on=["user_id"], ts_col="ts", value_cols=["value"],
+        step="interval 1 hour", origin_trunc="hour",
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders since 2000. The anti join
+    keeps only the probe side (no payload from orders is materialized),
+    the date filter pushes into the orders scan BEFORE the join, and the
+    build side reduces to its join key — at scale this is a
+    broadcast/shuffled hash anti with the fact side never widened."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "parts_with_shipments",
+    oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+)
+def q_parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: parts that appear in at least one lineitem.
+    Semi-join semantics mean the (much larger) lineitem side contributes
+    existence only — no duplication of part rows, no lineitem columns
+    read beyond the join key (column pruning to l_partkey)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "purchase_and_error_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def q_purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): users who both purchased and hit errors.
+    Plans as an aggregate + semi join on the deduped sides — one shuffle
+    each, never a row-multiplying join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(e)
+
+
+@register(
+    "clean_purchase_days",
+    oracle="""
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'error'
+""",
+)
+def q_clean_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): (user, day) slots with purchases but no
+    errors — dedup + anti join, same single-shuffle shape as INTERSECT."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    return p.subtract(e)

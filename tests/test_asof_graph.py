@@ -120,3 +120,27 @@ def test_dedup_clusters_transitive_keep_one(spark):
     }
     keepers = {d for d, r in out.items() if r["is_canonical"]}
     assert keepers == {1, 4, 5}
+
+
+def test_resample_locf_hourly_grid(spark):
+    from ecommerce_data_pipeline_spark.operators.asof import resample_locf
+
+    obs = spark.createDataFrame(
+        [
+            Row(k=1, ts=dt.datetime(2024, 1, 1, 12, 15), v=10.0),
+            Row(k=1, ts=dt.datetime(2024, 1, 1, 14, 45), v=20.0),
+            Row(k=1, ts=dt.datetime(2024, 1, 1, 15, 30), v=30.0),
+        ]
+    )
+    out = {
+        r["grid_ts"]: r
+        for r in resample_locf(
+            obs, on=["k"], ts_col="ts", value_cols=["v"]
+        ).collect()
+    }
+    # Grid spans trunc(min)=12:00 .. max=15:30 → 12,13,14,15; 12:00 has no
+    # prior observation (inner as-of) so it is dropped.
+    assert sorted(h.hour for h in out) == [13, 14, 15]
+    assert out[dt.datetime(2024, 1, 1, 13, 0)]["matched_v"] == 10.0  # LOCF
+    assert out[dt.datetime(2024, 1, 1, 14, 0)]["matched_v"] == 10.0
+    assert out[dt.datetime(2024, 1, 1, 15, 0)]["matched_v"] == 20.0

@@ -60,3 +60,46 @@ def test_enrich_join_is_broadcast_at_test_scale(spark):
     text = plans.explain_string(enrich_orders(orders, pays))
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["lineitem_pricing_summary"](spark, SF_DIR)
+    [scan] = plans.scan_report(df)
+    # The shipdate filter reaches the scan; unused columns are pruned.
+    assert any("l_shipdate" in f for f in scan["pushed_filters"]), scan
+    assert "l_partkey" not in scan["read_schema"]
+    assert "l_suppkey" not in scan["read_schema"]
+
+
+def test_asof_join_is_single_shuffle_no_blowup(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["asof_view_before_purchase"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # Union-sort plan: no join operator at all — a window over one
+    # exchange. A naive asof would show BroadcastNestedLoopJoin.
+    assert "NestedLoopJoin" not in text
+    assert "SortMergeJoin" not in text
+    assert "Window" in text
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["session_overlap_pairs"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # Binned plan: the pair generation is an equi-join on the bucket id
+    # (hash or sort-merge), never a nested-loop over all session pairs.
+    assert "NestedLoopJoin" not in text
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["revenue_rollup"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # One Expand feeding one aggregation chain — not a UNION of scans.
+    assert text.count("Expand") >= 1
+    assert "Union" not in text
