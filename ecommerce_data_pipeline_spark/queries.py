@@ -1841,3 +1841,77 @@ def q_clean_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     return p.subtract(e)
+
+
+@register(
+    "user_value_moving_avg",
+    oracle="""
+SELECT user_id, event_id, ts,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+FROM events
+""",
+)
+def q_user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME specs: 7-row trailing moving average + running sum per
+    user. Both frames share ONE window sort (same partition/order), so the
+    plan is a single shuffle + single per-key sort with two frame
+    evaluators — adding frames is free once the sort exists. Deterministic
+    event_id tiebreak keeps frame contents (and thus fp-sums) stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.avg("value").over(w.rowsBetween(-6, 0)), 4).alias("moving_avg_7"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_sum"),
+    )
+
+
+@register(
+    "session_window_fact",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM ids GROUP BY user_id, sid
+""",
+)
+def q_session_window_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min gap): one
+    groupBy(user, session_window) hash agg — no lag/running-sum window
+    pair, and in streaming the same expression is watermark-mergeable
+    state. Session end follows Spark's definition (last event + gap); the
+    oracle replicates it from the lag formulation, proving the two
+    sessionization paths agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
