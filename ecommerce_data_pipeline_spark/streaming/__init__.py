@@ -9,10 +9,12 @@ from ecommerce_data_pipeline_spark.streaming.medallion import (
     stream_bronze,
     streaming_minute_fact,
 )
+from ecommerce_data_pipeline_spark.streaming.stateful import stream_fold_states
 
 __all__ = [
     "run_streaming_pipeline",
     "stage_event_files",
     "stream_bronze",
+    "stream_fold_states",
     "streaming_minute_fact",
 ]

@@ -221,3 +221,58 @@ def test_processing_time_trigger_ingests(spark, tmp_path):
         assert q.isActive  # continuous trigger keeps running (unlike availableNow)
     finally:
         q.stop()
+
+
+def test_stream_fold_states_equals_batch_fold(spark, tmp_path):
+    """applyInPandasWithState state machine over micro-batches lands on the
+    same per-key states as the batch fold over the full history."""
+    from ecommerce_data_pipeline_spark.streaming.stateful import stream_fold_states
+
+    events = spark.createDataFrame(
+        [
+            ("o1", "CREATED", ts("2024-01-01 10:00:00")),
+            ("o1", "PAID", ts("2024-01-01 10:05:00")),
+            ("o1", "PAID", ts("2024-01-01 10:03:00")),  # earlier PAID wins
+            ("o2", "CREATED", ts("2024-01-01 11:00:00")),
+            ("o2", "BOGUS", ts("2024-01-01 11:01:00")),  # illegal: ignored
+            ("o3", "PAID", ts("2024-01-01 12:00:00")),  # PAID before CREATED seen
+            ("o3", "CREATED", ts("2024-01-01 11:59:00")),
+        ],
+        "order_id string, state string, event_ts timestamp",
+    )
+    src = str(tmp_path / "src")
+    # 4 single-file micro-batches: state must carry across triggers.
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_fold_states(stream)
+        .writeStream.format("memory")
+        .queryName("folded_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per touching batch; n_events is
+    # monotone per key -> the max-n_events row is the final state.
+    out = spark.sql(
+        """SELECT order_id, state, state_ts, n_events FROM (
+             SELECT *, row_number() OVER (PARTITION BY order_id
+                 ORDER BY n_events DESC) rn FROM folded_states) WHERE rn=1"""
+    )
+    got = {r["order_id"]: r for r in out.collect()}
+    batch = {
+        r["order_id"]: r
+        for r in fold_state_events(events).collect()
+    }
+    assert set(got) == set(batch) == {"o1", "o2", "o3"}
+    for k in batch:
+        assert got[k]["state"] == batch[k]["state"], k
+        assert got[k]["state_ts"] == batch[k]["state_ts"], k
+        assert got[k]["n_events"] == batch[k]["n_events"], k
