@@ -136,3 +136,121 @@ def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text", id_col: st
         F.md5(t).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term weighting & ranked keyword retrieval (TF-IDF, BM25)
+# ---------------------------------------------------------------------------
+
+
+def _term_freqs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token, tf): one explode + one hash agg, partitioned by
+    (doc, token) — the inverted-index build. At 100 TB this is THE shuffle
+    of any retrieval pipeline; everything downstream joins on token
+    (document frequencies) or doc (lengths), both already small."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_words(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1). The corpus stats are two tiny aggregates
+    (per-token df, scalar N) broadcast back onto the term-frequency table;
+    the per-doc top-k window sorts only each doc's own terms.
+
+    Output: (doc_id, token, tf, tfidf) — ties broken by token for
+    determinism; tfidf rounded 4dp (absorbs ln() ulp differences between
+    engines)."""
+    t = _term_freqs(docs, text_col, id_col)
+    df_tbl = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_tbl = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        t.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(id_col, "token", "tf", "tfidf")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked keyword retrieval: Okapi BM25 over the corpus for a literal
+    term list (Lucene's idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Plan shape: the term-frequency table is FILTERED to the query terms
+    before any join (predicate on the grouped explode — tiny), then picks
+    up df (broadcast), doc length and avgdl (broadcast scalars); one
+    per-doc sum and a global top-n (TakeOrdered — no full sort). Scores
+    rounded 4dp, doc_id tiebreak.
+
+    Output: (doc_id, score, n_hit_terms)."""
+    terms = [t.lower() for t in query_terms]
+    t = _term_freqs(docs, text_col, id_col).filter(F.col("token").isin(terms))
+    df_tbl = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl_tbl = docs.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).alias("dl")
+    )
+    stats = dl_tbl.select(
+        F.avg("dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n")
+    )
+    scored = (
+        t.join(F.broadcast(df_tbl), "token")
+        .join(dl_tbl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                1.0
+                + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__w"), 4).alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_n)
+    )

@@ -1915,3 +1915,74 @@ def q_session_window_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS token
+  FROM documents
+),
+tfreq AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {_TOKS_SQL},
+dfreq AS (SELECT token, count(*) AS df FROM tfreq GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+    round(tf * (ln((n.n + 1.0)/(dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tfreq JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 5
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the inverted-index shuffle plus
+    two broadcast-sized corpus stats (see operators/text.py)."""
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH {_TOKS_SQL},
+q AS (SELECT doc_id, token, tf FROM tfreq
+      WHERE token IN ('spark', 'join', 'stream')),
+dfreq AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS dl
+  FROM documents
+),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+scored AS (
+  SELECT q.doc_id,
+    ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+      * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM q JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(w), 4) AS score, count(*) AS n_hit_terms
+FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {spark, join, stream}: term-filtered
+    inverted index + broadcast corpus stats + TakeOrdered top-n (no global
+    sort). k1=1.2, b=0.75 — so tf*(k1+1)=tf*2.2 and
+    1-b+b*dl/avgdl=0.25+0.75*dl/avgdl in the oracle."""
+    return tx.bm25_search(
+        load_table(spark, sf_dir, "documents"), ["spark", "join", "stream"]
+    )

@@ -373,3 +373,41 @@ def test_blocked_cosine_pairs_equals_expression_form(spark):
     }
     assert expr_pairs == blas_pairs
     assert len(blas_pairs) > 0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from ecommerce_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common alpha"),
+            (3, "common beta"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, top_k=1).collect()
+    # Equal tf=1 everywhere: the doc-unique term (df=1, idf=ln(4/2)+1≈1.69)
+    # must outrank 'common' (df=3, idf=ln(4/4)+1=1.0) in every doc.
+    assert {r["doc_id"]: r["token"] for r in top} == {
+        1: "rare", 2: "alpha", 3: "beta",
+    }
+    assert all(r["tfidf"] > 0 for r in top)
+
+
+def test_bm25_prefers_matching_docs(spark):
+    from ecommerce_data_pipeline_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join stream spark"),
+            (2, "spark only here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["spark", "join", "stream"], top_n=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1  # hits all three terms
+    assert 3 not in ids  # zero hits -> absent, not zero-scored
+    assert next(r for r in out if r["doc_id"] == 1)["n_hit_terms"] == 3
