@@ -1986,3 +1986,101 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bm25_search(
         load_table(spark, sf_dir, "documents"), ["spark", "join", "stream"]
     )
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+WITH {_TOKS_SQL}
+SELECT token, sum(tf) AS n_occurrences, count(*) AS n_docs
+FROM tfreq GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 50
+""",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-50: explode → two-level count (the
+    (doc,token) pre-aggregate bounds the explode shuffle) → global top-k
+    via TakeOrdered. Vocabulary-size output regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx._term_freqs(docs, "text", "doc_id")
+    return (
+        t.groupBy("token")
+        .agg(
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, total_spend,
+  ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+FROM spend
+""",
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking: customers into spend quartiles. The global-order
+    window is the honest cost (one range-partitioned sort of the
+    CUSTOMER-grain aggregate — small next to the fact scan); deterministic
+    o_custkey tiebreak makes bucket edges stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type, count(*) AS n,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via Spark's native window() expression —
+    the same operator Structured Streaming uses with a watermark, here in
+    batch. One hash agg; window bounds come from the struct, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@register("approx_users_sketch_rollup")  # sketch output: rows-only check
+def q_approx_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental distinct-count pattern end-to-end: per-day HLL
+    sketch table (one fixed-width row per day — the MERGE-maintained
+    increment) unioned to a corpus-wide distinct-user estimate. Engine-
+    specific sketch bytes → rows-only driver check; the pytest suite
+    asserts merge-invariance and the error bound vs exact countDistinct
+    (operators/sketches.py)."""
+    from ecommerce_data_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merge_sketches,
+    )
+
+    return merge_sketches(daily_user_sketches(load_table(spark, sf_dir, "events")))

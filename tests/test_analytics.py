@@ -73,3 +73,28 @@ def test_hll_distinct_users_within_error_bound(spark):
     for et, u in exact.items():
         # lgConfigK=14 → relative error ~0.8%; allow 5% slack.
         assert abs(est[et] - u) <= max(0.05 * u, 2), et
+
+
+def test_sketch_table_merges_match_full_build(spark):
+    """The property that makes the sketch table incrementally maintainable:
+    union(first-half sketches, second-half sketches) == full-corpus
+    estimate, and both land within HLL error of the exact count."""
+    from ecommerce_data_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merge_sketches,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    cut = ev.agg(
+        F.date_trunc("day", F.timestamp_micros(F.expr("percentile(unix_micros(ts), 0.5)").cast("long"))).alias("c")
+    ).first()["c"]
+    daily = daily_user_sketches(ev).cache()
+    full = merge_sketches(daily).first()
+    halves = merge_sketches(
+        daily.filter(F.col("day") < cut).unionByName(daily.filter(F.col("day") >= cut))
+    ).first()
+    exact = ev.agg(F.countDistinct("user_id").alias("u")).first()["u"]
+    assert halves["approx_distinct"] == full["approx_distinct"]  # merge-invariant
+    assert full["n_events"] == ev.count()
+    assert abs(full["approx_distinct"] - exact) <= max(0.05 * exact, 2)
+    daily.unpersist()
