@@ -276,3 +276,64 @@ def test_stream_fold_states_equals_batch_fold(spark, tmp_path):
         assert got[k]["state"] == batch[k]["state"], k
         assert got[k]["state_ts"] == batch[k]["state_ts"], k
         assert got[k]["n_events"] == batch[k]["n_events"], k
+
+
+def test_stream_stream_join_with_watermarks_equals_batch(spark, tmp_path):
+    """J4/ST8 idiomatic form: orders stream ⋈ payments stream with
+    watermarks + a time-interval condition. State for each side is bounded
+    by the watermark (the LRU-cache TTL analogue); availableNow drain must
+    produce exactly the batch join's rows."""
+    orders = spark.createDataFrame(
+        [
+            ("o1", ts("2024-01-01 10:00:00"), "a@x.com"),
+            ("o2", ts("2024-01-01 11:00:00"), "b@x.com"),
+            ("o3", ts("2024-01-01 12:00:00"), "c@x.com"),
+        ],
+        "order_id string, order_ts timestamp, email string",
+    )
+    payments = spark.createDataFrame(
+        [
+            ("o1", ts("2024-01-01 10:05:00"), 10.0),
+            ("o2", ts("2024-01-01 11:59:00"), 20.0),
+            ("o2", ts("2024-01-01 13:30:00"), 5.0),   # outside 1h window
+            ("o9", ts("2024-01-01 10:10:00"), 99.0),  # unknown order
+        ],
+        "order_id string, pay_ts timestamp, amount double",
+    )
+    o_src, p_src = str(tmp_path / "o"), str(tmp_path / "p")
+    orders.repartition(2).write.parquet(o_src)
+    payments.repartition(2).write.parquet(p_src)
+
+    def joined(o_df, p_df):
+        return p_df.alias("p").join(
+            o_df.alias("o"),
+            F.expr(
+                "p.order_id = o.order_id AND "
+                "p.pay_ts BETWEEN o.order_ts AND o.order_ts + interval 1 hour"
+            ),
+        ).select("p.order_id", "o.email", "p.amount", "p.pay_ts")
+
+    o_stream = (
+        spark.readStream.schema(orders.schema).option("maxFilesPerTrigger", 1)
+        .parquet(o_src).withWatermark("order_ts", "2 hours")
+    )
+    p_stream = (
+        spark.readStream.schema(payments.schema).option("maxFilesPerTrigger", 1)
+        .parquet(p_src).withWatermark("pay_ts", "2 hours")
+    )
+    q = (
+        joined(o_stream, p_stream)
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["order_id"], r["amount"]) for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    want = {
+        (r["order_id"], r["amount"]) for r in joined(orders, payments).collect()
+    }
+    assert got == want == {("o1", 10.0), ("o2", 20.0)}
