@@ -98,3 +98,43 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def embed_media(media: DataFrame, dims: int = 16) -> DataFrame:
+    """Arrow-batched media -> embedding extraction (the "CLIP stage" of a
+    multimodal training pipeline).
+
+    STUB KERNEL like decode_media_features: the real encoder model is not
+    installed, so each dimension is a deterministic md5-derived value of
+    the payload — which keeps the whole downstream ANN path (next stage:
+    cosine top-k over these vectors) oracle-checkable in SQL. The Spark
+    shape is production-real: narrow projection in, fixed-width
+    array<double> out, no shuffle in the embed stage itself.
+    """
+    cols = media.select("doc_id", "payload")
+
+    def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def emb(payload: bytes) -> list[float]:
+            text = payload.decode("utf-8")
+            out = []
+            for i in range(dims):
+                h = hashlib.md5(f"{text}:{i}".encode()).hexdigest()[:15]
+                out.append((int(h, 16) % 100000) / 100000.0)
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "embedding": pdf["payload"].map(emb)}
+            )
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return cols.mapInPandas(_embed_batch, schema=schema)

@@ -2130,3 +2130,46 @@ def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "media_embedding_topk",
+    oracle=f"""
+WITH emb AS (
+  -- outer comprehension variable is 'd': md5_long_sql's own inner
+  -- comprehension binds 'i', which would shadow an outer 'i'.
+  SELECT doc_id,
+    [CAST(({md5_long_sql("text || ':' || CAST(d AS VARCHAR)")}) % 100000 AS DOUBLE)/100000.0
+     for d in generate_series(0, 15)] AS e
+  FROM documents
+),
+q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, emb.doc_id AS neighbor_id,
+    round(list_inner_product(qe, e)
+          / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4)
+      AS cosine_sim
+  FROM q JOIN emb ON emb.doc_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+""",
+)
+def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal training-data path end-to-end: binary payloads →
+    Arrow-batched embed kernel (stub encoder, operators/multimodal.py) →
+    exact cosine top-3 per query doc. Proves the binary→vector→ANN
+    composition on real Spark plumbing; the oracle recomputes the
+    deterministic embedding and ranking entirely in SQL."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import embed_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_media(attach_binary_payload(docs))
+    queries_df = emb.filter(F.col("doc_id") % 100 == 0)
+    return sim.cosine_topk(
+        emb, queries_df, k=3, id_col="doc_id", vec_col="embedding"
+    )

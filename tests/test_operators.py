@@ -411,3 +411,20 @@ def test_bm25_prefers_matching_docs(spark):
     assert ids[0] == 1  # hits all three terms
     assert 3 not in ids  # zero hits -> absent, not zero-scored
     assert next(r for r in out if r["doc_id"] == 1)["n_hit_terms"] == 3
+
+
+def test_embed_media_deterministic_fixed_width(spark):
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        embed_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_media(attach_binary_payload(docs)).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[2]          # same payload -> same vector
+    assert out[1] != out[3]          # different payload -> different vector
+    assert all(0.0 <= x < 1.0 for v in out.values() for x in v)
