@@ -2173,3 +2173,129 @@ def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(
         emb, queries_df, k=3, id_col="doc_id", vec_col="embedding"
     )
+
+
+@register(
+    "shipment_status_current",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT order_id,
+  CASE WHEN fully_paid AND o_orderstatus = 'F' THEN 'DISPATCHED'
+       WHEN fully_paid THEN 'READY_TO_SHIP'
+       ELSE 'PENDING_PAYMENT' END AS state,
+  CASE WHEN fully_paid AND o_orderstatus = 'F'
+         THEN last_payment_ts + INTERVAL 1 HOUR
+       WHEN fully_paid THEN last_payment_ts
+       ELSE order_ts END AS state_ts,
+  CAST(1 + CASE WHEN fully_paid THEN 1 ELSE 0 END
+         + CASE WHEN fully_paid AND o_orderstatus = 'F' THEN 1 ELSE 0 END
+       AS BIGINT) AS n_events
+FROM enriched JOIN orders USING (o_orderkey)
+""",
+)
+def q_shipment_status_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7's second machine: the 3-state shipment lifecycle
+    (PENDING_PAYMENT → READY_TO_SHIP → DISPATCHED,
+    services/shipping/app/kafka/consumer.py:100-141) as the same monotone
+    fold. Shipment events derive deterministically from the medallion:
+    every order opens PENDING_PAYMENT; full payment emits READY_TO_SHIP at
+    the last payment; finished ('F') orders dispatch an hour later. One
+    union + one hash agg — no sequential replay."""
+    from ecommerce_data_pipeline_spark.operators.state import (
+        SHIPMENT_STATE_RANKS,
+        fold_state_events,
+    )
+
+    orders_clean = parse_orders(
+        kafka_identity_dedup(bronze_projection(orders_events(spark, sf_dir)))
+    )
+    payments_clean = parse_payments(
+        kafka_identity_dedup(bronze_projection(payments_events(spark, sf_dir)))
+    )
+    enriched = enrich_orders(orders_clean, payments_clean)
+    status = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("order_id"), "o_orderstatus"
+    )
+    e = enriched.join(status, "order_id")
+    pending = e.select(
+        "order_id", F.lit("PENDING_PAYMENT").alias("state"),
+        F.col("order_ts").alias("event_ts"),
+    )
+    ready = e.filter("fully_paid").select(
+        "order_id", F.lit("READY_TO_SHIP").alias("state"),
+        F.col("last_payment_ts").alias("event_ts"),
+    )
+    dispatched = e.filter(
+        F.col("fully_paid") & (F.col("o_orderstatus") == "F")
+    ).select(
+        "order_id", F.lit("DISPATCHED").alias("state"),
+        (F.col("last_payment_ts") + F.expr("INTERVAL 1 HOUR")).alias("event_ts"),
+    )
+    events = pending.unionByName(ready).unionByName(dispatched)
+    return fold_state_events(events, ranks=SHIPMENT_STATE_RANKS)
+
+
+@register(
+    "quality_report",
+    oracle=f"""
+WITH {PAY_SQL},
+fact AS (
+  SELECT date_trunc('minute', o_orderdate) AS minute_bucket,
+    {money_sum_sql('total_amount')} AS gmv,
+    count(*) AS paid_orders
+  FROM enriched WHERE fully_paid GROUP BY 1
+),
+s AS (
+  SELECT
+    sum(CASE WHEN minute_bucket IS NULL THEN 1 ELSE 0 END) AS nn_bucket,
+    sum(CASE WHEN gmv IS NULL THEN 1 ELSE 0 END) AS nn_gmv,
+    sum(CASE WHEN paid_orders IS NULL THEN 1 ELSE 0 END) AS nn_paid,
+    count(*) - count(DISTINCT minute_bucket) AS dup_buckets,
+    sum(CASE WHEN gmv < 0 THEN 1 ELSE 0 END) AS neg_gmv,
+    sum(CASE WHEN paid_orders < 0 THEN 1 ELSE 0 END) AS neg_paid
+  FROM fact
+)
+SELECT 'not_null:minute_bucket' AS check, nn_bucket AS failing_rows, nn_bucket = 0 AS passed FROM s
+UNION ALL SELECT 'not_null:gmv', nn_gmv, nn_gmv = 0 FROM s
+UNION ALL SELECT 'not_null:paid_orders', nn_paid, nn_paid = 0 FROM s
+UNION ALL SELECT 'unique:minute_bucket', dup_buckets, dup_buckets = 0 FROM s
+UNION ALL SELECT 'non_negative:gmv', neg_gmv, neg_gmv = 0 FROM s
+UNION ALL SELECT 'non_negative:paid_orders', neg_paid, neg_paid = 0 FROM s
+""",
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-build quality gate as a QUERY: the gold fact's full check
+    suite (not_null ×3, unique minute_bucket, non_negative ×2 —
+    schema.yml:4-20 parity) computed in ONE aggregate pass over the fact
+    (conditional sums + count distinct), then unpivoted to a row per
+    check. Contrast with quality.py's per-check actions: this is the
+    report shape a scheduler would persist each run."""
+    fact = QUERIES["fct_sales_minute"](spark, sf_dir)
+    s = fact.agg(
+        F.sum(F.when(F.col("minute_bucket").isNull(), 1).otherwise(0)).alias("nn_bucket"),
+        F.sum(F.when(F.col("gmv").isNull(), 1).otherwise(0)).alias("nn_gmv"),
+        F.sum(F.when(F.col("paid_orders").isNull(), 1).otherwise(0)).alias("nn_paid"),
+        (F.count(F.lit(1)) - F.countDistinct("minute_bucket")).alias("dup_buckets"),
+        F.sum(F.when(F.col("gmv") < 0, 1).otherwise(0)).alias("neg_gmv"),
+        F.sum(F.when(F.col("paid_orders") < 0, 1).otherwise(0)).alias("neg_paid"),
+    )
+    checks = [
+        ("not_null:minute_bucket", "nn_bucket"),
+        ("not_null:gmv", "nn_gmv"),
+        ("not_null:paid_orders", "nn_paid"),
+        ("unique:minute_bucket", "dup_buckets"),
+        ("non_negative:gmv", "neg_gmv"),
+        ("non_negative:paid_orders", "neg_paid"),
+    ]
+    rows = [
+        s.select(
+            F.lit(name).alias("check"),
+            F.col(c).cast("long").alias("failing_rows"),
+            (F.col(c) == 0).alias("passed"),
+        )
+        for name, c in checks
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
