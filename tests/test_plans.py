@@ -103,3 +103,19 @@ def test_rollup_is_single_expand_aggregate(spark):
     # One Expand feeding one aggregation chain — not a UNION of scans.
     assert text.count("Expand") >= 1
     assert "Union" not in text
+
+
+def test_hive_partition_pruning_lists_one_partition(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    text = plans.explain_string(pruned, "formatted")
+    # The predicate must land in PartitionFilters (directory-level pruning:
+    # non-matching partitions are never listed), not in the data filters.
+    assert "PartitionFilters" in text
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "event_type" in m.group(1)
+    assert pruned.count() == ev.filter(F.col("event_type") == "purchase").count()

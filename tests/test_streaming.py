@@ -337,3 +337,41 @@ def test_stream_stream_join_with_watermarks_equals_batch(spark, tmp_path):
         (r["order_id"], r["amount"]) for r in joined(orders, payments).collect()
     }
     assert got == want == {("o1", 10.0), ("o2", 20.0)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """W1's streaming twin: dropDuplicatesWithinWatermark on the Kafka
+    identity removes broker redeliveries across micro-batches while the
+    state store only retains keys inside the watermark horizon."""
+    rows = spark.createDataFrame(
+        [
+            ("t", 0, 0, ts("2024-01-01 10:00:00"), "a"),
+            ("t", 0, 0, ts("2024-01-01 10:00:10"), "a-redelivered"),
+            ("t", 0, 1, ts("2024-01-01 10:01:00"), "b"),
+            ("t", 1, 0, ts("2024-01-01 10:02:00"), "c"),
+            ("t", 1, 0, ts("2024-01-01 10:02:00"), "c-redelivered"),
+        ],
+        "topic string, partition int, offset long, kafka_timestamp timestamp, raw_value string",
+    )
+    src = str(tmp_path / "src")
+    rows.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("kafka_timestamp", "2 hours")
+        .dropDuplicatesWithinWatermark(["topic", "partition", "offset"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT topic, partition, offset, count(*) c FROM dedup_stream GROUP BY 1,2,3"
+    ).collect()
+    assert len(out) == 3            # three distinct Kafka identities
+    assert all(r["c"] == 1 for r in out)  # each exactly once
