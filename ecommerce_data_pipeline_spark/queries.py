@@ -2287,15 +2287,78 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("non_negative:gmv", "neg_gmv"),
         ("non_negative:paid_orders", "neg_paid"),
     ]
-    rows = [
-        s.select(
-            F.lit(name).alias("check"),
-            F.col(c).cast("long").alias("failing_rows"),
-            (F.col(c) == 0).alias("passed"),
+    # Unpivot via explode of a struct array — a UNION of per-check selects
+    # would re-evaluate the fact-building lineage once per branch.
+    packed = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"),
+                    F.col(c).cast("long").alias("failing_rows"),
+                    (F.col(c) == 0).alias("passed"),
+                )
+                for name, c in checks
+            ]
         )
-        for name, c in checks
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ).alias("r")
+    return s.select(packed).select("r.check", "r.failing_rows", "r.passed")
+
+
+@register(
+    "sales_cube",
+    oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+  coalesce(o_orderstatus, 'ALL') AS status,
+  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping combinations of (priority, status) in one
+    Expand + one hash aggregate — completes the grouping-construct family
+    next to revenue_rollup's ROLLUP. 2^n expansion is the honest cost of
+    CUBE; keep n small by design."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.5 * avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+""",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders 50%
+    above their customer's average. Catalyst de-correlates it into an
+    aggregate + equi-join (no per-row subquery execution) — assert-able in
+    the plan, and the idiomatic rewrite at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders_sq o
+        WHERE o_totalprice > (
+          SELECT 1.5 * avg(i.o_totalprice)
+          FROM __orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
