@@ -53,11 +53,21 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prereduce: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is expected to be small (it is broadcast); self-matches are
     excluded. Ties broken by neighbor id for determinism.
+
+    With ``prereduce`` (default), each scan partition keeps only its LOCAL
+    top-k per query (Arrow-batched kernel, same (cosine desc, neighbor)
+    order) before the global ranking window — the shuffle then moves at
+    most |Q| * k * n_partitions rows instead of |Q| * |corpus|. The union
+    of per-partition top-ks contains the global top-k, so the result is
+    identical (equality-tested); built-in aggregates can't express a
+    bounded per-group heap (collect_list partials carry every row), which
+    makes this the one honest Pandas hop in the exact path.
     Output: (query_id, neighbor_id, cosine_sim, rank).
     """
     q = queries.select(
@@ -76,6 +86,17 @@ def cosine_topk(
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+    if prereduce:
+
+        def _local_topk(batches):
+            for pdf in batches:
+                pdf = pdf.sort_values(
+                    ["query_id", "cosine_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                yield pdf.groupby("query_id", sort=False).head(k)
+
+        scored = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
