@@ -68,3 +68,58 @@ def inventory_counters(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_movements"),
         )
     )
+
+
+def reconcile_orders_payments(orders: DataFrame, payments: DataFrame) -> DataFrame:
+    """Per-order ledger reconciliation via **cogrouped applyInPandas**: for
+    each order_id, compare the order's total against the sum of its
+    payment legs and classify the residue (unpaid / partial / exact /
+    overpaid), with the leg count and cents-exact delta.
+
+    The aggregate itself is expressible with groupBy+join (and the enrich
+    operator does exactly that); this variant exists for the kernel shapes
+    that are NOT — per-key ledger matching, ordered leg walks, FIFO
+    allocation — and demonstrates the cogroup API: both sides arrive
+    hash-partitioned by the key, each group as two aligned pandas frames,
+    output one report row per key. One shuffle per side, no row blow-up.
+    """
+    import pandas as pd
+
+    o = orders.select("order_id", "total_amount")
+    p = payments.select("order_id", "amount")
+
+    def _reconcile(key, o_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        total_c = (
+            round(float(o_pdf["total_amount"].iloc[0]) * 100)
+            if len(o_pdf)
+            else None
+        )
+        paid_c = int(round(p_pdf["amount"] * 100).sum()) if len(p_pdf) else 0
+        if total_c is None:
+            status = "orphan_payment"
+            delta_c = paid_c
+        elif paid_c == 0:
+            status, delta_c = "unpaid", -total_c
+        elif paid_c < total_c:
+            status, delta_c = "partial", paid_c - total_c
+        elif paid_c == total_c:
+            status, delta_c = "exact", 0
+        else:
+            status, delta_c = "overpaid", paid_c - total_c
+        return pd.DataFrame(
+            {
+                "order_id": [key[0]],
+                "status": [status],
+                "n_legs": [len(p_pdf)],
+                "delta": [delta_c / 100.0],
+            }
+        )
+
+    return (
+        o.groupBy("order_id")
+        .cogroup(p.groupBy("order_id"))
+        .applyInPandas(
+            _reconcile,
+            schema="order_id string, status string, n_legs long, delta double",
+        )
+    )

@@ -2362,3 +2362,81 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "payment_reconciliation",
+    oracle=f"""
+WITH {PAY_SQL},
+o AS (SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+             CAST(round(round(o_totalprice, 2)*100) AS BIGINT) AS total_c
+      FROM orders),
+pp AS (SELECT CAST(order_key AS VARCHAR) AS order_id, count(*) AS n_legs,
+              sum(amount_cents) AS paid_c
+       FROM pay GROUP BY 1),
+j AS (SELECT order_id, total_c, coalesce(n_legs, 0) AS n_legs,
+             coalesce(paid_c, 0) AS paid_c, o.order_id IS NULL AS orphan
+      FROM o FULL JOIN pp USING (order_id))
+SELECT order_id,
+  CASE WHEN orphan THEN 'orphan_payment'
+       WHEN paid_c = 0 THEN 'unpaid'
+       WHEN paid_c < total_c THEN 'partial'
+       WHEN paid_c = total_c THEN 'exact'
+       ELSE 'overpaid' END AS status,
+  n_legs,
+  CAST(CASE WHEN orphan THEN paid_c
+            WHEN paid_c = 0 THEN -total_c
+            ELSE paid_c - total_c END AS DOUBLE)/100.0 AS delta
+FROM j
+""",
+)
+def q_payment_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order ledger reconciliation: full-outer join of orders against
+    the payment-leg rollup, residue classified (unpaid/partial/exact/
+    overpaid) INCLUDING the orphan payments the enrich join drops.
+    Cents-exact integer deltas. All built-ins — order_id-grain groups are
+    far too small for per-group Python; the cogroup-API twin
+    (service.reconcile_orders_payments, identical semantics,
+    equality-tested in tests/) exists for ledger-walk kernels SQL cannot
+    express."""
+    orders_clean = parse_orders(
+        kafka_identity_dedup(bronze_projection(orders_events(spark, sf_dir)))
+    )
+    payments_clean = parse_payments(
+        kafka_identity_dedup(bronze_projection(payments_events(spark, sf_dir)))
+    )
+    o = orders_clean.select(
+        "order_id", F.round(F.col("total_amount") * 100).cast("long").alias("total_c")
+    )
+    pp = payments_clean.groupBy("order_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum(F.round(F.col("amount") * 100).cast("long")).alias("paid_c"),
+    )
+    j = (
+        o.join(pp, "order_id", "full_outer")
+        .select(
+            "order_id",
+            "total_c",
+            F.coalesce("n_legs", F.lit(0)).alias("n_legs"),
+            F.coalesce("paid_c", F.lit(0)).alias("paid_c"),
+            F.col("total_c").isNull().alias("orphan"),
+        )
+    )
+    status = (
+        F.when(F.col("orphan"), "orphan_payment")
+        .when(F.col("paid_c") == 0, "unpaid")
+        .when(F.col("paid_c") < F.col("total_c"), "partial")
+        .when(F.col("paid_c") == F.col("total_c"), "exact")
+        .otherwise("overpaid")
+    )
+    delta_c = (
+        F.when(F.col("orphan"), F.col("paid_c"))
+        .when(F.col("paid_c") == 0, -F.col("total_c"))
+        .otherwise(F.col("paid_c") - F.col("total_c"))
+    )
+    return j.select(
+        "order_id",
+        status.alias("status"),
+        "n_legs",
+        (delta_c.cast("double") / 100.0).alias("delta"),
+    )

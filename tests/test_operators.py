@@ -443,3 +443,48 @@ def test_cosine_topk_prereduce_equals_full_window(spark):
         tuple(r) for r in cosine_topk(v, q, k=5, prereduce=False).collect()
     }
     assert fast == full and len(fast) > 0
+
+
+def test_reconcile_orders_payments_cogroup(spark):
+    from ecommerce_data_pipeline_spark.operators.service import (
+        reconcile_orders_payments,
+    )
+
+    orders = spark.createDataFrame(
+        [("1", 100.0), ("2", 100.0), ("3", 100.0), ("4", 100.0)],
+        "order_id string, total_amount double",
+    )
+    payments = spark.createDataFrame(
+        [("2", 60.0), ("2", 40.0), ("3", 30.0), ("4", 110.0), ("9", 5.0)],
+        "order_id string, amount double",
+    )
+    out = {r["order_id"]: r for r in reconcile_orders_payments(orders, payments).collect()}
+    assert out["1"]["status"] == "unpaid" and out["1"]["delta"] == -100.0
+    assert out["2"]["status"] == "exact" and out["2"]["n_legs"] == 2
+    assert out["3"]["status"] == "partial" and out["3"]["delta"] == -70.0
+    assert out["4"]["status"] == "overpaid" and out["4"]["delta"] == 10.0
+    assert out["9"]["status"] == "orphan_payment"
+
+
+def test_reconciliation_cogroup_equals_builtin_query(spark):
+    from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+    from ecommerce_data_pipeline_spark.operators.parse import (
+        bronze_projection,
+        parse_orders,
+        parse_payments,
+    )
+    from ecommerce_data_pipeline_spark.operators.service import (
+        reconcile_orders_payments,
+    )
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+    from ecommerce_data_pipeline_spark.sources.events import (
+        orders_events,
+        payments_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = parse_orders(kafka_identity_dedup(bronze_projection(orders_events(spark, sf))))
+    p = parse_payments(kafka_identity_dedup(bronze_projection(payments_events(spark, sf))))
+    cg = {tuple(r) for r in reconcile_orders_payments(o, p).collect()}
+    sql = {tuple(r) for r in QUERIES["payment_reconciliation"](spark, sf).collect()}
+    assert cg == sql and len(cg) > 0

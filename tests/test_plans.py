@@ -119,3 +119,15 @@ def test_hive_partition_pruning_lists_one_partition(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
     assert m and "event_type" in m.group(1)
     assert pruned.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["above_avg_orders"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + join — no per-row subquery execution nodes survive.
+    assert "Subquery" not in text
+    assert "HashAggregate" in text
+    assert df.count() > 0
