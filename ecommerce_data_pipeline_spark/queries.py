@@ -2440,3 +2440,44 @@ def q_payment_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_legs",
         (delta_c.cast("double") / 100.0).alias("delta"),
     )
+
+
+@register("ann_recall_report")  # compares two engine paths: rows-only check
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@5 of the k-means IVF multi-probe
+    search (8 cells, nprobe=3 — the real quantizer, operators/quantize.py)
+    against the exact brute-force top-5, per query — the number a 100 TB
+    deployment watches when it trades scan cost for recall. Both paths run
+    in-engine; one semi join + one agg compares them. Engine-vs-engine
+    metric (no external truth) → rows-only driver check; determinism
+    pinned by the same tiebreaks as the underlying operators."""
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        kmeans_fit,
+        multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    approx = multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
+        )
+    )

@@ -46,3 +46,15 @@ def test_multiprobe_recall_vs_brute_force(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"multi-probe recall {recall} too low"
+
+
+def test_ann_recall_report_bounds(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    vals = [r["recall_at_5"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # nprobe=3 of 8 cells on clustered synthetic data: recall well above
+    # the 3/8 random-pruning floor.
+    assert sum(vals) / len(vals) >= 0.5
