@@ -45,6 +45,20 @@ try:  # pragma: no cover - delta not bundled here
 except ImportError:
     _HAS_DELTA = False
 
+# Characters Spark escapes in Hive partition directory names
+# (ExternalCatalogUtils.charToEscape) — needed to address stale partition
+# dirs on disk; f"{col}={value}" alone misses nulls and escaped values.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {"\x7f"}
+
+
+def _hive_partition_value(v) -> str:
+    """The directory-name form Spark writes for a partition value."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch for ch in str(v)
+    )
+
 
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Pure-DataFrame MERGE: rows of ``target`` whose key appears in
@@ -204,7 +218,10 @@ class ParquetTable:
                 for values in set(map(tuple, touched)) - written:
                     subdir = os.path.join(
                         self.path,
-                        *[f"{c}={v}" for c, v in zip(part_cols, values)],
+                        *[
+                            f"{c}={_hive_partition_value(v)}"
+                            for c, v in zip(part_cols, values)
+                        ],
                     )
                     shutil.rmtree(subdir, ignore_errors=True)
             finally:

@@ -76,10 +76,13 @@ def asof_join(
         *[c for c in left.columns if c not in on],
     )
     # At equal timestamps the right row sorts first (__tag 0 < 1), making
-    # the inclusive <= match; row_number-free, single window pass.
+    # the inclusive <= match; row_number-free, single window pass. The
+    # trailing __rrow term makes ties among right rows with identical
+    # (key, ts) deterministic (the struct-wise max row wins) — left rows
+    # all carry null __rrow, so their relative order is unaffected.
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ats", "__tag")
+        .orderBy("__ats", "__tag", "__rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -169,9 +169,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Exact duplicate removal by content digest: keep min id per md5(text).
 
     Returns (doc_id, content_hash, dup_count) — one row per distinct content.
+    No input repartition (unlike the shingle operators): one md5 per row
+    into a map-side-combined groupBy is scan-bound; a pre-shuffle of the
+    full corpus text would cost more than the map stage it parallelizes.
     """
     return (
-        _spread(docs).select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias(id_col),

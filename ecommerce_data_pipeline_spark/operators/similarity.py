@@ -89,12 +89,21 @@ def cosine_topk(
     if prereduce:
 
         def _local_topk(batches):
+            import pandas as pd
+
+            # Fold ACROSS the partition's Arrow batches (a partition
+            # arrives as many ~10k-row batches): keep a running top-k per
+            # query so the partition emits exactly |Q|*k rows, not
+            # |Q|*k*n_batches. Memory stays bounded at |Q|*k + one batch.
+            acc = None
             for pdf in batches:
-                pdf = pdf.sort_values(
+                acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+                acc = acc.sort_values(
                     ["query_id", "cosine_sim", "neighbor_id"],
                     ascending=[True, False, True],
-                )
-                yield pdf.groupby("query_id", sort=False).head(k)
+                ).groupby("query_id", sort=False).head(k)
+            if acc is not None:
+                yield acc
 
         scored = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(

@@ -42,7 +42,16 @@ def salted_join(
     and at fixed inputs the row routing — is reproducible. Dimension rows
     are exploded once per salt. Result columns = skewed's + dim's non-key
     columns (same as ``skewed.join(dim, on, how)``).
+
+    Only ``inner`` and ``left`` are supported: the replicated dimension
+    side means a right/full outer join would emit one null-padded row per
+    UNMATCHED salt replica instead of one per dimension row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(outer joins would duplicate unmatched dim rows per salt)"
+        )
     n = int(n_salts)
     s = skewed.withColumn("__salt", F.pmod(F.hash(F.col(spread_col)), F.lit(n)))
     d = dim.withColumn(
@@ -80,7 +89,7 @@ def skew_profile(df: DataFrame, key: str | Column, top: int = 10) -> DataFrame:
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
-            key if isinstance(key, str) else key,
+            key,
             "n_rows",
             F.round(F.col("n_rows") / F.col("__t"), 4).alias("share"),
         )

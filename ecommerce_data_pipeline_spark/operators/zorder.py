@@ -61,20 +61,16 @@ def zorder(
     the result to get Z-ordered files. ``n_files`` sizes the layout
     (default: current shuffle parallelism). Numeric/timestamp columns."""
     n_buckets = 1 << bits
-    numeric = {
-        c: F.col(c).cast("double") if t.startswith("timestamp") else F.col(c)
-        for c, t in df.dtypes
-        if c in cols
-    }
+    # cast("double") handles numerics and timestamps alike (epoch seconds).
     probe = df.select(
-        *[numeric[c].cast("double").alias(f"__q_{i}") for i, c in enumerate(cols)]
+        *[F.col(c).cast("double").alias(f"__q_{i}") for i, c in enumerate(cols)]
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = probe.stat.approxQuantile(
         [f"__q_{i}" for i in range(len(cols))], probs, 1.0 / (4 * n_buckets)
     )
     buckets = [
-        _bucket_expr(numeric[c].cast("double"), bounds[i])
+        _bucket_expr(F.col(c).cast("double"), bounds[i])
         for i, c in enumerate(cols)
     ]
     keyed = df.withColumn("__zkey", morton_key(buckets, bits))

@@ -930,18 +930,31 @@ def q_streaming_fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_event_files,
     )
 
+    import shutil
+
     root = tempfile.mkdtemp(prefix="stream_fct_")
-    o_src, p_src = f"{root}/src/orders", f"{root}/src/payments"
-    o_schema = stage_event_files(spark, orders_events(spark, sf_dir), o_src)
-    p_schema = stage_event_files(spark, payments_events(spark, sf_dir), p_src)
-    # Unpartitioned silver: the fixture's order dates scatter uniformly over
-    # ~7 years, so date-partitioned micro-batch merges would rewrite every
-    # partition every batch (see Lakehouse docstring).
-    lake = pl.Lakehouse(f"{root}/lake", partition_silver=False)
-    run_streaming_pipeline(
-        spark, lake, o_src, p_src, o_schema, p_schema, f"{root}/ckpt"
-    )
-    return lake.fct_sales_minute.read(spark).drop("processed_ts")
+    try:
+        o_src, p_src = f"{root}/src/orders", f"{root}/src/payments"
+        o_schema = stage_event_files(spark, orders_events(spark, sf_dir), o_src)
+        p_schema = stage_event_files(spark, payments_events(spark, sf_dir), p_src)
+        # Unpartitioned silver: the fixture's order dates scatter uniformly
+        # over ~7 years, so date-partitioned micro-batch merges would rewrite
+        # every partition every batch (see Lakehouse docstring).
+        lake = pl.Lakehouse(f"{root}/lake", partition_silver=False)
+        run_streaming_pipeline(
+            spark, lake, o_src, p_src, o_schema, p_schema, f"{root}/ckpt"
+        )
+        # Pin the (minute-grain, small) fact in the block manager so the
+        # working tree — staged streams, lakehouse, checkpoints — can be
+        # deleted before returning; repeated registry runs must not
+        # accumulate temp dirs.
+        return (
+            lake.fct_sales_minute.read(spark)
+            .drop("processed_ts")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
