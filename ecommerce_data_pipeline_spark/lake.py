@@ -131,17 +131,49 @@ class ParquetTable:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def merge(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        capture_changes: bool = False,
+    ) -> DataFrame | None:
         """Upsert ``updates`` by ``keys`` (operators S6/S7/S9).
 
         Bootstrap if the table does not exist yet (the reference's
         first-run-overwrite path, silver_orders.py:81-85). For partitioned
         tables only the partitions present in ``updates`` are rewritten.
+
+        With ``capture_changes`` (Delta Change Data Feed parity), returns
+        the change set of this merge — the update rows tagged
+        ``_change_type`` 'insert' (new key) or 'update_postimage'
+        (existing key). Computed as one key-pruned semi/anti join pair and
+        pinned with localCheckpoint BEFORE the table mutates, so the
+        returned frame does not depend on the overwritten files.
+        Downstream incrementals (a gold refresh, a replication sink)
+        consume this instead of diffing snapshots.
         """
         if not self.exists():
             self.overwrite(updates)
-            return
+            if capture_changes:
+                return updates.withColumn(
+                    "_change_type", F.lit("insert")
+                ).localCheckpoint(eager=True)
+            return None
         target = self.read(spark)
+        changes: DataFrame | None = None
+        if capture_changes:
+            tgt_keys = target.select(*keys).distinct()
+            changes = (
+                updates.join(tgt_keys, keys, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage"))
+                .unionByName(
+                    updates.join(tgt_keys, keys, "left_anti").withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
         part_cols = [c for c in self.partition_by if c in updates.columns]
         if part_cols:
             # Partition-pruned merge: rewrite only partitions the updates
@@ -195,7 +227,7 @@ class ParquetTable:
                 # Too many composite partitions for a flat predicate: give
                 # up pruning, keep correctness (full merge rewrite).
                 self.overwrite(merge_upsert(target, updates, keys))
-                return
+                return changes
             merged = merge_upsert(touched_target, updates, keys)
             # Materialize before overwriting partitions we are reading from.
             staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
@@ -228,6 +260,7 @@ class ParquetTable:
                 shutil.rmtree(staging, ignore_errors=True)
         else:
             self.overwrite(merge_upsert(target, updates, keys))
+        return changes
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE-equivalent: rewrite the table into ~target-sized files.

@@ -194,3 +194,27 @@ def test_compact_reduces_files_preserves_data(spark, tmp_path):
     assert after < before
     assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == data_before
     assert len(data_before) == 200
+
+
+def test_merge_capture_changes_cdf(spark, tmp_path):
+    """Delta CDF parity: merge returns the change set tagged insert /
+    update_postimage, pinned before the table mutates."""
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "cdf"))
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    )
+    boot = t.merge(spark, base, keys=["k"], capture_changes=True)
+    assert {(r["k"], r["_change_type"]) for r in boot.collect()} == {
+        ("a", "insert"), ("b", "insert"),
+    }
+    upd = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    changes = t.merge(spark, upd, keys=["k"], capture_changes=True)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in changes.collect()}
+    assert got == {("b", 20, "update_postimage"), ("c", 3, "insert")}
+    # Table state reflects the merge; changes frame still readable after.
+    state = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert state == {("a", 1), ("b", 20), ("c", 3)}
+    # Plain merge still returns None (no behavior change for callers).
+    assert t.merge(spark, upd, keys=["k"]) is None
