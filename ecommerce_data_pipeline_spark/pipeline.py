@@ -89,7 +89,8 @@ def run_enrich(
     spark: SparkSession,
     lake: Lakehouse,
     lookback: dt.timedelta = dt.timedelta(hours=2),
-) -> None:
+    capture_changes: bool = False,
+) -> DataFrame | None:
     """silver.order_payments_enriched: MERGE keyed on order_id (S7).
 
     Incremental after bootstrap: only orders with activity (an order or
@@ -124,7 +125,9 @@ def run_enrich(
     enriched = enrich_orders(orders_clean, payments_clean)
     if lake.enriched.partition_by:
         enriched = enriched.withColumn("order_date", F.to_date(F.col("order_ts")))
-    lake.enriched.merge(spark, enriched, keys=["order_id"])
+    return lake.enriched.merge(
+        spark, enriched, keys=["order_id"], capture_changes=capture_changes
+    )
 
 
 def run_gold(spark: SparkSession, lake: Lakehouse) -> None:
@@ -154,3 +157,42 @@ def run_all(
     run_silver(spark, lake)
     run_enrich(spark, lake)
     run_gold(spark, lake)
+
+
+def run_gold_cdf(spark: SparkSession, lake: Lakehouse, changes: DataFrame) -> None:
+    """Change-driven gold refresh: the CDF alternative to the 2-hour
+    lookback (run_gold / ST5).
+
+    ``changes`` is the change set returned by the enrich merge
+    (capture_changes=True). Only the minute buckets containing a changed
+    order are recomputed — for those buckets the fact is rebuilt EXACTLY
+    (all paid orders in the bucket, not just changed ones, via a
+    bucket-semi-join) and MERGEd by minute_bucket. Refresh cost is
+    proportional to the CHANGED minutes, independent of any wall-clock
+    window — late data older than 2 hours is caught too, which the
+    lookback policy by construction cannot do.
+    """
+    from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+    from ecommerce_data_pipeline_spark.quality import gold_fact_suite, run_checks
+
+    orders_clean = lake.silver_orders.read(spark)
+    enriched = lake.enriched.read(spark)
+    # Minute buckets containing ANY changed order (paid or not — a bucket
+    # whose membership may have shifted is rebuilt from current state).
+    changed_buckets = (
+        orders_clean.join(
+            changes.select("order_id").distinct(), "order_id", "left_semi"
+        )
+        .select(F.date_trunc("minute", F.col("event_ts")).alias("mb"))
+        .distinct()
+    )
+    affected_orders = orders_clean.join(
+        changed_buckets,
+        F.date_trunc("minute", orders_clean["event_ts"]) == changed_buckets["mb"],
+        "left_semi",
+    )
+    fact_updates = sales_minute_agg(affected_orders, enriched)
+    if fact_updates.isEmpty():
+        return
+    lake.fct_sales_minute.merge(spark, fact_updates, keys=["minute_bucket"])
+    run_checks(gold_fact_suite(lake.fct_sales_minute.read(spark)))

@@ -218,3 +218,45 @@ def test_merge_capture_changes_cdf(spark, tmp_path):
     assert state == {("a", 1), ("b", 20), ("c", 3)}
     # Plain merge still returns None (no behavior change for callers).
     assert t.merge(spark, upd, keys=["k"]) is None
+
+
+def test_run_gold_cdf_equals_full_rebuild(spark, tmp_path):
+    """Change-driven gold refresh: withhold a slice of payment events,
+    bootstrap, then deliver them (some 'late' beyond any 2h window) — the
+    CDF-driven refresh must land on exactly the full-rebuild fact."""
+    root = str(tmp_path / "lake")
+    lh = pipeline.Lakehouse(root, partition_silver=False)
+    orders_raw = orders_events(spark, SF_DIR)
+    payments_raw = payments_events(spark, SF_DIR)
+    first, late = (
+        payments_raw.filter(F.col("offset") % 7 != 0),
+        payments_raw.filter(F.col("offset") % 7 == 0),
+    )
+    pipeline.run_all(spark, lh, orders_raw, first)
+
+    # Late slice arrives (order dates span years — far outside any 2h
+    # lookback). Silver-merge it, enrich with change capture, CDF-refresh.
+    lh.bronze_payments.merge(
+        spark,
+        pipeline.bronze_projection(late),
+        keys=["topic", "partition", "offset"],
+    )
+    pipeline.run_silver(spark, lh)
+    changes = pipeline.run_enrich(
+        spark, lh, lookback=dt.timedelta(days=10**5), capture_changes=True
+    )
+    assert changes is not None and changes.count() > 0
+    pipeline.run_gold_cdf(spark, lh, changes)
+
+    # Ground truth: a fresh lakehouse built with ALL events at once.
+    truth_lh = pipeline.Lakehouse(str(tmp_path / "truth"), partition_silver=False)
+    pipeline.run_all(spark, truth_lh, orders_raw, payments_raw)
+    got = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in lh.fct_sales_minute.read(spark).collect()
+    }
+    want = {
+        str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
+        for r in truth_lh.fct_sales_minute.read(spark).collect()
+    }
+    assert got == want
