@@ -262,6 +262,76 @@ class ParquetTable:
             self.overwrite(merge_upsert(target, updates, keys))
         return changes
 
+    def delete_keys(
+        self, spark: SparkSession, doomed: DataFrame, keys: list[str]
+    ) -> int:
+        """DELETE by key set (Delta ``DELETE WHERE key IN (...)`` parity —
+        the GDPR / right-to-be-forgotten path). Returns rows removed.
+
+        Partitioned tables rewrite ONLY the partitions that contain a
+        doomed key (located with a column-pruned semi-join probe, same
+        shape as the merge relocation probe); a partition left empty has
+        its directory dropped. Unpartitioned tables anti-join and rewrite
+        atomically.
+        """
+        if not self.exists():
+            return 0
+        target = self.read(spark)
+        before = target.count()
+        doomed_keys = doomed.select(*keys).distinct()
+        part_cols = list(self.partition_by)
+        if part_cols:
+            hit = {
+                tuple(r)
+                for r in target.select(*keys, *part_cols)
+                .join(doomed_keys, keys, "left_semi")
+                .select(*part_cols)
+                .distinct()
+                .collect()
+            }
+            if not hit:
+                return 0
+            if len(part_cols) == 1:
+                pred = F.col(part_cols[0]).isin([t[0] for t in hit])
+            else:
+                pred = F.lit(False)
+                for values in hit:
+                    clause = F.lit(True)
+                    for c, v in zip(part_cols, values):
+                        clause = clause & (
+                            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                        )
+                    pred = pred | clause
+            kept = target.filter(pred).join(doomed_keys, keys, "left_anti")
+            staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
+            kept.write.mode("overwrite").parquet(staging)
+            try:
+                staged = spark.read.parquet(staging)
+                (
+                    staged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*part_cols)
+                    .parquet(self.path)
+                )
+                written = {
+                    tuple(r)
+                    for r in staged.select(*part_cols).distinct().collect()
+                }
+                for values in hit - written:  # partition emptied: drop dir
+                    subdir = os.path.join(
+                        self.path,
+                        *[
+                            f"{c}={_hive_partition_value(v)}"
+                            for c, v in zip(part_cols, values)
+                        ],
+                    )
+                    shutil.rmtree(subdir, ignore_errors=True)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+        else:
+            self.overwrite(target.join(doomed_keys, keys, "left_anti"))
+        return before - self.read(spark).count()
+
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE-equivalent: rewrite the table into ~target-sized files.
 

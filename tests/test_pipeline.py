@@ -260,3 +260,29 @@ def test_run_gold_cdf_equals_full_rebuild(spark, tmp_path):
         for r in truth_lh.fct_sales_minute.read(spark).collect()
     }
     assert got == want
+
+
+def test_delete_keys_partitioned_and_flat(spark, tmp_path):
+    """GDPR delete: keyed removal rewrites only hit partitions, drops
+    emptied partition dirs, and leaves other partitions untouched."""
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    rows = [
+        ("u1", "2024-01-01", 1.0), ("u2", "2024-01-01", 2.0),
+        ("u3", "2024-01-02", 3.0),  # sole row of its partition
+    ]
+    df = spark.createDataFrame(rows, "user string, day string, v double")
+    part = ParquetTable(str(tmp_path / "part"), partition_by=["day"])
+    part.overwrite(df)
+    doomed = spark.createDataFrame([("u2",), ("u3",)], "user string")
+    assert part.delete_keys(spark, doomed, keys=["user"]) == 2
+    left = {r["user"] for r in part.read(spark).collect()}
+    assert left == {"u1"}
+    import os
+
+    assert not os.path.exists(str(tmp_path / "part" / "day=2024-01-02"))
+
+    flat = ParquetTable(str(tmp_path / "flat"))
+    flat.overwrite(df)
+    assert flat.delete_keys(spark, doomed, keys=["user"]) == 2
+    assert flat.delete_keys(spark, doomed, keys=["user"]) == 0  # idempotent
