@@ -450,8 +450,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), ids AS (
   SELECT user_id, ts, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+    -- CAST: DuckDB integer sum() yields HUGEINT (int128); Spark emits int64.
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -557,8 +558,8 @@ def q_cart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inventory_counters",
     oracle="""
 SELECT l_partkey AS product_id,
-  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS reserved_qty,
-  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS committed_qty,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS reserved_qty,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS committed_qty,
   count(*) AS n_movements
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY 1
@@ -1533,8 +1534,9 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id,
+    -- CAST: DuckDB integer sum() yields HUGEINT (int128); Spark emits int64.
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id,
     ts
   FROM flagged
 ),
@@ -1888,8 +1890,11 @@ def q_user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_fact",
     oracle="""
 WITH flagged AS (
+  -- >= 1800: Spark's session_window opens a NEW session when the gap
+  -- equals the gap duration exactly (half-open [start, start+gap) window);
+  -- the lag-based formulation must use the same closed/open boundary.
   SELECT user_id, ts, value,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), ids AS (
@@ -2005,7 +2010,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_tokens",
     oracle=f"""
 WITH {_TOKS_SQL}
-SELECT token, sum(tf) AS n_occurrences, count(*) AS n_docs
+SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS n_docs
 FROM tfreq GROUP BY token
 ORDER BY n_occurrences DESC, token LIMIT 50
 """,
@@ -2268,12 +2273,12 @@ s AS (
     sum(CASE WHEN paid_orders < 0 THEN 1 ELSE 0 END) AS neg_paid
   FROM fact
 )
-SELECT 'not_null:minute_bucket' AS check, nn_bucket AS failing_rows, nn_bucket = 0 AS passed FROM s
-UNION ALL SELECT 'not_null:gmv', nn_gmv, nn_gmv = 0 FROM s
-UNION ALL SELECT 'not_null:paid_orders', nn_paid, nn_paid = 0 FROM s
-UNION ALL SELECT 'unique:minute_bucket', dup_buckets, dup_buckets = 0 FROM s
-UNION ALL SELECT 'non_negative:gmv', neg_gmv, neg_gmv = 0 FROM s
-UNION ALL SELECT 'non_negative:paid_orders', neg_paid, neg_paid = 0 FROM s
+SELECT 'not_null:minute_bucket' AS check, CAST(nn_bucket AS BIGINT) AS failing_rows, nn_bucket = 0 AS passed FROM s
+UNION ALL SELECT 'not_null:gmv', CAST(nn_gmv AS BIGINT), nn_gmv = 0 FROM s
+UNION ALL SELECT 'not_null:paid_orders', CAST(nn_paid AS BIGINT), nn_paid = 0 FROM s
+UNION ALL SELECT 'unique:minute_bucket', CAST(dup_buckets AS BIGINT), dup_buckets = 0 FROM s
+UNION ALL SELECT 'non_negative:gmv', CAST(neg_gmv AS BIGINT), neg_gmv = 0 FROM s
+UNION ALL SELECT 'non_negative:paid_orders', CAST(neg_paid AS BIGINT), neg_paid = 0 FROM s
 """,
 )
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,6 +91,23 @@ def main() -> int:
             )
             failures += 1
             continue
+        # Driver-hasher parity: DuckDB HUGEINT/DOUBLE surfacing where Spark
+        # emits int64 serializes differently even when values are equal.
+        # An int-vs-float dtype-kind mismatch is therefore a hard failure
+        # here even though the value comparison below would pass.
+        kind_bad = [
+            c
+            for c in spark_pdf.columns
+            if {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"i", "f"}
+            or {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"u", "f"}
+        ]
+        if kind_bad:
+            print(
+                f"FAIL  {name}: int-vs-float dtype mismatch on {kind_bad} "
+                f"(driver hash would differ — CAST the oracle column)"
+            )
+            failures += 1
+            continue
         a, b = normalize(spark_pdf), normalize(oracle_pdf)
         if a != b:
             bad = next(
