@@ -263,36 +263,71 @@ class ParquetTable:
         return changes
 
     def delete_keys(
-        self, spark: SparkSession, doomed: DataFrame, keys: list[str]
-    ) -> int:
+        self,
+        spark: SparkSession,
+        doomed: DataFrame,
+        keys: list[str],
+        capture_changes: bool = False,
+    ) -> int | tuple[int, DataFrame]:
         """DELETE by key set (Delta ``DELETE WHERE key IN (...)`` parity —
-        the GDPR / right-to-be-forgotten path). Returns rows removed.
+        the GDPR / right-to-be-forgotten path). Returns rows removed; with
+        ``capture_changes`` returns ``(removed, change_set)`` where the
+        change set is the removed rows' pre-images tagged ``_change_type``
+        'delete' (Delta CDF parity) — pinned with localCheckpoint before
+        the table mutates so CDF consumers (e.g. a gold refresh that must
+        RETRACT buckets) can read it afterwards.
 
         Partitioned tables rewrite ONLY the partitions that contain a
         doomed key (located with a column-pruned semi-join probe, same
         shape as the merge relocation probe); a partition left empty has
-        its directory dropped. Unpartitioned tables anti-join and rewrite
-        atomically.
+        its directory dropped. Past the same composite-partition cap the
+        merge path uses, pruning is abandoned for a full anti-join rewrite
+        rather than building an unbounded OR-of-AND driver-side predicate.
+        Unpartitioned tables anti-join and rewrite atomically.
+
+        The removed-row count is computed from the pre-mutation semi-join
+        (never by re-reading the table afterwards): a delete that empties
+        the table entirely leaves no parquet files behind, and the table
+        then reads as non-existent — the next ``merge`` bootstraps it.
         """
+        empty_changes = None
+        if capture_changes:
+            empty_changes = (
+                doomed.select(*keys)
+                .limit(0)
+                .withColumn("_change_type", F.lit("delete"))
+            )
         if not self.exists():
-            return 0
+            return (0, empty_changes) if capture_changes else 0
         target = self.read(spark)
-        before = target.count()
         doomed_keys = doomed.select(*keys).distinct()
+        # Pre-images of every row about to be removed, pinned BEFORE any
+        # mutation. Doubles as the removed-row count (one scan, no
+        # before/after full-table counts).
+        removed_rows = target.join(doomed_keys, keys, "left_semi").localCheckpoint(
+            eager=True
+        )
+        removed = removed_rows.count()
+        changes = (
+            removed_rows.withColumn("_change_type", F.lit("delete"))
+            if capture_changes
+            else None
+        )
+        if removed == 0:
+            return (0, changes) if capture_changes else 0
         part_cols = list(self.partition_by)
+        hit: set[tuple] = set()
         if part_cols:
             hit = {
-                tuple(r)
-                for r in target.select(*keys, *part_cols)
-                .join(doomed_keys, keys, "left_semi")
-                .select(*part_cols)
-                .distinct()
-                .collect()
+                tuple(r) for r in removed_rows.select(*part_cols).distinct().collect()
             }
-            if not hit:
-                return 0
+        if part_cols and (len(part_cols) == 1 or len(hit) <= 64):
             if len(part_cols) == 1:
-                pred = F.col(part_cols[0]).isin([t[0] for t in hit])
+                c = part_cols[0]
+                vals = [t[0] for t in hit if t[0] is not None]
+                pred = F.col(c).isin(vals) if vals else F.lit(False)
+                if any(t[0] is None for t in hit):
+                    pred = pred | F.col(c).isNull()
             else:
                 pred = F.lit(False)
                 for values in hit:
@@ -329,8 +364,10 @@ class ParquetTable:
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         else:
+            # Unpartitioned, or composite-partition hit set too large for a
+            # flat pruning predicate: full anti-join rewrite (atomic swap).
             self.overwrite(target.join(doomed_keys, keys, "left_anti"))
-        return before - self.read(spark).count()
+        return (removed, changes) if capture_changes else removed
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE-equivalent: rewrite the table into ~target-sized files.

@@ -163,36 +163,63 @@ def run_gold_cdf(spark: SparkSession, lake: Lakehouse, changes: DataFrame) -> No
     """Change-driven gold refresh: the CDF alternative to the 2-hour
     lookback (run_gold / ST5).
 
-    ``changes`` is the change set returned by the enrich merge
-    (capture_changes=True). Only the minute buckets containing a changed
-    order are recomputed — for those buckets the fact is rebuilt EXACTLY
-    (all paid orders in the bucket, not just changed ones, via a
-    bucket-semi-join) and MERGEd by minute_bucket. Refresh cost is
-    proportional to the CHANGED minutes, independent of any wall-clock
-    window — late data older than 2 hours is caught too, which the
-    lookback policy by construction cannot do.
+    ``changes`` is a change set from the lake layer — the enrich merge's
+    insert/update_postimage rows (capture_changes=True) and/or delete
+    pre-images from ``delete_keys(..., capture_changes=True)``. Only the
+    minute buckets containing a changed order are recomputed — for those
+    buckets the fact is rebuilt EXACTLY from current state (all paid
+    orders in the bucket, not just changed ones, via a bucket-semi-join)
+    and MERGEd by minute_bucket; a changed bucket whose paid-order set
+    shrinks to EMPTY (every paid order deleted / unpaid) is RETRACTED
+    with a keyed delete, which a merge-only refresh cannot express.
+    Refresh cost is proportional to the CHANGED minutes, independent of
+    any wall-clock window — late data older than 2 hours is caught too,
+    which the lookback policy by construction cannot do.
+
+    Changed buckets are located two ways and unioned: from the change
+    rows' own event time (covers deletes, whose orders are no longer in
+    silver) and from where the changed keys currently live in silver
+    (covers inserts/updates). Known limit, shared with Delta CDF merge
+    postimages: an in-place rewrite of an existing order's event_ts would
+    leave its OLD bucket undetected (no update_preimage is captured) —
+    order event time is immutable in this model (it is the order-created
+    timestamp), so that case cannot arise in the pipeline's own flow.
     """
     from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
     from ecommerce_data_pipeline_spark.quality import gold_fact_suite, run_checks
 
     orders_clean = lake.silver_orders.read(spark)
     enriched = lake.enriched.read(spark)
-    # Minute buckets containing ANY changed order (paid or not — a bucket
-    # whose membership may have shifted is rebuilt from current state).
-    changed_buckets = (
+    ts_col = "event_ts" if "event_ts" in changes.columns else "order_ts"
+    change_row_buckets = changes.select(
+        F.date_trunc("minute", F.col(ts_col)).alias("mb")
+    ).distinct()
+    current_key_buckets = (
         orders_clean.join(
             changes.select("order_id").distinct(), "order_id", "left_semi"
         )
         .select(F.date_trunc("minute", F.col("event_ts")).alias("mb"))
         .distinct()
     )
+    changed_buckets = change_row_buckets.unionByName(current_key_buckets).distinct()
     affected_orders = orders_clean.join(
         changed_buckets,
         F.date_trunc("minute", orders_clean["event_ts"]) == changed_buckets["mb"],
         "left_semi",
     )
     fact_updates = sales_minute_agg(affected_orders, enriched)
-    if fact_updates.isEmpty():
-        return
-    lake.fct_sales_minute.merge(spark, fact_updates, keys=["minute_bucket"])
-    run_checks(gold_fact_suite(lake.fct_sales_minute.read(spark)))
+    # Retraction: a changed bucket that produced no fact row must leave
+    # the gold table (its last paid order was deleted or became unpaid).
+    doomed_buckets = changed_buckets.join(
+        fact_updates,
+        changed_buckets["mb"] == fact_updates["minute_bucket"],
+        "left_anti",
+    ).select(F.col("mb").alias("minute_bucket"))
+    if not doomed_buckets.isEmpty():
+        lake.fct_sales_minute.delete_keys(
+            spark, doomed_buckets, keys=["minute_bucket"]
+        )
+    if not fact_updates.isEmpty():
+        lake.fct_sales_minute.merge(spark, fact_updates, keys=["minute_bucket"])
+    if lake.fct_sales_minute.exists():
+        run_checks(gold_fact_suite(lake.fct_sales_minute.read(spark)))

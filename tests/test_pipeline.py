@@ -286,3 +286,89 @@ def test_delete_keys_partitioned_and_flat(spark, tmp_path):
     flat.overwrite(df)
     assert flat.delete_keys(spark, doomed, keys=["user"]) == 2
     assert flat.delete_keys(spark, doomed, keys=["user"]) == 0  # idempotent
+
+
+def test_delete_keys_empties_table_without_crash(spark, tmp_path):
+    """A delete that removes EVERY row must not crash on a post-mutation
+    read (the emptied-table case): count comes from the pre-mutation
+    semi-join, the table then reads as non-existent, and the next merge
+    bootstraps it cleanly."""
+    rows = [("u1", "2024-01-01", 1.0), ("u2", "2024-01-02", 2.0)]
+    df = spark.createDataFrame(rows, "user string, day string, v double")
+    for name, part_by in (("part", ["day"]), ("flat", [])):
+        t = ParquetTable(str(tmp_path / name), partition_by=part_by)
+        t.overwrite(df)
+        doomed = spark.createDataFrame([("u1",), ("u2",)], "user string")
+        assert t.delete_keys(spark, doomed, keys=["user"]) == 2
+        if part_by:
+            # Every partition dir dropped: reads as non-existent until the
+            # next merge bootstraps it.
+            assert not t.exists()
+        else:
+            # Flat overwrite keeps a schema-bearing empty table (Delta-like).
+            assert t.exists() and t.read(spark).count() == 0
+        # Next merge bootstraps / repopulates the emptied table.
+        t.merge(spark, df.filter(F.col("user") == "u1"), keys=["user"])
+        assert {r["user"] for r in t.read(spark).collect()} == {"u1"}
+
+
+def test_delete_keys_capture_changes(spark, tmp_path):
+    """capture_changes returns the removed rows' pre-images tagged
+    'delete', readable after the mutation (Delta CDF delete parity)."""
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01", 1.0), ("u2", "2024-01-01", 2.0)],
+        "user string, day string, v double",
+    )
+    t = ParquetTable(str(tmp_path / "t"), partition_by=["day"])
+    t.overwrite(df)
+    doomed = spark.createDataFrame([("u2",)], "user string")
+    removed, changes = t.delete_keys(
+        spark, doomed, keys=["user"], capture_changes=True
+    )
+    assert removed == 1
+    got = {(r["user"], r["v"], r["_change_type"]) for r in changes.collect()}
+    assert got == {("u2", 2.0, "delete")}
+    # Miss path returns an empty change set, not None.
+    removed2, changes2 = t.delete_keys(
+        spark, doomed, keys=["user"], capture_changes=True
+    )
+    assert removed2 == 0 and changes2.count() == 0
+
+
+def test_run_gold_cdf_retracts_emptied_bucket(spark, tmp_path):
+    """GDPR delete composed with the CDF gold refresh: when every paid
+    order of a minute bucket is deleted from silver, the delete change
+    set drives run_gold_cdf to RETRACT that bucket from the gold fact —
+    the case a merge-only refresh can never express."""
+    root = str(tmp_path / "lake")
+    lh = pipeline.Lakehouse(root, partition_silver=False)
+    pipeline.run_all(
+        spark, lh, orders_events(spark, SF_DIR), payments_events(spark, SF_DIR)
+    )
+    fact = lh.fct_sales_minute.read(spark)
+    fact_rows_before = fact.count()
+    # Pick one bucket and doom ALL its orders (paid or not).
+    bucket = fact.orderBy("minute_bucket").first()["minute_bucket"]
+    orders_clean = lh.silver_orders.read(spark)
+    # Pin the doom list: its lineage reads silver_orders, which the first
+    # delete below rewrites — without the checkpoint the second delete
+    # would re-scan vanished files (any multi-table GDPR flow must
+    # materialize its key list up front for exactly this reason).
+    doomed = (
+        orders_clean.filter(F.date_trunc("minute", F.col("event_ts")) == F.lit(bucket))
+        .select("order_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    removed, changes = lh.silver_orders.delete_keys(
+        spark, doomed, keys=["order_id"], capture_changes=True
+    )
+    assert removed >= n_doomed  # every silver row of those orders
+    lh.enriched.delete_keys(spark, doomed, keys=["order_id"])
+    pipeline.run_gold_cdf(spark, lh, changes)
+    after = lh.fct_sales_minute.read(spark)
+    assert after.filter(F.col("minute_bucket") == F.lit(bucket)).count() == 0
+    # Other buckets are untouched.
+    assert after.count() == fact_rows_before - 1
