@@ -1136,13 +1136,38 @@ def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_ivf_topk")  # iterative (Lloyd's) → not SQL-expressible;
-# rows-only driver check. Correctness is pinned by tests/test_quantize.py:
-# nprobe == k_cells reproduces the exact brute-force top-k bit-for-bit,
-# and the quantizer is deterministic across runs.
+@register(
+    "kmeans_ivf_topk",
+    # Oracle = the exact brute-force top-k: with nprobe == k_cells the
+    # multi-probe search scores every cell, so the IVF machinery (k-means
+    # fit, cell assignment, per-cell scoring, rank) must reproduce the
+    # exact answer bit-for-bit — the same contract tests/test_quantize.py
+    # pins. The recall/latency tradeoff of partial probing (nprobe < k)
+    # is measured separately by ann_recall_report.
+    oracle=f"""
+WITH {_COSINE_SQL}
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 4)
+      AS cosine_sim
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a REAL coarse quantizer: deterministic k-means (8
-    cells, 3 Lloyd iterations) + multi-probe search (3 cells/query)."""
+    cells, 3 Lloyd iterations) + multi-probe search probing ALL cells,
+    which must equal exact brute force (the oracle). Production tuning
+    drops nprobe (e.g. 3/8) for ~nprobe/k of the scoring work at reduced
+    recall — that operating point is what ann_recall_report measures."""
     from ecommerce_data_pipeline_spark.operators.quantize import (
         kmeans_fit,
         multiprobe_topk,
@@ -1151,7 +1176,7 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     centroids = kmeans_fit(emb, k=8, iters=3)
-    return multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=3)
+    return multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=8)
 
 
 @register(
@@ -1444,36 +1469,103 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_value_quantiles_approx")  # sketch output: rows-only check
+# Quantile-band half-width for the approx-vs-exact check below. Must cover
+# the sketch's rank-error guarantee (eps = 1/accuracy = 1e-4) PLUS one
+# discrete-rank gap at the smallest fixture group (~2k rows/group at
+# sf0.001 → 1 rank ≈ 5e-4 quantile): 5e-3 covers both with margin while
+# staying a tight, meaningful band. p99 + 0.005 < 1.0.
+_Q_BAND = 0.005
+
+
+@register(
+    "events_value_quantiles_approx",
+    oracle=f"""
+SELECT event_type,
+  round(quantile_cont(value, 0.5 - {_Q_BAND}), 4) AS p50_lo,
+  round(quantile_cont(value, 0.5 + {_Q_BAND}), 4) AS p50_hi,
+  TRUE AS p50_ok,
+  round(quantile_cont(value, 0.9 - {_Q_BAND}), 4) AS p90_lo,
+  round(quantile_cont(value, 0.9 + {_Q_BAND}), 4) AS p90_hi,
+  TRUE AS p90_ok,
+  round(quantile_cont(value, 0.99 - {_Q_BAND}), 4) AS p99_lo,
+  round(quantile_cont(value, 0.99 + {_Q_BAND}), 4) AS p99_hi,
+  TRUE AS p99_ok,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
 def q_events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB formulation of events_value_quantiles: approx_percentile
-    (mergeable quantile sketch, map-side combine, no sort) — estimates are
-    engine-specific so the driver records a rows-only check; the pytest
-    suite bounds its error against the exact quantiles."""
+    (mergeable quantile sketch, map-side combine, no sort). The sketch
+    estimate itself is engine-specific, so the DETERMINISTIC contract is
+    emitted instead: the exact quantile band [p-band, p+band] each
+    estimate must land in (band covers the sketch's eps rank guarantee —
+    see _Q_BAND) plus a boolean that it does. The oracle recomputes the
+    exact bands and expects every check TRUE — a driver-hashable proof of
+    the sketch's accuracy contract, per-group, any merge order."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
-        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("a90"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("a99"),
+        *[
+            F.round(F.percentile("value", p + s * _Q_BAND), 4).alias(
+                f"p{int(p * 100)}_{'hi' if s > 0 else 'lo'}"
+            )
+            for p in (0.5, 0.9, 0.99)
+            for s in (-1, 1)
+        ],
         F.count(F.lit(1)).alias("n"),
     )
+    cols = ["event_type"]
+    for p in (50, 90, 99):
+        cols += [
+            f"p{p}_lo",
+            f"p{p}_hi",
+            (
+                (F.col(f"a{p}") >= F.col(f"p{p}_lo"))
+                & (F.col(f"a{p}") <= F.col(f"p{p}_hi"))
+            ).alias(f"p{p}_ok"),
+        ]
+    return agg.select(*cols, "n")
 
 
-@register("approx_distinct_users")  # sketch output: rows-only check
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  count(*) AS n_events, TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user counts per event_type: hll_sketch_agg
     builds mergeable binary sketches map-side (fixed bytes per group —
     the shuffle is independent of cardinality), hll_sketch_estimate reads
-    them out. Sketches are engine-specific → rows-only driver check; the
-    pytest suite bounds the estimate error vs exact countDistinct."""
+    them out. The estimate is engine-specific, so the deterministic
+    contract is emitted instead: the exact count (oracle-checkable) and a
+    boolean that the estimate is within 5% of it (lgK=14 → rsd 0.81%, so
+    5% is a 6-sigma bound; HLL register-max merge is order-independent,
+    making the boolean stable under any partitioning)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("exact_users"),
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
-                "approx_users"
+                "_est"
             ),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_bound"),
         )
     )
 
@@ -2088,20 +2180,39 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_users_sketch_rollup")  # sketch output: rows-only check
+@register(
+    "approx_users_sketch_rollup",
+    oracle="""
+SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events,
+  TRUE AS within_bound
+FROM events
+""",
+)
 def q_approx_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental distinct-count pattern end-to-end: per-day HLL
     sketch table (one fixed-width row per day — the MERGE-maintained
-    increment) unioned to a corpus-wide distinct-user estimate. Engine-
-    specific sketch bytes → rows-only driver check; the pytest suite
-    asserts merge-invariance and the error bound vs exact countDistinct
-    (operators/sketches.py)."""
+    increment) union-merged to a corpus-wide distinct-user estimate.
+    Emitted as the deterministic contract (exact count + 5% error-bound
+    boolean; HLL union is register-max, merge-order independent) so the
+    driver can hash-check it; the pytest suite additionally asserts
+    merge-invariance of the sketch table itself (operators/sketches.py)."""
     from ecommerce_data_pipeline_spark.operators.sketches import (
         daily_user_sketches,
         merge_sketches,
     )
 
-    return merge_sketches(daily_user_sketches(load_table(spark, sf_dir, "events")))
+    ev = load_table(spark, sf_dir, "events")
+    rolled = merge_sketches(daily_user_sketches(ev))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return rolled.crossJoin(exact).select(
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
 
 
 @register(
