@@ -64,6 +64,46 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
 
+    # Streaming honesty: the streaming query's elapsed time is mostly
+    # micro-batch trigger machinery, not compute — report the split.
+    from ecommerce_data_pipeline_spark.queries import streaming_q
+
+    streaming_phases = dict(streaming_q.STREAMING_PHASES)
+
+    # Per-query delta vs the previous round's recorded bench, when present.
+    prev_queries: dict[str, float] = {}
+    prev_total = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev_files:
+        try:
+            with open(os.path.join(here, prev_files[-1])) as fh:
+                prev = json.load(fh)
+            parsed = prev.get("parsed") or prev  # driver wraps under "parsed"
+            prev_queries = parsed.get("queries") or {}
+            prev_total = parsed.get("value")
+            if not prev_queries and isinstance(prev.get("tail"), str):
+                # The driver records only a truncated stdout tail when it
+                # cannot parse full JSON — salvage per-query pairs from it.
+                import re
+
+                prev_queries = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', prev["tail"]
+                    )
+                    if m.group(1) in timings
+                }
+        except (json.JSONDecodeError, OSError, AttributeError):
+            pass
+    delta_vs_prev = {
+        q: round(timings[q] - prev_queries[q], 3)
+        for q in timings
+        if q in prev_queries
+    }
+
     # Like-for-like numbers against BASELINE.md's dbt anchor: the anchor
     # measures an incremental gold MERGE (0.551s) / full build incl. tests
     # (0.994s) on a pre-built lakehouse at demo volume. Build the lakehouse
@@ -103,6 +143,10 @@ def main() -> int:
                 "n_queries": len(timings),
                 "pipeline_full_build_sec": full_build,
                 "gold_incremental_merge_sec": gold_incremental,
+                "streaming_fct_phases": streaming_phases,
+                "prev_bench": prev_files[-1] if prev_files else None,
+                "prev_total": prev_total,
+                "delta_vs_prev": delta_vs_prev,
             }
         )
     )

@@ -39,10 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - delta not bundled here
-    from delta.tables import DeltaTable  # noqa: F401
+    from delta.tables import DeltaTable
 
     _HAS_DELTA = True
 except ImportError:
+    DeltaTable = None  # patched by tests to exercise the delegation
     _HAS_DELTA = False
 
 # Characters Spark escapes in Hive partition directory names
@@ -98,11 +99,27 @@ class ParquetTable:
     they outgrow a single rewrite (minute buckets: ~0.5M rows/year — tiny).
     """
 
-    def __init__(self, path: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        partition_by: list[str] | None = None,
+        use_delta: bool = False,
+    ):
         self.path = path
         self.partition_by = partition_by or []
+        if use_delta and not _HAS_DELTA:
+            raise ImportError(
+                "use_delta=True requires delta-spark (pip install delta-spark "
+                "and configure spark.sql.extensions per docs.delta.io)"
+            )
+        self.use_delta = use_delta
 
     def exists(self) -> bool:
+        if self.use_delta:
+            log = os.path.join(self.path, "_delta_log")
+            return os.path.isdir(log) and any(
+                f.endswith(".json") for f in os.listdir(log)
+            )
         if not os.path.isdir(self.path):
             return False
         for root, _dirs, files in os.walk(self.path):
@@ -111,14 +128,27 @@ class ParquetTable:
         return False
 
     def read(self, spark: SparkSession) -> DataFrame:
+        if self.use_delta:
+            return spark.read.format("delta").load(self.path)
         return spark.read.parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Bootstrap write (operator S8: mode=overwrite, overwriteSchema).
 
         Atomic: materialize to a sibling temp dir, then swap directories, so
-        readers never observe a partial table.
+        readers never observe a partial table. Delta tables get atomicity
+        from the transaction log instead — a plain overwrite commit.
         """
+        if self.use_delta:
+            writer = (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+            )
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.save(self.path)
+            return
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -160,9 +190,10 @@ class ParquetTable:
                     "_change_type", F.lit("insert")
                 ).localCheckpoint(eager=True)
             return None
-        target = self.read(spark)
+        target: DataFrame | None = None
         changes: DataFrame | None = None
         if capture_changes:
+            target = self.read(spark)
             tgt_keys = target.select(*keys).distinct()
             changes = (
                 updates.join(tgt_keys, keys, "left_semi")
@@ -174,6 +205,23 @@ class ParquetTable:
                 )
                 .localCheckpoint(eager=True)
             )
+        if self.use_delta:
+            # Real MERGE with file-level rewrite + transaction log
+            # (reference behavior: silver_orders.py:72-79). Delta prunes
+            # touched files itself; the parquet partition machinery below
+            # is the no-delta substitute for exactly this.
+            cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+            (
+                DeltaTable.forPath(spark, self.path)
+                .alias("t")
+                .merge(updates.alias("u"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return changes
+        if target is None:
+            target = self.read(spark)
         part_cols = [c for c in self.partition_by if c in updates.columns]
         if part_cols:
             # Partition-pruned merge: rewrite only partitions the updates
@@ -315,6 +363,18 @@ class ParquetTable:
         )
         if removed == 0:
             return (0, changes) if capture_changes else 0
+        if self.use_delta:
+            # DELETE WHERE key IN (...) via MERGE whenMatchedDelete — the
+            # log-tracked file rewrite (Delta DELETE parity).
+            cond = " AND ".join(f"t.{k} <=> d.{k}" for k in keys)
+            (
+                DeltaTable.forPath(spark, self.path)
+                .alias("t")
+                .merge(doomed_keys.alias("d"), cond)
+                .whenMatchedDelete()
+                .execute()
+            )
+            return (removed, changes) if capture_changes else removed
         part_cols = list(self.partition_by)
         hit: set[tuple] = set()
         if part_cols:

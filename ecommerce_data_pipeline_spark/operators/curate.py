@@ -201,3 +201,41 @@ def shard_assign(
             (F.row_number().over(w) - 1).alias("pos"),
         )
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Multilingual temperature sampling (the exponent-smoothed language
+    balancing of mBERT/XLM-R: sample languages ∝ (N_l/N)^alpha, alpha<1
+    up-weights low-resource languages). Keep-rate per language
+    r_l = (N_l / N_min)^(alpha-1), normalized so the SMALLEST language is
+    kept fully; membership is the deterministic md5 coin (see
+    ``deterministic_keep``) so retries/executors agree row-for-row.
+
+    Scale shape: one map-side-combined count per language (the per-language
+    frame is |languages| rows — broadcast back), then a pure map filter over
+    the corpus. No shuffle of document payloads at any point.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n_l"))
+    floor_ = counts.agg(F.min("__n_l").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(floor_)).select(
+        stratum_col,
+        F.floor(
+            F.lit(10000.0)
+            * F.pow(F.col("__n_l") / F.col("__n_min"), F.lit(alpha - 1.0))
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    h = _md5_long(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .withColumn("__bucket", h % 10000)
+        .filter(F.col("__bucket") < F.col("rate_bp"))
+        .drop("__bucket")
+    )

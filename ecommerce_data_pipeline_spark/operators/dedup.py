@@ -416,3 +416,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def word_span_shingles(text: Column, w: int = 8) -> Column:
+    """Distinct w-word spans of lower(text) as array<string> — the unit of
+    fine-grained SUBSTRING dedup (Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better' §4.1 approximated at fixed span
+    width: their suffix-array exact-substring pass flags any 50-token
+    repeat; fixed-width spans make the same signal expressible as one
+    explode + count, no suffix array). Codegen expressions only.
+    """
+    words = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+    n = F.greatest(F.size(words) - F.lit(w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, w), " "),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span statistics: how much of each doc's
+    w-word span set also appears in ANOTHER document. The per-doc
+    ``dup_span_ratio`` is the quantitative trim/keep signal fine-grained
+    dedup acts on (doc-level near-dup misses partial template overlap).
+
+    Plan: explode per-doc distinct spans (the array_distinct bounds the
+    explode at one row per distinct span), one map-side-combined count per
+    span, broadcast-free semi-aggregated join back, per-doc aggregate.
+    Span cardinality ~ corpus word count — the same scale class as the
+    inverted index the TF-IDF/BM25 operators already build.
+    """
+    spans = docs.select(
+        F.col(id_col), F.explode(word_span_shingles(F.col(text_col), w)).alias("span")
+    )
+    span_docs = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        spans.join(span_docs, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias(
+                "dup_span_ratio"
+            ),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry is a ``(spark, sf_dir) -> DataFrame`` callable plus (where
+SQL-expressible) a DuckDB oracle that computes the identical result on the
+same parquet tables. Column names AND dtypes are aligned on both sides;
+doubles follow the cents-exact discipline (functions.money_sum) or explicit
+matching rounding so value hashes compare bit-stable.
+
+The medallion queries run the real pipeline transforms over the derived
+event streams (sources/events.py) — bronze projection, W1 dedup, from_json
+parse, enrichment join, minute fact — while their oracles recompute the same
+result directly from the ``orders`` table, proving the whole chain
+(JSON round-trip included) is lossless.
+
+Layout: one module per domain, each registering into the shared
+``_registry.QUERIES/ORACLES`` dicts at import time; this package __init__
+imports them all and then applies the driver-priority ordering below.
+"""
+
+from __future__ import annotations
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+
+# Importing each domain module registers its queries (decorator side effect).
+from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: skip
+    medallion,
+    llm_text,
+    streaming_q,
+    curation,
+    analytics,
+    relational,
+    retrieval,
+)
+
+# ---------------------------------------------------------------------------
+# Driver-priority ordering.
+#
+# The correctness driver checks the FIRST ~50 registered queries per round
+# and the signal is cumulative across rounds. Round 2 verified the first 50
+# in the then-registration order; this list rotates the queries that still
+# need a driver row to the front for round 3: the 25 that fell outside the
+# round-2 window, the 3 whose oracle types were just fixed, and the 4
+# reformulated approx/sketch contracts. Everything not named keeps its
+# registration order behind these.
+# ---------------------------------------------------------------------------
+_DRIVER_PRIORITY: list[str] = [
+    # round-2 additions that never got a driver CORRECTNESS row
+    "dedup_clusters",
+    "revenue_rollup",
+    "orders_status_pivot",
+    "top_customers_per_nation",
+    "events_resampled_locf",
+    "customers_without_orders",
+    "parts_with_shipments",
+    "purchase_and_error_users",
+    "clean_purchase_days",
+    "user_value_moving_avg",
+    "session_window_fact",
+    "tfidf_top_terms",
+    "bm25_search",
+    "top_tokens",
+    "customer_spend_quartiles",
+    "events_hourly_window",
+    "approx_users_sketch_rollup",
+    "shipping_priority_top10",
+    "media_embedding_topk",
+    "shipment_status_current",
+    "quality_report",
+    "sales_cube",
+    "above_avg_orders",
+    "payment_reconciliation",
+    "ann_recall_report",
+    # driver hash rows fixed this round (HUGEINT oracle casts)
+    "user_sessions",
+    "inventory_counters",
+    "session_overlap_pairs",
+    # reformulated from rows-only to deterministic oracle contracts
+    "events_value_quantiles_approx",
+    "approx_distinct_users",
+    "kmeans_ivf_topk",
+    # round-3 additions
+    "language_temperature_sample",
+    "duplicate_ngram_spans",
+    "doc_length_histogram",
+    "dedup_canonical_docs",
+    "sliding_window_gmv",
+]
+
+
+def _apply_driver_priority() -> None:
+    front = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    order = front + rest
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        for n in order:
+            if n in snapshot:
+                mapping[n] = snapshot[n]
+
+
+_apply_driver_priority()

@@ -1,0 +1,296 @@
+"""LLM-training-data curation: PII redaction, stratified sampling,
+contamination screens, repetition stats, shard assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators import similarity as sim
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_features,
+)
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.service import (
+    cart_totals,
+    inventory_counters,
+)
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+from ecommerce_data_pipeline_spark.queries.medallion import md5_long_sql
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: curation (PII, sampling, contamination,
+# repetition, shard assignment) — operators/curate.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1 555-000-1234 at 10.0.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{cu.EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{cu.IPV4_RE}')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{cu.PHONE_RE}')) AS INTEGER) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{cu.EMAIL_RE}', '[EMAIL]', 'g'),
+      '{cu.IPV4_RE}', '[IP]', 'g'),
+      '{cu.PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+FROM d
+""",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / phones) with counts. The corpus text is
+    synthetic and PII-free, so the query plants one deterministic instance
+    of each PII kind per document before redacting — the operator itself
+    (operators/curate.py:redact_pii) sees ordinary dirty text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-1234 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return cu.redact_pii(docs)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, text, lang, source, n_chars,
+  CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} % 10000 AS BIGINT)
+    AS sample_bucket
+FROM documents
+WHERE {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} % 10000
+  < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample by language: keep 50% of
+    en, 25% of es, 10% otherwise — md5-bucketed, so the verdict per row is
+    reproducible across runs/retries/executors (unlike rand()-based
+    df.sample, which resamples when a stage retries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.stratified_sample(
+        docs, rates_bp={"en": 5000, "es": 2500}, default_bp=1000, stratum_col="lang"
+    )
+
+
+@register(
+    "ngram_contamination",
+    oracle="""
+WITH dg AS (
+  SELECT doc_id,
+    unnest(list_distinct([substr(lower(text), i, 13)
+      for i in generate_series(1, greatest(length(text) - 12, 1))])) AS g
+  FROM documents
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct([substr(lower(text), i, 13)
+      for i in generate_series(1, greatest(length(text) - 12, 1))])) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM dg JOIN eg USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct 13-grams shared
+    with the 'benchmark' subset (doc_id % 97 == 0 plays the eval set). The
+    eval n-gram set broadcasts; the corpus side is a pure map + broadcast
+    join, so the only shuffle is the per-doc hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return cu.ngram_contamination(docs, eval_docs, n=13)
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+    list_filter(string_split(text, '. '), x -> x <> '') AS units
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(units) AS INTEGER) AS n_units,
+  CAST(len(list_distinct(units)) AS INTEGER) AS n_distinct_units,
+  round((len(units) - len(list_distinct(units))) * 1.0
+        / greatest(len(units), 1), 4) AS dup_unit_ratio
+FROM u
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style repetitious-content filter):
+    share of '. '-delimited units that are duplicates. Pure map stage."""
+    return cu.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "shard_assign",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+    {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INTEGER)
+    AS pos
+FROM h
+""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5-hash docs into 8 shards
+    with a stable position inside each shard — one hash repartition +
+    independent per-shard sorts, no global total order."""
+    return cu.shard_assign(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation additions: temperature sampling, fine-grained span dedup,
+# corpus shape histogram
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # mBERT/XLM-R exponent; alpha-1 = -0.3 smoothing power
+
+
+@register(
+    "language_temperature_sample",
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+m AS (SELECT min(n_l) AS n_min FROM c),
+r AS (
+  SELECT lang,
+    CAST(floor(10000.0 * ((n_l * 1.0 / n_min) ** ({_TEMP_ALPHA} - 1.0))) AS BIGINT)
+      AS rate_bp
+  FROM c, m
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.rate_bp
+FROM documents d JOIN r USING (lang)
+WHERE {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':temp-v1')")} % 10000
+  < r.rate_bp
+""",
+)
+def q_language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (exponent-smoothed language
+    balancing, alpha=0.7): per-language keep rate (N_l/N_min)^(alpha-1) —
+    the smallest language is kept fully, high-resource ones down-sampled —
+    with the md5-deterministic coin, so the sample is stable across
+    runs/retries/executors. One |languages|-row broadcast + a map filter;
+    no corpus shuffle (operators/curate.py:temperature_sample)."""
+    return cu.temperature_sample(
+        load_table(spark, sf_dir, "documents"), alpha=_TEMP_ALPHA
+    )
+
+
+@register(
+    "duplicate_ngram_spans",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+    for i in generate_series(1, greatest(len(ws)-7, 1))])) AS span
+  FROM words
+),
+cnt AS (SELECT span, count(*) AS n_docs FROM spans GROUP BY 1)
+SELECT doc_id, count(*) AS n_spans,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+    AS dup_span_ratio
+FROM spans JOIN cnt USING (span)
+GROUP BY doc_id
+""",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained substring dedup signal: per-doc share of 8-word spans
+    that also occur in another document (fixed-width approximation of the
+    suffix-array exact-substring pass of Lee et al. 2022). Doc-level
+    near-dup misses partial template overlap; this measures it
+    (operators/dedup.py:duplicate_span_stats)."""
+    return dd.duplicate_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+_LEN_BUCKET_SQL = """CASE
+  WHEN n_chars < 64 THEN '0-63' WHEN n_chars < 128 THEN '64-127'
+  WHEN n_chars < 256 THEN '128-255' WHEN n_chars < 512 THEN '256-511'
+  WHEN n_chars < 1024 THEN '512-1023' ELSE '1024+' END"""
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+SELECT lang, {_LEN_BUCKET_SQL} AS len_bucket,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape profile: doc counts/char mass per (language,
+    power-of-two length bucket) — the standard pre-training corpus audit
+    (token budget per language, truncation exposure). Explicit CASE
+    boundaries, not floor(log2): bit-identical bucketing on both engines.
+    One map-side-combined aggregate; scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 64, "0-63")
+        .when(F.col("n_chars") < 128, "64-127")
+        .when(F.col("n_chars") < 256, "128-255")
+        .when(F.col("n_chars") < 512, "256-511")
+        .when(F.col("n_chars") < 1024, "512-1023")
+        .otherwise("1024+")
+    )
+    return (
+        docs.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,371 @@
+"""LLM-training-data operators: dedup family, similarity search,
+text analysis, multimodal plumbing (documents/embeddings tables).
+Exports the shared oracle fragments (_jaccard_pairs_sql, _WORDS_SQL,
+_sw_list, _COSINE_SQL, _simhash_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators import similarity as sim
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_features,
+)
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.service import (
+    cart_totals,
+    inventory_counters,
+)
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+from ecommerce_data_pipeline_spark.queries.medallion import md5_long_sql
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators.dedup.char_shingles + exact pairwise Jaccard.
+def _jaccard_pairs_sql(k: int = 12, threshold: float = 0.5) -> str:
+    return f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct([substr(lower(text), i, {k})
+    for i in generate_series(1, greatest(length(text)-{k - 1}, 1))])) AS shingle
+  FROM documents
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_id_a, doc_id_b,
+         round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_id_a
+  JOIN cnt cb ON cb.doc_id = doc_id_b
+  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= {threshold}
+)
+"""
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-partitioned groupBy on the content digest."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"WITH {_jaccard_pairs_sql()} SELECT doc_id_a, doc_id_b, jaccard FROM jac",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-12-gram Jaccard near-dup pairs (threshold 0.5)."""
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    # Oracle = exact Jaccard at the same threshold: the corpus similarity
+    # distribution is bimodal (near-dups >=0.9, background <0.2), where
+    # 32x4-band LSH recall is 1-5e-15 — LSH + exact verification therefore
+    # equals the exact answer. Deliberately NOT an oracle that re-implements
+    # LSH: this checks the algorithm's contract, not its internals.
+    oracle=f"WITH {_jaccard_pairs_sql()} SELECT doc_id_a, doc_id_b, jaccard FROM jac",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32x4) candidate pairs, exact-verified at 0.5."""
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of operators.dedup.simhash: identical md5-derived 60-bit
+# hashes, per-bit majority votes, 63-bit signature.
+def _simhash_sql(k: int = 12, bits: int = 64) -> str:
+    mdl = md5_long_sql("shingle")
+    votes = ", ".join(f"sum((h >> {b}) & 1) AS v{b}" for b in range(bits - 1))
+    terms = " + ".join(
+        f"CASE WHEN 2*v{b} > n THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits - 1)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct([substr(lower(text), i, {k})
+    for i in generate_series(1, greatest(length(text)-{k - 1}, 1))])) AS shingle
+  FROM documents
+),
+hashed AS (SELECT doc_id, {mdl} AS h FROM sh),
+votes AS (SELECT doc_id, count(*) AS n, {votes} FROM hashed GROUP BY 1),
+sim AS (SELECT doc_id, {terms} AS simhash FROM votes)
+"""
+
+
+@register(
+    "simhash",
+    oracle=f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM sim",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash signatures (majority vote over shingle-hash bits)."""
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+WITH {_simhash_sql()}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3, 16-bit-band blocked. The
+    oracle is the quadratic filter; band blocking is exact by pigeonhole."""
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv,
+             label FROM embeddings),
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH {_COSINE_SQL}
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 4)
+      AS cosine_sim
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for every 50th vector as query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(emb, queries_df, k=5)
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+WITH {_COSINE_SQL}
+qc AS (SELECT q.query_id, q.qv, e.label AS cell
+       FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 4)
+      AS cosine_sim
+  FROM qc JOIN v ON v.label = qc.cell AND v.neighbor_id <> qc.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+""",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: prune to the query's cell (label = coarse-quantizer
+    stand-in), then exact top-3 inside the cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(emb, queries_df, k=3)
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '), "
+    "w -> w <> '')"
+)
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+
+
+@register(
+    "language_id",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+r AS (
+  SELECT doc_id, CAST(len(words) AS INTEGER) AS n_tokens,
+    {", ".join(
+        f"round(len(list_filter(words, t -> list_contains({_sw_list(lang)}, t)))*1.0"
+        f" / greatest(len(words), 1), 4) AS r_{lang}"
+        for lang in tx.STOPWORDS
+    )}
+  FROM w
+)
+SELECT doc_id, n_tokens, r_en AS en_ratio,
+  CASE WHEN greatest(r_en, r_es, r_fr, r_de) <= 0 THEN 'und'
+       {" ".join(
+           f"WHEN r_{lang} = greatest(r_en, r_es, r_fr, r_de) THEN '{lang}'"
+           for lang in tx.STOPWORDS
+       )}
+  END AS predicted_lang
+FROM r
+""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID over documents."""
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS words,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS INTEGER) AS alpha_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, CAST(len(words) AS INTEGER) AS n_tokens,
+    round(coalesce(list_sum(list_transform(words, t -> length(t))), 0) * 1.0
+          / greatest(len(words), 1), 4) AS mean_token_len,
+    round(alpha_chars * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+    round(len(list_filter(words, t -> list_contains({_sw_list("en")}, t))) * 1.0
+          / greatest(len(words), 1), 4) AS stopword_ratio
+  FROM w
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio,
+  round(
+    (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+FROM f
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-shaped quality features + composite score."""
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+  CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS INTEGER) AS distinct_tokens
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    oracle="""
+SELECT doc_id, md5(lower(text)) AS content_md5,
+  list_aggregate([md5(substr(lower(text), i, 16))
+    for i in generate_series(1, greatest(length(text)-15, 1))], 'min') AS min_shingle_md5
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + winnowing-style min-shingle-hash fingerprint."""
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: multimodal plumbing (documents as payloads)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decode_media_features",
+    oracle="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  'fake' AS format,
+  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+  CAST((coalesce(ascii(substr(text, 1, 1)), 0) * 31 + octet_length(encode(text)))
+       % 1000003 AS BIGINT) AS checksum_mod
+FROM documents
+""",
+)
+def q_decode_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one honest Pandas path: binary payloads through an Arrow-batched
+    mapInPandas decode kernel (deterministic stub — codecs not bundled).
+    The oracle replicates the stub's arithmetic; text is ASCII so the first
+    utf-8 byte equals ascii(first char)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_features(attach_binary_payload(docs))
+
+
+@register(
+    "frame_sample_plan",
+    oracle="""
+SELECT doc_id,
+  CAST(unnest(generate_series(0,
+       CAST(floor(octet_length(encode(text))/1000) AS INTEGER), 10)) AS INTEGER)
+    AS frame_idx
+FROM documents
+""",
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_binary_payload(docs))
+
+

@@ -1,0 +1,549 @@
+"""Medallion pipeline queries (reference parity) + operational event
+analytics + the SQL surface and service-tier aggregates.
+Exports the shared payments-stream oracle fragment PAY_SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators import similarity as sim
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_features,
+)
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.service import (
+    cart_totals,
+    inventory_counters,
+)
+from ecommerce_data_pipeline_spark.sources.events import (
+    orders_events,
+    payments_events,
+    silver_orders_frame,
+    silver_payments_frame,
+)
+from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# The deterministic payments stream, reconstructed in SQL exactly as
+# sources/events.py derives it (integer-exact cents splits by orderkey residue).
+PAY_SQL = """
+pay_legs AS (
+  SELECT o_orderkey AS order_key, o_orderdate AS order_ts,
+    CASE
+      WHEN o_orderkey % 10 = 1 THEN CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)/2) AS BIGINT)
+      WHEN o_orderkey % 10 = 2 THEN CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)*6/10) AS BIGINT)
+      WHEN o_orderkey % 10 = 3 THEN CAST(round(o_totalprice*100) AS BIGINT)
+           + CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)/10) AS BIGINT)
+      ELSE CAST(round(o_totalprice*100) AS BIGINT)
+    END AS amount_cents, 1 AS seq
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderdate,
+    CAST(round(o_totalprice*100) AS BIGINT)
+      - CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)*6/10) AS BIGINT), 2
+  FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderdate, CAST(999 AS BIGINT), 1
+  FROM orders WHERE o_orderkey % 997 = 0
+),
+pay AS (
+  SELECT 'payments.events' AS topic,
+    CAST(order_key % 6 AS INTEGER) AS partition,
+    row_number() OVER (PARTITION BY order_key % 6
+      ORDER BY order_ts + to_seconds(30 + order_key % 570 + seq*60),
+               CAST(order_key AS VARCHAR)) - 1 AS "offset",
+    order_ts + to_seconds(30 + order_key % 570 + seq*60) AS kafka_timestamp,
+    order_key, amount_cents
+  FROM pay_legs
+),
+pay_agg AS (
+  SELECT order_key, sum(amount_cents)/100.0 AS paid_raw,
+         max(kafka_timestamp) AS last_ts
+  FROM pay GROUP BY 1
+),
+enriched AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+    concat('user', CAST(o_custkey AS VARCHAR), '@example.com') AS user_id,
+    round(o_totalprice, 2) AS total_amount,
+    'USD' AS currency,
+    round(coalesce(p.paid_raw, 0), 2) AS paid_amount,
+    round(coalesce(p.paid_raw, 0), 2) >= round(o_totalprice, 2) AS fully_paid,
+    date_trunc('second', o_orderdate) AS order_ts,
+    p.last_ts AS last_payment_ts,
+    greatest(date_trunc('second', o_orderdate),
+             coalesce(p.last_ts, date_trunc('second', o_orderdate))) AS updated_ts,
+    o_orderkey, o_orderdate
+  FROM orders LEFT JOIN pay_agg p ON p.order_key = o_orderkey
+)
+"""
+
+# DuckDB twin of operators.dedup._md5_long: first 15 hex chars of md5 as int64.
+def md5_long_sql(expr: str) -> str:
+    return (
+        "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(md5("
+        + expr
+        + "), i, 1)) - 1 AS BIGINT) * CAST(16**(15-i) AS BIGINT) "
+        "for i in generate_series(1, 15)]) AS BIGINT)"
+    )
+
+
+def _anchor_join(df: DataFrame, anchor_col) -> DataFrame:
+    """Cross-join a 1-row max() anchor (broadcast) for deterministic
+    'relative to data head' time windows."""
+    anchor = df.agg(anchor_col.alias("__anchor"))
+    return df.crossJoin(F.broadcast(anchor))
+
+
+# ---------------------------------------------------------------------------
+# Medallion pipeline queries (reference parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "silver_orders_clean",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+         CAST(o_orderkey % 6 AS INTEGER) AS part,
+         row_number() OVER (PARTITION BY o_orderkey % 6
+             ORDER BY o_orderdate + INTERVAL 1 SECOND,
+                      CAST(o_orderkey AS VARCHAR)) - 1 AS off
+  FROM orders
+), items AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT 'orders.events' AS topic, part AS partition, off AS "offset",
+  o_orderdate + INTERVAL 1 SECOND AS kafka_timestamp,
+  'order.created' AS event_type,
+  CAST(o_orderkey AS VARCHAR) AS order_id,
+  concat('user', CAST(o_custkey AS VARCHAR), '@example.com') AS user_id,
+  'USD' AS currency,
+  round(o_totalprice, 2) AS total_amount,
+  'CREATED' AS status,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS event_time,
+  sha256(concat('evt:', CAST(o_orderkey AS VARCHAR))) AS event_id,
+  date_trunc('second', o_orderdate) AS event_ts,
+  CAST(date_trunc('second', o_orderdate) AS DATE) AS event_date,
+  CAST(coalesce(i.n, 0) AS INTEGER) AS n_items
+FROM base LEFT JOIN items i ON i.l_orderkey = o_orderkey
+""",
+)
+def silver_orders_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver for order.created: projection (P1) → W1 dedup →
+    from_json parse (P2) → derived times (P3). Proves the JSON round trip is
+    lossless; `items` is carried as its size (array-of-struct hashing is
+    covered in unit tests)."""
+    clean = silver_orders_frame(spark, sf_dir)
+    return clean.select(
+        "topic",
+        "partition",
+        "offset",
+        "kafka_timestamp",
+        "event_type",
+        "order_id",
+        "user_id",
+        "currency",
+        "total_amount",
+        "status",
+        "event_time",
+        "event_id",
+        "event_ts",
+        "event_date",
+        F.coalesce(F.size("items"), F.lit(0)).alias("n_items"),
+    )
+
+
+@register(
+    "silver_payments_clean",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT topic, partition, "offset", kafka_timestamp,
+  CAST(order_key AS VARCHAR) AS order_id,
+  amount_cents/100.0 AS amount,
+  'USD' AS currency,
+  'succeeded' AS status,
+  CAST(NULL AS VARCHAR) AS method,
+  sha256(concat('evt:payments.events:', CAST(partition AS VARCHAR), ':', CAST("offset" AS VARCHAR))) AS event_id,
+  sha256(concat('pay:payments.events:', CAST(partition AS VARCHAR), ':', CAST("offset" AS VARCHAR))) AS payment_id,
+  kafka_timestamp AS event_ts,
+  CAST(kafka_timestamp AS DATE) AS event_date
+FROM pay
+""",
+)
+def silver_payments_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver for payment.succeeded: flat-payload parse, cents→dollars,
+    sha256 synthetic ids, Kafka-timestamp-as-event-time (silver_payments.py
+    parity, including its quirks)."""
+    clean = silver_payments_frame(spark, sf_dir)
+    return clean.select(
+        "topic",
+        "partition",
+        "offset",
+        "kafka_timestamp",
+        "order_id",
+        "amount",
+        "currency",
+        "status",
+        "method",
+        "event_id",
+        "payment_id",
+        "event_ts",
+        "event_date",
+    )
+
+
+@register(
+    "order_payments_enriched",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT order_id, user_id, total_amount, currency, paid_amount, fully_paid,
+       order_ts, last_payment_ts, updated_ts
+FROM enriched
+""",
+)
+def order_payments_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full silver chain + A1/J1 enrichment: one row per order with
+    paid_amount (coalesced 0.0), fully_paid, updated_ts
+    (silver_enrich.py:32-44 semantics). Orphan payments drop out; unpaid /
+    partial / split / overpaid orders all present via the fixture residues."""
+    orders_clean = silver_orders_frame(spark, sf_dir)
+    payments_clean = silver_payments_frame(spark, sf_dir)
+    return enrich_orders(orders_clean, payments_clean)
+
+
+@register(
+    "fct_sales_minute",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT date_trunc('minute', o_orderdate) AS minute_bucket,
+  {money_sum_sql('total_amount')} AS gmv,
+  count(*) AS paid_orders
+FROM enriched WHERE fully_paid
+GROUP BY 1
+""",
+)
+def fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold fact end-to-end: events → silver → enrich → paid-only
+    inner join → minute-bucket agg (fct_sales_minute.sql:8-41).
+    processed_ts (current_timestamp) excluded — run-dependent."""
+    orders_clean = silver_orders_frame(spark, sf_dir)
+    payments_clean = silver_payments_frame(spark, sf_dir)
+    enriched = enrich_orders(orders_clean, payments_clean)
+    return sales_minute_agg(orders_clean, enriched).drop("processed_ts")
+
+
+@register(
+    "recent_sales_top10",
+    oracle=f"""
+WITH {PAY_SQL},
+fct AS (
+  SELECT date_trunc('minute', o_orderdate) AS minute_bucket,
+    {money_sum_sql('total_amount')} AS gmv,
+    count(*) AS paid_orders
+  FROM enriched WHERE fully_paid GROUP BY 1
+)
+SELECT minute_bucket, gmv, paid_orders FROM fct
+ORDER BY minute_bucket DESC LIMIT 10
+""",
+)
+def recent_sales_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: the README dashboard query (README.md:159-162) — latest 10 minute
+    buckets. Physical plan is TakeOrderedAndProject: no global sort."""
+    return (
+        fct_sales_minute(spark, sf_dir)
+        .orderBy(F.col("minute_bucket").desc())
+        .limit(10)
+    )
+
+
+@register(
+    "paid_orders_recent",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT order_id, user_id, total_amount, paid_amount, updated_ts
+FROM enriched WHERE fully_paid
+ORDER BY updated_ts DESC, order_id LIMIT 20
+""",
+)
+def paid_orders_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:164-167: latest fully-paid orders over the enriched view."""
+    return (
+        order_payments_enriched(spark, sf_dir)
+        .filter(F.col("fully_paid"))
+        .orderBy(F.col("updated_ts").desc(), F.col("order_id"))
+        .limit(20)
+        .select("order_id", "user_id", "total_amount", "paid_amount", "updated_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operational event analytics (events table: dense 30-day stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_minute_fact",
+    oracle=f"""
+SELECT date_trunc('minute', ts) AS minute_bucket,
+  {money_sum_sql('value')} AS gmv,
+  count(*) AS purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def events_minute_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on the dense stream: per-minute purchase rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_bucket"))
+        .agg(money_sum("value").alias("gmv"), F.count(F.lit(1)).alias("purchases"))
+    )
+
+
+@register(
+    "events_last_hour",
+    oracle=f"""
+WITH fct AS (
+  SELECT date_trunc('minute', ts) AS minute_bucket,
+    {money_sum_sql('value')} AS gmv,
+    count(*) AS purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT minute_bucket, gmv, purchases FROM fct
+WHERE minute_bucket >= (SELECT max(minute_bucket) FROM fct) - INTERVAL 60 MINUTE
+""",
+)
+def events_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: vw_sales_last_60min semantics, anchored at the data head (max
+    bucket) instead of current_timestamp for determinism."""
+    fct = events_minute_fact(spark, sf_dir)
+    anchored = _anchor_join(fct, F.max("minute_bucket"))
+    return anchored.filter(
+        F.col("minute_bucket")
+        >= F.timestamp_add("MINUTE", F.lit(-60), F.col("__anchor"))
+    ).select("minute_bucket", "gmv", "purchases")
+
+
+@register(
+    "events_incremental_2h",
+    oracle=f"""
+SELECT date_trunc('minute', ts) AS minute_bucket,
+  {money_sum_sql('value')} AS gmv,
+  count(*) AS purchases
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+GROUP BY 1
+""",
+)
+def events_incremental_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/ST5: the 2-hour incremental lookback slice — the set of minute
+    buckets a late-data MERGE run would recompute (fct_sales_minute.sql:35-40)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchored = _anchor_join(ev, F.max("ts"))
+    return (
+        anchored.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.timestamp_add("HOUR", F.lit(-2), F.col("__anchor")))
+        )
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_bucket"))
+        .agg(money_sum("value").alias("gmv"), F.count(F.lit(1)).alias("purchases"))
+    )
+
+
+@register(
+    "freshness_by_type",
+    oracle="""
+SELECT event_type, max(ts) AS max_event_ts, count(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: freshness probe — max event time per stream (README.md:214-220)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("max_event_ts"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "user_current_state",
+    oracle="""
+SELECT user_id, event_type AS current_state, ts AS state_ts
+FROM (
+  SELECT user_id, event_type, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 as a batch view: last event per key = current state of the keyed
+    state machine (order CREATED→PAID, shipment transitions)."""
+    cur = win.current_state(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+    return cur.select(
+        "user_id",
+        F.col("event_type").alias("current_state"),
+        F.col("ts").alias("state_ts"),
+    )
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts, value,
+    -- CAST: DuckDB integer sum() yields HUGEINT (int128); Spark emits int64.
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  {money_sum_sql('value')} AS total_value
+FROM ids GROUP BY 1, 2
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    return win.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_id, user_id, ts,
+  CAST(props->>'$.k' AS INTEGER) AS k_val
+FROM events
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 on real stored JSON: schema-on-read extraction from the props blob."""
+    from ecommerce_data_pipeline_spark.schemas import EVENT_PROPS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.from_json(F.col("props"), EVENT_PROPS_SCHEMA).getField("k").alias("k_val"),
+    )
+
+
+@register(
+    "catalog_search_page",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+WHERE contains(p_name, 'red')
+ORDER BY p_partkey
+LIMIT 50 OFFSET 20
+""",
+)
+def catalog_search_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/O2: catalog substring search + deterministic keyset paging
+    (services/catalog/app/api/products.py:20-35)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").contains("red"))
+        .orderBy("p_partkey")
+        .offset(20)
+        .limit(50)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface (S4/S10): the same query text runs via spark.sql() and DuckDB
+# ---------------------------------------------------------------------------
+
+_SQL_SURFACE = """
+SELECT date_trunc('minute', ts) AS minute_bucket,
+       sum(CAST(round(value*100) AS BIGINT))/CAST(100.0 AS DOUBLE) AS gmv,
+       count(*) AS purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY date_trunc('minute', ts)
+ORDER BY minute_bucket DESC
+LIMIT 15
+"""
+
+
+@register("sql_recent_purchase_minutes", oracle=_SQL_SURFACE)
+def sql_recent_purchase_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S10: the Trino-style interactive SQL surface — temp views +
+    spark.sql() with dialect-shared SQL text (README.md:154-190). The exact
+    same string is the oracle."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_SQL_SURFACE)
+
+
+# ---------------------------------------------------------------------------
+# Service-tier aggregates (A5/A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cart_totals",
+    oracle="""
+SELECT l_orderkey AS order_id,
+  CAST(count(*) AS BIGINT) AS n_items,
+  sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice/l_quantity*100) AS BIGINT))/100.0 AS cart_total
+FROM lineitem GROUP BY 1
+""",
+)
+def q_cart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: cents-exact cart total per order (routes.py:140-147 semantics)."""
+    return cart_totals(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "inventory_counters",
+    oracle="""
+SELECT l_partkey AS product_id,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS reserved_qty,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS committed_qty,
+  count(*) AS n_movements
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
+def q_inventory_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-product reserve/commit counters (inventory.py:52-125)."""
+    return inventory_counters(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+

@@ -1,0 +1,557 @@
+"""As-of join, interval-overlap range join, dedup clustering, OLAP
+rollup/pivot/window shapes, set operations, gap-fill resample."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators import similarity as sim
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_features,
+)
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.service import (
+    cart_totals,
+    inventory_counters,
+)
+from ecommerce_data_pipeline_spark.sources.events import orders_events, payments_events
+from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+from ecommerce_data_pipeline_spark.queries.llm_text import _jaccard_pairs_sql
+
+
+# ---------------------------------------------------------------------------
+# As-of join, interval-overlap range join, dedup clustering, OLAP shapes
+# ---------------------------------------------------------------------------
+
+from ecommerce_data_pipeline_spark.operators import graph as gr  # noqa: E402
+from ecommerce_data_pipeline_spark.operators.asof import (  # noqa: E402
+    asof_join,
+    interval_overlap_pairs,
+)
+
+
+@register(
+    "asof_view_before_purchase",
+    oracle="""
+WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type='purchase'),
+     v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type='view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+  v.ts AS view_ts, v.event_id AS view_event_id, v.value AS view_value,
+  date_diff('microsecond', v.ts, p.ts) AS gap_us
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the user's most
+    recent prior (or simultaneous) page view — the canonical ASOF JOIN,
+    which Spark lacks natively. Union-sort plan (operators/asof.py): ONE
+    shuffle of |purchases|+|views| rows on user_id, a per-key sort, zero
+    row blow-up — vs the naive non-equi join's |P|x|V| per user. Oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "value"], prefix="view_",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "view_ts", "view_event_id", "view_value",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+_SESSIONS_SQL = """
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+    -- CAST: DuckDB integer sum() yields HUGEINT (int128); Spark emits int64.
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id,
+    ts
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=f"""
+WITH {_SESSIONS_SQL}
+SELECT a.user_id AS a_user_id, a.session_id AS a_session_id,
+       b.user_id AS b_user_id, b.session_id AS b_session_id,
+       date_diff('microsecond',
+                 greatest(a.session_start, b.session_start),
+                 least(a.session_end, b.session_end)) AS overlap_us
+FROM sessions a JOIN sessions b
+  ON a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+ AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+ AND a.user_id <> b.user_id
+""",
+)
+def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: concurrent sessions of different users.
+    Binned range-join plan (operators/asof.py): sessions explode onto
+    1-hour buckets, pairs meet on a bucket equi-join (shuffle keyed by
+    bucket — parallel, prunable), the exact overlap predicate filters, and
+    the first-shared-bucket rule de-dups without a distinct. The oracle is
+    the O(n^2) literal non-equi join — same rows, different plan."""
+    sessions = win.sessionize(load_table(spark, sf_dir, "events"))
+    pairs = interval_overlap_pairs(
+        sessions,
+        id_cols=["session_id"],
+        start_col="session_start",
+        end_col="session_end",
+        partition_col="user_id",
+        bucket_seconds=3600,
+    )
+    return pairs.select(
+        "a_user_id", "a_session_id", "b_user_id", "b_session_id",
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("overlap_us"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION SELECT doc_id_b, doc_id_a FROM jac
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH pairs -> connected
+    components (iterative min-label propagation, operators/graph.py) ->
+    every doc labeled with its cluster's min doc_id and a keep/drop flag.
+    THE missing piece between pair detection and an actually-deduplicated
+    training corpus. Oracle: recursive-CTE transitive closure over the
+    exact-Jaccard pair set (= the LSH pair set on this corpus, separately
+    oracle-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return gr.dedup_clusters(docs, pairs)
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+SELECT coalesce(n_name, 'ALL') AS nation,
+  CAST(coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS VARCHAR) AS order_year,
+  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: (nation, year) -> nation subtotals -> grand total in
+    one pass. Spark plans a single Expand + hash aggregate — partial
+    aggregation still map-side, one shuffle for all three grouping levels
+    (vs three scans if written as UNION ALL). NULL grouping slots are
+    labeled 'ALL' on both sides so the hash compare is unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("string").alias("order_year_raw"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("n_name", "order_year_raw")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("order_year_raw", F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+  count(*) AS total
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list: statuses become columns. Listing the
+    pivot values keeps it a single-pass conditional aggregation (no extra
+    distinct-values job, which at 100 TB is a full shuffle you don't want
+    for a known enum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    total = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        p.join(total, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+            "total",
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+WITH spend AS (
+  SELECT n_name AS nation, c_custkey, c_name,
+    sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend,
+    count(*) AS n_orders
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY nation
+      ORDER BY total_spend DESC, c_custkey) AS rank
+  FROM spend
+)
+SELECT nation, rank, c_custkey, c_name, total_spend, n_orders
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: spend rollup (one shuffle, map-side partial) then a
+    per-nation row_number window — Spark runs the window sort WITHIN the
+    nation partitions of the aggregate output (already small), never a
+    global sort. Deterministic c_custkey tiebreak so top-3 is stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey", "c_name")
+        .agg(
+            money_sum("o_totalprice").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("nation", "rank", "c_custkey", "c_name", "total_spend", "n_orders")
+    )
+
+
+from ecommerce_data_pipeline_spark.operators.asof import resample_locf  # noqa: E402
+
+
+@register(
+    "events_resampled_locf",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, e.ts AS matched_ts, e.value AS matched_value
+FROM grid g ASOF JOIN events e ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+""",
+)
+def q_events_resampled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: each user's irregular event series onto
+    an hourly grid with last-observation-carried-forward. Grid generation
+    is distributed (per-key sequence+explode, sized by the key's own
+    span); fill is ONE union-sort as-of join — two key shuffles total, no
+    per-grid-point probe. Oracle: DuckDB generate_series + ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        ev, on=["user_id"], ts_col="ts", value_cols=["value"],
+        step="interval 1 hour", origin_trunc="hour",
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders since 2000. The anti join
+    keeps only the probe side (no payload from orders is materialized),
+    the date filter pushes into the orders scan BEFORE the join, and the
+    build side reduces to its join key — at scale this is a
+    broadcast/shuffled hash anti with the fact side never widened."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "parts_with_shipments",
+    oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+)
+def q_parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: parts that appear in at least one lineitem.
+    Semi-join semantics mean the (much larger) lineitem side contributes
+    existence only — no duplication of part rows, no lineitem columns
+    read beyond the join key (column pruning to l_partkey)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "purchase_and_error_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def q_purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): users who both purchased and hit errors.
+    Plans as an aggregate + semi join on the deduped sides — one shuffle
+    each, never a row-multiplying join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(e)
+
+
+@register(
+    "clean_purchase_days",
+    oracle="""
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'error'
+""",
+)
+def q_clean_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): (user, day) slots with purchases but no
+    errors — dedup + anti join, same single-shuffle shape as INTERSECT."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    return p.subtract(e)
+
+
+@register(
+    "user_value_moving_avg",
+    oracle="""
+SELECT user_id, event_id, ts,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+FROM events
+""",
+)
+def q_user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME specs: 7-row trailing moving average + running sum per
+    user. Both frames share ONE window sort (same partition/order), so the
+    plan is a single shuffle + single per-key sort with two frame
+    evaluators — adding frames is free once the sort exists. Deterministic
+    event_id tiebreak keeps frame contents (and thus fp-sums) stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.avg("value").over(w.rowsBetween(-6, 0)), 4).alias("moving_avg_7"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_sum"),
+    )
+
+
+@register(
+    "session_window_fact",
+    oracle="""
+WITH flagged AS (
+  -- >= 1800: Spark's session_window opens a NEW session when the gap
+  -- equals the gap duration exactly (half-open [start, start+gap) window);
+  -- the lag-based formulation must use the same closed/open boundary.
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM ids GROUP BY user_id, sid
+""",
+)
+def q_session_window_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min gap): one
+    groupBy(user, session_window) hash agg — no lag/running-sum window
+    pair, and in streaming the same expression is watermark-mergeable
+    state. Session end follows Spark's definition (last event + gap); the
+    oracle replicates it from the lag formulation, proving the two
+    sessionization paths agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION SELECT doc_id_b, doc_id_a FROM jac
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sized AS (
+  SELECT cl.doc_id, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n_chars DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM sized
+)
+SELECT cluster_id, doc_id AS canonical_doc_id, n_chars,
+  CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster: LSH pairs →
+    connected components → keep the LONGEST member (content-quality proxy;
+    doc_id tiebreak), with cluster size. This is the policy layer the
+    min-id ``is_canonical`` flag of dedup_clusters doesn't express: real
+    dedup pipelines keep the best-quality member, not an arbitrary one.
+    Window ranks run inside the (small) cluster-assignment frame — the
+    corpus text never reaches the window shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    clusters = gr.dedup_clusters(docs, pairs)
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = sized.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "n_chars",
+        "cluster_size",
+    )

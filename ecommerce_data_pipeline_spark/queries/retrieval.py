@@ -1,0 +1,666 @@
+"""Retrieval & ranking (TF-IDF, BM25, token stats) plus late-round
+OLAP/quality/reconciliation queries and the ANN recall report."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators import similarity as sim
+from ecommerce_data_pipeline_spark.operators import text as tx
+from ecommerce_data_pipeline_spark.operators import windows as win
+from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.operators.enrich import enrich_orders
+from ecommerce_data_pipeline_spark.operators.fact import sales_minute_agg
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_features,
+)
+from ecommerce_data_pipeline_spark.operators.parse import (
+    bronze_projection,
+    parse_orders,
+    parse_payments,
+)
+from ecommerce_data_pipeline_spark.operators.service import (
+    cart_totals,
+    inventory_counters,
+)
+from ecommerce_data_pipeline_spark.sources.events import (
+    orders_events,
+    payments_events,
+    silver_orders_frame,
+    silver_payments_frame,
+)
+from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+
+from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    register,
+)
+from ecommerce_data_pipeline_spark.queries.medallion import PAY_SQL, md5_long_sql
+
+
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS token
+  FROM documents
+),
+tfreq AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {_TOKS_SQL},
+dfreq AS (SELECT token, count(*) AS df FROM tfreq GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+    round(tf * (ln((n.n + 1.0)/(dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tfreq JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 5
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the inverted-index shuffle plus
+    two broadcast-sized corpus stats (see operators/text.py)."""
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH {_TOKS_SQL},
+q AS (SELECT doc_id, token, tf FROM tfreq
+      WHERE token IN ('spark', 'join', 'stream')),
+dfreq AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS dl
+  FROM documents
+),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+scored AS (
+  SELECT q.doc_id,
+    ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+      * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM q JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(w), 4) AS score, count(*) AS n_hit_terms
+FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {spark, join, stream}: term-filtered
+    inverted index + broadcast corpus stats + TakeOrdered top-n (no global
+    sort). k1=1.2, b=0.75 — so tf*(k1+1)=tf*2.2 and
+    1-b+b*dl/avgdl=0.25+0.75*dl/avgdl in the oracle."""
+    return tx.bm25_search(
+        load_table(spark, sf_dir, "documents"), ["spark", "join", "stream"]
+    )
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+WITH {_TOKS_SQL}
+SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+FROM tfreq GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 50
+""",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-50: explode → two-level count (the
+    (doc,token) pre-aggregate bounds the explode shuffle) → global top-k
+    via TakeOrdered. Vocabulary-size output regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx._term_freqs(docs, "text", "doc_id")
+    return (
+        t.groupBy("token")
+        .agg(
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, total_spend,
+  ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+FROM spend
+""",
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking: customers into spend quartiles. The global-order
+    window is the honest cost (one range-partitioned sort of the
+    CUSTOMER-grain aggregate — small next to the fact scan); deterministic
+    o_custkey tiebreak makes bucket edges stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type, count(*) AS n,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via Spark's native window() expression —
+    the same operator Structured Streaming uses with a watermark, here in
+    batch. One hash agg; window bounds come from the struct, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@register(
+    "approx_users_sketch_rollup",
+    oracle="""
+SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events,
+  TRUE AS within_bound
+FROM events
+""",
+)
+def q_approx_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental distinct-count pattern end-to-end: per-day HLL
+    sketch table (one fixed-width row per day — the MERGE-maintained
+    increment) union-merged to a corpus-wide distinct-user estimate.
+    Emitted as the deterministic contract (exact count + 5% error-bound
+    boolean; HLL union is register-max, merge-order independent) so the
+    driver can hash-check it; the pytest suite additionally asserts
+    merge-invariance of the sketch table itself (operators/sketches.py)."""
+    from ecommerce_data_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merge_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = merge_sketches(daily_user_sketches(ev))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return rolled.crossJoin(exact).select(
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+SELECT l_orderkey,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""",
+)
+def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter (mktsegment) broadcast
+    into the orders join, both date predicates pushed to their scans, then
+    revenue rollup + top-10 via TakeOrdered. The plan: filtered customer
+    (small) broadcasts; orders joins then lineitem joins shuffle on the
+    order key once; no global sort for the limit. Exact 1e-4-unit money."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        F.broadcast(customer)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_u) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "media_embedding_topk",
+    oracle=f"""
+WITH emb AS (
+  -- outer comprehension variable is 'd': md5_long_sql's own inner
+  -- comprehension binds 'i', which would shadow an outer 'i'.
+  SELECT doc_id,
+    [CAST(({md5_long_sql("text || ':' || CAST(d AS VARCHAR)")}) % 100000 AS DOUBLE)/100000.0
+     for d in generate_series(0, 15)] AS e
+  FROM documents
+),
+q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, emb.doc_id AS neighbor_id,
+    round(list_inner_product(qe, e)
+          / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4)
+      AS cosine_sim
+  FROM q JOIN emb ON emb.doc_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+""",
+)
+def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal training-data path end-to-end: binary payloads →
+    Arrow-batched embed kernel (stub encoder, operators/multimodal.py) →
+    exact cosine top-3 per query doc. Proves the binary→vector→ANN
+    composition on real Spark plumbing; the oracle recomputes the
+    deterministic embedding and ranking entirely in SQL."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import embed_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_media(attach_binary_payload(docs))
+    queries_df = emb.filter(F.col("doc_id") % 100 == 0)
+    return sim.cosine_topk(
+        emb, queries_df, k=3, id_col="doc_id", vec_col="embedding"
+    )
+
+
+@register(
+    "shipment_status_current",
+    oracle=f"""
+WITH {PAY_SQL}
+SELECT order_id,
+  CASE WHEN fully_paid AND o_orderstatus = 'F' THEN 'DISPATCHED'
+       WHEN fully_paid THEN 'READY_TO_SHIP'
+       ELSE 'PENDING_PAYMENT' END AS state,
+  CASE WHEN fully_paid AND o_orderstatus = 'F'
+         THEN last_payment_ts + INTERVAL 1 HOUR
+       WHEN fully_paid THEN last_payment_ts
+       ELSE order_ts END AS state_ts,
+  CAST(1 + CASE WHEN fully_paid THEN 1 ELSE 0 END
+         + CASE WHEN fully_paid AND o_orderstatus = 'F' THEN 1 ELSE 0 END
+       AS BIGINT) AS n_events
+FROM enriched JOIN orders USING (o_orderkey)
+""",
+)
+def q_shipment_status_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7's second machine: the 3-state shipment lifecycle
+    (PENDING_PAYMENT → READY_TO_SHIP → DISPATCHED,
+    services/shipping/app/kafka/consumer.py:100-141) as the same monotone
+    fold. Shipment events derive deterministically from the medallion:
+    every order opens PENDING_PAYMENT; full payment emits READY_TO_SHIP at
+    the last payment; finished ('F') orders dispatch an hour later. One
+    union + one hash agg — no sequential replay."""
+    from ecommerce_data_pipeline_spark.operators.state import (
+        SHIPMENT_STATE_RANKS,
+        fold_state_events,
+    )
+
+    orders_clean = silver_orders_frame(spark, sf_dir)
+    payments_clean = silver_payments_frame(spark, sf_dir)
+    enriched = enrich_orders(orders_clean, payments_clean)
+    status = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("order_id"), "o_orderstatus"
+    )
+    e = enriched.join(status, "order_id")
+    pending = e.select(
+        "order_id", F.lit("PENDING_PAYMENT").alias("state"),
+        F.col("order_ts").alias("event_ts"),
+    )
+    ready = e.filter("fully_paid").select(
+        "order_id", F.lit("READY_TO_SHIP").alias("state"),
+        F.col("last_payment_ts").alias("event_ts"),
+    )
+    dispatched = e.filter(
+        F.col("fully_paid") & (F.col("o_orderstatus") == "F")
+    ).select(
+        "order_id", F.lit("DISPATCHED").alias("state"),
+        (F.col("last_payment_ts") + F.expr("INTERVAL 1 HOUR")).alias("event_ts"),
+    )
+    events = pending.unionByName(ready).unionByName(dispatched)
+    return fold_state_events(events, ranks=SHIPMENT_STATE_RANKS)
+
+
+@register(
+    "quality_report",
+    oracle=f"""
+WITH {PAY_SQL},
+fact AS (
+  SELECT date_trunc('minute', o_orderdate) AS minute_bucket,
+    {money_sum_sql('total_amount')} AS gmv,
+    count(*) AS paid_orders
+  FROM enriched WHERE fully_paid GROUP BY 1
+),
+s AS (
+  SELECT
+    sum(CASE WHEN minute_bucket IS NULL THEN 1 ELSE 0 END) AS nn_bucket,
+    sum(CASE WHEN gmv IS NULL THEN 1 ELSE 0 END) AS nn_gmv,
+    sum(CASE WHEN paid_orders IS NULL THEN 1 ELSE 0 END) AS nn_paid,
+    count(*) - count(DISTINCT minute_bucket) AS dup_buckets,
+    sum(CASE WHEN gmv < 0 THEN 1 ELSE 0 END) AS neg_gmv,
+    sum(CASE WHEN paid_orders < 0 THEN 1 ELSE 0 END) AS neg_paid
+  FROM fact
+)
+SELECT 'not_null:minute_bucket' AS check, CAST(nn_bucket AS BIGINT) AS failing_rows, nn_bucket = 0 AS passed FROM s
+UNION ALL SELECT 'not_null:gmv', CAST(nn_gmv AS BIGINT), nn_gmv = 0 FROM s
+UNION ALL SELECT 'not_null:paid_orders', CAST(nn_paid AS BIGINT), nn_paid = 0 FROM s
+UNION ALL SELECT 'unique:minute_bucket', CAST(dup_buckets AS BIGINT), dup_buckets = 0 FROM s
+UNION ALL SELECT 'non_negative:gmv', CAST(neg_gmv AS BIGINT), neg_gmv = 0 FROM s
+UNION ALL SELECT 'non_negative:paid_orders', CAST(neg_paid AS BIGINT), neg_paid = 0 FROM s
+""",
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-build quality gate as a QUERY: the gold fact's full check
+    suite (not_null ×3, unique minute_bucket, non_negative ×2 —
+    schema.yml:4-20 parity) computed in ONE aggregate pass over the fact
+    (conditional sums + count distinct), then unpivoted to a row per
+    check. Contrast with quality.py's per-check actions: this is the
+    report shape a scheduler would persist each run."""
+    fact = QUERIES["fct_sales_minute"](spark, sf_dir)
+    s = fact.agg(
+        F.sum(F.when(F.col("minute_bucket").isNull(), 1).otherwise(0)).alias("nn_bucket"),
+        F.sum(F.when(F.col("gmv").isNull(), 1).otherwise(0)).alias("nn_gmv"),
+        F.sum(F.when(F.col("paid_orders").isNull(), 1).otherwise(0)).alias("nn_paid"),
+        (F.count(F.lit(1)) - F.countDistinct("minute_bucket")).alias("dup_buckets"),
+        F.sum(F.when(F.col("gmv") < 0, 1).otherwise(0)).alias("neg_gmv"),
+        F.sum(F.when(F.col("paid_orders") < 0, 1).otherwise(0)).alias("neg_paid"),
+    )
+    checks = [
+        ("not_null:minute_bucket", "nn_bucket"),
+        ("not_null:gmv", "nn_gmv"),
+        ("not_null:paid_orders", "nn_paid"),
+        ("unique:minute_bucket", "dup_buckets"),
+        ("non_negative:gmv", "neg_gmv"),
+        ("non_negative:paid_orders", "neg_paid"),
+    ]
+    # Unpivot via explode of a struct array — a UNION of per-check selects
+    # would re-evaluate the fact-building lineage once per branch.
+    packed = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"),
+                    F.col(c).cast("long").alias("failing_rows"),
+                    (F.col(c) == 0).alias("passed"),
+                )
+                for name, c in checks
+            ]
+        )
+    ).alias("r")
+    return s.select(packed).select("r.check", "r.failing_rows", "r.passed")
+
+
+@register(
+    "sales_cube",
+    oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+  coalesce(o_orderstatus, 'ALL') AS status,
+  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping combinations of (priority, status) in one
+    Expand + one hash aggregate — completes the grouping-construct family
+    next to revenue_rollup's ROLLUP. 2^n expansion is the honest cost of
+    CUBE; keep n small by design."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.5 * avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+""",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders 50%
+    above their customer's average. Catalyst de-correlates it into an
+    aggregate + equi-join (no per-row subquery execution) — assert-able in
+    the plan, and the idiomatic rewrite at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders_sq o
+        WHERE o_totalprice > (
+          SELECT 1.5 * avg(i.o_totalprice)
+          FROM __orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "payment_reconciliation",
+    oracle=f"""
+WITH {PAY_SQL},
+o AS (SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+             CAST(round(round(o_totalprice, 2)*100) AS BIGINT) AS total_c
+      FROM orders),
+pp AS (SELECT CAST(order_key AS VARCHAR) AS order_id, count(*) AS n_legs,
+              sum(amount_cents) AS paid_c
+       FROM pay GROUP BY 1),
+j AS (SELECT order_id, total_c, coalesce(n_legs, 0) AS n_legs,
+             coalesce(paid_c, 0) AS paid_c, o.order_id IS NULL AS orphan
+      FROM o FULL JOIN pp USING (order_id))
+SELECT order_id,
+  CASE WHEN orphan THEN 'orphan_payment'
+       WHEN paid_c = 0 THEN 'unpaid'
+       WHEN paid_c < total_c THEN 'partial'
+       WHEN paid_c = total_c THEN 'exact'
+       ELSE 'overpaid' END AS status,
+  n_legs,
+  CAST(CASE WHEN orphan THEN paid_c
+            WHEN paid_c = 0 THEN -total_c
+            ELSE paid_c - total_c END AS DOUBLE)/100.0 AS delta
+FROM j
+""",
+)
+def q_payment_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order ledger reconciliation: full-outer join of orders against
+    the payment-leg rollup, residue classified (unpaid/partial/exact/
+    overpaid) INCLUDING the orphan payments the enrich join drops.
+    Cents-exact integer deltas. All built-ins — order_id-grain groups are
+    far too small for per-group Python; the cogroup-API twin
+    (service.reconcile_orders_payments, identical semantics,
+    equality-tested in tests/) exists for ledger-walk kernels SQL cannot
+    express."""
+    orders_clean = silver_orders_frame(spark, sf_dir)
+    payments_clean = silver_payments_frame(spark, sf_dir)
+    o = orders_clean.select(
+        "order_id", F.round(F.col("total_amount") * 100).cast("long").alias("total_c")
+    )
+    pp = payments_clean.groupBy("order_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum(F.round(F.col("amount") * 100).cast("long")).alias("paid_c"),
+    )
+    j = (
+        o.join(pp, "order_id", "full_outer")
+        .select(
+            "order_id",
+            "total_c",
+            F.coalesce("n_legs", F.lit(0)).alias("n_legs"),
+            F.coalesce("paid_c", F.lit(0)).alias("paid_c"),
+            F.col("total_c").isNull().alias("orphan"),
+        )
+    )
+    status = (
+        F.when(F.col("orphan"), "orphan_payment")
+        .when(F.col("paid_c") == 0, "unpaid")
+        .when(F.col("paid_c") < F.col("total_c"), "partial")
+        .when(F.col("paid_c") == F.col("total_c"), "exact")
+        .otherwise("overpaid")
+    )
+    delta_c = (
+        F.when(F.col("orphan"), F.col("paid_c"))
+        .when(F.col("paid_c") == 0, -F.col("total_c"))
+        .otherwise(F.col("paid_c") - F.col("total_c"))
+    )
+    return j.select(
+        "order_id",
+        status.alias("status"),
+        "n_legs",
+        (delta_c.cast("double") / 100.0).alias("delta"),
+    )
+
+
+@register("ann_recall_report")  # compares two engine paths: rows-only check
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@5 of the k-means IVF multi-probe
+    search (8 cells, nprobe=3 — the real quantizer, operators/quantize.py)
+    against the exact brute-force top-5, per query — the number a 100 TB
+    deployment watches when it trades scan cost for recall. Both paths run
+    in-engine; one semi join + one agg compares them. Engine-vs-engine
+    metric (no external truth) → rows-only driver check; determinism
+    pinned by the same tiebreaks as the underlying operators."""
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        kmeans_fit,
+        multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    approx = multiprobe_topk(emb, queries_df, centroids, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "sliding_window_gmv",
+    oracle=f"""
+WITH p AS (SELECT ts, value FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT make_timestamp(
+    ((CAST(floor(epoch(ts)/900) AS BIGINT) - j.j) * 900) * 1000000
+  ) AS window_start, value
+  FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+)
+SELECT window_start,
+  window_start + INTERVAL 60 MINUTE AS window_end,
+  {money_sum_sql('value')} AS gmv,
+  count(*) AS purchases
+FROM g GROUP BY 1
+""",
+)
+def q_sliding_window_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 60-minute window, 15-minute slide: every purchase
+    lands in exactly 4 overlapping windows — the smoothing the tumbling
+    events_hourly_window can't give (a spike at :59 splits across
+    buckets). Spark's window(slide) expands rows ×(window/slide) BEFORE
+    the shuffle — a fixed 4× factor here, same aggregate scale class as
+    the tumbling twin. In streaming the identical expression is
+    watermark-mergeable state. Oracle replays the epoch-aligned window
+    arithmetic with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
+        .agg(
+            money_sum("value").alias("gmv"),
+            F.count(F.lit(1)).alias("purchases"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "gmv",
+            "purchases",
+        )
+    )

@@ -58,10 +58,11 @@ def stage_event_files(
 def _read_stream(
     spark: SparkSession, src_dir: str, schema: StructType, files_per_trigger: int
 ) -> DataFrame:
-    # Kafka equivalent (requires the kafka connector jar):
-    #   spark.readStream.format("kafka").option("subscribe", topic)
-    #        .option("startingOffsets", "earliest")
-    #        .option("failOnDataLoss", "false").load()
+    # Kafka equivalent (requires the kafka connector jar on the classpath):
+    #   sources.kafka.kafka_stream_reader(spark, servers, topic).load()
+    # — same option contract as bronze_orders_raw.py:37-43; the swap is
+    # plan-verified by tests/test_kafka_wiring.py, including that the
+    # binary-column source schema feeds bronze_projection unchanged.
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)

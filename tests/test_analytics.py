@@ -1,4 +1,4 @@
-"""Analytical rollups and sketch-accuracy bounds (queries.py additions:
+"""Analytical rollups and sketch-accuracy bounds (queries/analytics.py:
 lineitem_pricing_summary, events_value_quantiles[_approx],
 approx_distinct_users)."""
 

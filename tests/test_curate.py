@@ -98,3 +98,40 @@ def test_deterministic_keep_uniformity(spark):
     df = spark.range(10000).select(F.col("id"))
     kept = df.filter(cu.deterministic_keep(F.col("id"), 2500)).count()
     assert 2200 <= kept <= 2800
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """Temperature sampling: the smallest language is kept fully
+    (rate_bp=10000), larger languages get monotonically smaller rates
+    following (N_l/N_min)^(alpha-1), and membership is run-stable."""
+    rows = [(i, f"t{i}", "en" if i < 800 else ("es" if i < 950 else "sw"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = cu.temperature_sample(df, alpha=0.7).collect()
+    rates = {r["lang"]: r["rate_bp"] for r in out}
+    assert rates["sw"] == 10000  # smallest language kept fully
+    # (800/50)^-0.3 = 0.4352 -> 4352; (150/50)^-0.3 = 0.7192 -> 7192
+    assert rates["en"] == 4352 and rates["es"] == 7192
+    kept = {r["doc_id"] for r in out}
+    # All sw docs survive (rate 10000 keeps every bucket).
+    assert all(i in kept for i in range(950, 1000))
+    out2 = {r["doc_id"] for r in cu.temperature_sample(df, alpha=0.7).collect()}
+    assert kept == out2
+
+
+def test_duplicate_span_stats_toy(spark):
+    """Two docs sharing one 8-word template + one unique doc: the shared
+    span is flagged in both carriers, nowhere else."""
+    import ecommerce_data_pipeline_spark.operators.dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y " + shared),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.duplicate_span_stats(df, w=8).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
+    assert out[1]["n_spans"] == 4  # 11 words -> 4 distinct 8-word spans
