@@ -47,14 +47,28 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-
-    nodes = sym.select(F.col("u").alias(id_col)).distinct()
-    if vertices is not None:
-        nodes = nodes.union(vertices.select(F.col(id_col))).distinct()
-
-    labels = nodes.select(id_col, F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+
+    # Iterate ONLY over vertices that touch an edge: isolated vertices can
+    # never change label (component = self) and are appended after the
+    # loop. At dedup scale this is the difference between shuffling the
+    # CORPUS id set every round and shuffling the (far smaller) dup-graph
+    # vertex set — labels are O(edge endpoints), not O(documents).
+    n_edges = sym.count()  # sym is checkpointed: metadata-cheap
+    spark = edges.sparkSession
+    # Right-size the loop's shuffle width to the graph, not the session
+    # default: min-label rounds on a few thousand edges schedule in 1-2
+    # tasks instead of 32 near-empty ones (per-round latency, not
+    # throughput, dominates iterative loops on small graphs).
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    labels = (
+        sym.select(F.col("u").alias(id_col))
+        .distinct()
+        .select(id_col, F.col(id_col).alias("component"))
+        .repartition(n_parts, id_col)
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.repartition(n_parts, "v")
 
     # Labels only ever DECREASE (min-propagation), so sum(component)
     # strictly decreases iff any label changed — a one-number convergence
@@ -68,14 +82,26 @@ def connected_components(
             .groupBy(F.col("u").alias(id_col))
             .agg(F.min("component").alias("nmin"))
         )
+        folded = labels.join(neighbor_min, id_col, "left").select(
+            id_col,
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer-doubling hop: comp(v) <- comp(comp(v)). Neighbor-min
+        # alone moves a label ONE hop per round (a path graph would need
+        # diameter rounds and silently exhaust max_iter); chasing the
+        # label's own label each round makes convergence O(log diameter).
+        parents = folded.select(
+            F.col(id_col).alias("__pid"), F.col("component").alias("__pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, id_col, "left")
+            folded.join(parents, folded["component"] == parents["__pid"], "left")
             .select(
-                id_col,
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+                folded[id_col],
+                F.coalesce(F.col("__pcomp"), folded["component"]).alias("component"),
             )
+            .repartition(n_parts, id_col)
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(F.sum("component")).first()[0]
@@ -83,6 +109,24 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(doubling handles diameter up to ~2^rounds; this is not a "
+            "dedup-shaped graph)"
+        )
+    if vertices is not None:
+        # Isolated vertices come back as singletons; edge vertices missing
+        # from ``vertices`` are kept too (same union contract as before).
+        vs = vertices.select(id_col)
+        labels = (
+            vs.join(labels, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+            .unionByName(labels.join(vs, id_col, "left_anti"))
+        )
     return labels
 
 

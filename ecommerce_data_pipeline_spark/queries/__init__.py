@@ -88,6 +88,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_length_histogram",
     "dedup_canonical_docs",
     "sliding_window_gmv",
+    "salted_user_enrich",
+    "local_supplier_revenue",
 ]
 
 

@@ -555,3 +555,48 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "cluster_size",
     )
+
+
+@register(
+    "salted_user_enrich",
+    # Oracle is the PLAIN join: salting must be invisible in the result.
+    oracle="""
+WITH u AS (
+  SELECT user_id, count(*) AS user_total_events, min(ts) AS user_first_seen
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       u.user_total_events, u.user_first_seen
+FROM events e JOIN u USING (user_id)
+""",
+)
+def q_salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe enrichment join via the salting toolbox: every event gets
+    its user's lifetime stats. Heavy users make user_id the classic hot
+    key; salted_join spreads each key over 8 sub-partitions (deterministic
+    hash of event_id) and explodes the small dim side once per salt —
+    semantics identical to the plain join, which IS the oracle
+    (operators/skew.py:salted_join; AQE skew-join is the runtime
+    alternative, salting the plan-level guarantee)."""
+    from ecommerce_data_pipeline_spark.operators import skew as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_total_events"),
+        F.min("ts").alias("user_first_seen"),
+    )
+    joined = sk.salted_join(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        dim,
+        on="user_id",
+        spread_col="event_id",
+        n_salts=8,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "user_total_events",
+        "user_first_seen",
+    )

@@ -144,3 +144,18 @@ def test_resample_locf_hourly_grid(spark):
     assert out[dt.datetime(2024, 1, 1, 13, 0)]["matched_v"] == 10.0  # LOCF
     assert out[dt.datetime(2024, 1, 1, 14, 0)]["matched_v"] == 10.0
     assert out[dt.datetime(2024, 1, 1, 15, 0)]["matched_v"] == 20.0
+
+
+def test_connected_components_long_chain(spark):
+    """A 64-node path graph has diameter 63: one-hop min-propagation alone
+    would silently exhaust max_iter; the pointer-doubling hop must settle
+    it to a single all-zero component within ~log2(64)+2 rounds."""
+    from ecommerce_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=12)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}
