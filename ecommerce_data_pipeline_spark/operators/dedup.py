@@ -445,14 +445,19 @@ def duplicate_span_stats(
     dedup acts on (doc-level near-dup misses partial template overlap).
 
     Plan: explode per-doc distinct spans (the array_distinct bounds the
-    explode at one row per distinct span), one map-side-combined count per
-    span, broadcast-free semi-aggregated join back, per-doc aggregate.
-    Span cardinality ~ corpus word count — the same scale class as the
-    inverted index the TF-IDF/BM25 operators already build.
+    explode at one row per distinct span) HASHED to 64-bit ints before
+    they leave the map stage — the count/join shuffles move 8-byte keys,
+    not ~50-byte strings (the payload never matters, only identity;
+    xxhash64 collisions at corpus scale are ~n²/2⁶⁵ — noise next to the
+    fixed-width-span approximation itself). One map-side-combined count
+    per span, join back, per-doc aggregate. Span cardinality ~ corpus
+    word count — the same scale class as the inverted index the
+    TF-IDF/BM25 operators already build.
     """
     spans = docs.select(
-        F.col(id_col), F.explode(word_span_shingles(F.col(text_col), w)).alias("span")
-    )
+        F.col(id_col),
+        F.explode(word_span_shingles(F.col(text_col), w)).alias("span"),
+    ).select(id_col, F.xxhash64("span").alias("span"))
     span_docs = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         spans.join(span_docs, "span")

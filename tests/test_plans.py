@@ -131,3 +131,32 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "Subquery" not in text
     assert "HashAggregate" in text
     assert df.count() > 0
+
+
+def test_q5_broadcasts_dims_and_pushes_dates(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["local_supplier_revenue"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # The region-pruned nation dim broadcasts into the fact chain; the
+    # date bounds reach the orders scan; no accidental cartesian.
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    scans = plans.scan_report(df)
+    orders_scans = [s for s in scans if "orders" in s["location"]]
+    assert any(
+        any("o_orderdate" in f for f in s["pushed_filters"]) for s in orders_scans
+    ), orders_scans
+
+
+def test_salted_join_spreads_key_without_nested_loop(spark):
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["salted_user_enrich"](spark, SF_DIR)
+    text = plans.explain_string(df, "formatted")
+    # The salt must be part of the join key (an equi-join on
+    # [user_id, __salt]) and never degrade to a nested loop; the salt
+    # column itself is dropped from the output.
+    assert "__salt" in text
+    assert "NestedLoopJoin" not in text and "CartesianProduct" not in text
+    assert "__salt" not in df.columns
