@@ -90,6 +90,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sliding_window_gmv",
     "salted_user_enrich",
     "local_supplier_revenue",
+    "unigram_logprob_score",
+    "corpus_stats_by_source",
+    "training_corpus_filter",
 ]
 
 

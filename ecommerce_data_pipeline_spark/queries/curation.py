@@ -294,3 +294,95 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "corpus_stats_by_source",
+    oracle="""
+WITH w AS (
+  SELECT source, lang, n_chars,
+    len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_words
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  round(avg(n_chars), 2) AS avg_chars,
+  round(avg(n_words), 2) AS avg_words
+FROM w GROUP BY 1, 2
+""",
+)
+def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance dashboard: doc counts, char mass and word-length profile
+    per (source, language) — the first table anyone asks for before
+    weighting a data mix. Single map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    return (
+        docs.select("source", "lang", "n_chars", F.size(words).alias("n_words"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+        )
+    )
+
+
+@register(
+    "training_corpus_filter",
+    oracle="""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+w AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS words
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+  round(len(list_distinct(w.words)) * 1.0 / greatest(len(w.words), 1), 4)
+    AS distinct_word_ratio
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN w USING (doc_id)
+WHERE d.n_chars BETWEEN 64 AND 4096
+  -- round() as in the SELECT: the Spark side filters the emitted
+  -- (rounded) column, so the boundary must be the rounded value here too
+  AND round(len(list_distinct(w.words)) * 1.0 / greatest(len(w.words), 1), 4)
+      >= 0.3
+""",
+)
+def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep set: exact-dedup survivors (min doc_id per
+    content hash) inside length bounds [64, 4096] chars with a repetition
+    screen (distinct-word ratio >= 0.3) — the composed curation artifact a
+    training run actually reads. Every stage is a scan-bound column
+    expression except the dedup groupBy (content-hash keyed, map-side
+    combined); at 100 TB swap the exact-dedup CTE for the
+    dedup_canonical_docs cluster keep-set, same join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("__h")
+    )
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    ratio = F.round(
+        F.size(F.array_distinct(words))
+        / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            ratio.alias("distinct_word_ratio"),
+        )
+        .filter(
+            (F.col("n_chars") >= 64)
+            & (F.col("n_chars") <= 4096)
+            & (F.col("distinct_word_ratio") >= 0.3)
+        )
+    )

@@ -725,3 +725,43 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+WITH {_TOKS_SQL},
+cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tfreq GROUP BY 1),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM cf)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  round(sum(tf * ln(ctf * 1.0 / tot.n)) / sum(tf), 4) AS avg_logprob
+FROM tfreq JOIN cf USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet filtering signal, with a
+    corpus-trained unigram LM standing in for the 5-gram KenLM): per-doc
+    token-average log probability under corpus unigram frequencies. Low
+    scorers are boilerplate/rare-junk; high scorers are stopword soup —
+    real pipelines keep the middle band. Plan: the (doc,token) inverted
+    index (one explode + hash agg), a token-keyed corpus-frequency join
+    (vocabulary-sized build side), one per-doc aggregate. No UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx._term_freqs(docs, "text", "doc_id")
+    cf = t.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tot = cf.agg(F.sum("ctf").alias("n"))
+    return (
+        t.join(cf, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("n")))
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
