@@ -31,6 +31,26 @@ def cents_to_dollars(cents: Column) -> Column:
     return cents.cast("double") / F.lit(100.0)
 
 
+def epoch_micros(col: Column | str) -> Column:
+    """NTZ-safe microseconds-since-epoch.
+
+    Spark 4 rejects both ``CAST(TIMESTAMP_NTZ AS DOUBLE)`` and
+    ``unix_micros(TIMESTAMP_NTZ)``; the parquet testdata stores ``ts`` as
+    ``timestamp[us]`` which Spark 4 reads as TIMESTAMP_NTZ. The session
+    timezone is pinned UTC (session.py), so casting NTZ → TIMESTAMP_LTZ is a
+    pure reinterpretation with no wall-clock shift — and the cast is a no-op
+    for columns that are already LTZ. Use this (never ``cast("double")`` /
+    raw ``unix_micros``) for all timestamp arithmetic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """NTZ-safe fractional epoch seconds (double)."""
+    return epoch_micros(col) / F.lit(1e6)
+
+
 def synthetic_id(prefix: str, *parts: Column) -> Column:
     """sha256 lineage id over ':'-joined parts (silver_payments.py:53-54)."""
     return F.sha2(F.concat_ws(":", F.lit(prefix), *parts), 256)

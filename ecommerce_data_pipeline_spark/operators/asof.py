@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ecommerce_data_pipeline_spark.functions import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -92,7 +94,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         matched = matched.filter(
-            F.col("__ats").cast("double") - F.col("__m")[right_ts].cast("double")
+            epoch_seconds(F.col("__ats")) - epoch_seconds(F.col("__m")[right_ts])
             <= float(tolerance_seconds)
         )
     out_cols = (
@@ -131,8 +133,8 @@ def interval_overlap_pairs(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / W).cast("long"),
-                F.floor(F.col(end_col).cast("double") / W).cast("long"),
+                F.floor(epoch_seconds(F.col(start_col)) / W).cast("long"),
+                F.floor(epoch_seconds(F.col(end_col)) / W).cast("long"),
             )
         ),
     )
@@ -157,8 +159,8 @@ def interval_overlap_pairs(
         else F.lit(True)
     )
     first_shared_bucket = F.greatest(
-        F.floor(F.col("a_start").cast("double") / W).cast("long"),
-        F.floor(F.col("b_start").cast("double") / W).cast("long"),
+        F.floor(epoch_seconds(F.col("a_start")) / W).cast("long"),
+        F.floor(epoch_seconds(F.col("b_start")) / W).cast("long"),
     )
     pairs = (
         a.join(b, "__bucket")

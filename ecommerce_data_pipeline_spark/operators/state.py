@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecommerce_data_pipeline_spark.functions import epoch_micros
 from ecommerce_data_pipeline_spark.lake import ParquetTable
 
 ORDER_STATE_RANKS = {"CREATED": 0, "PAID": 1}
@@ -66,7 +67,7 @@ def fold_state_events(
         F.max(
             F.struct(
                 F.col("__rank").alias("r"),
-                (-F.unix_micros("__ts")).alias("neg_us"),
+                (-epoch_micros("__ts")).alias("neg_us"),
             )
         ).alias("__m"),
         F.count(F.lit(1)).alias("n_events"),

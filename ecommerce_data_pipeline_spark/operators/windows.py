@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecommerce_data_pipeline_spark.functions import money_sum
+from ecommerce_data_pipeline_spark.functions import epoch_seconds, money_sum
 
 
 def top_k_recent(df: DataFrame, ts_col: str, k: int = 10) -> DataFrame:
@@ -66,8 +66,8 @@ def sessionize(
     with_breaks = events.withColumn(
         "__new_session",
         F.when(
-            F.col(ts_col).cast("double")
-            - F.lag(F.col(ts_col)).over(w_user).cast("double")
+            epoch_seconds(F.col(ts_col))
+            - epoch_seconds(F.lag(F.col(ts_col)).over(w_user))
             > gap_sec,
             1,
         )

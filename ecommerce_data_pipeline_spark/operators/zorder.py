@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_data_pipeline_spark.functions import epoch_seconds
+
 
 def _bucket_expr(col: Column, boundaries: list[float]) -> Column:
     """Bucket id in [0, len(boundaries)]: count of boundaries <= value."""
@@ -61,16 +63,23 @@ def zorder(
     the result to get Z-ordered files. ``n_files`` sizes the layout
     (default: current shuffle parallelism). Numeric/timestamp columns."""
     n_buckets = 1 << bits
-    # cast("double") handles numerics and timestamps alike (epoch seconds).
+
+    # Numerics cast straight to double; timestamps go through the NTZ-safe
+    # epoch helper (Spark 4 forbids TIMESTAMP_NTZ -> DOUBLE casts).
+    def _as_double(c: str) -> Column:
+        if df.schema[c].dataType.typeName().startswith("timestamp"):
+            return epoch_seconds(F.col(c))
+        return F.col(c).cast("double")
+
     probe = df.select(
-        *[F.col(c).cast("double").alias(f"__q_{i}") for i, c in enumerate(cols)]
+        *[_as_double(c).alias(f"__q_{i}") for i, c in enumerate(cols)]
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = probe.stat.approxQuantile(
         [f"__q_{i}" for i in range(len(cols))], probs, 1.0 / (4 * n_buckets)
     )
     buckets = [
-        _bucket_expr(F.col(c).cast("double"), bounds[i])
+        _bucket_expr(_as_double(c), bounds[i])
         for i, c in enumerate(cols)
     ]
     keyed = df.withColumn("__zkey", morton_key(buckets, bits))

@@ -7,7 +7,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.functions import (
+    epoch_micros,
+    money_sum,
+    money_sum_sql,
+)
 from ecommerce_data_pipeline_spark.operators import curate as cu
 from ecommerce_data_pipeline_spark.operators import dedup as dd
 from ecommerce_data_pipeline_spark.operators import similarity as sim
@@ -83,7 +87,7 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "ts", "value",
         "view_ts", "view_event_id", "view_value",
-        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        (epoch_micros("ts") - epoch_micros("view_ts")).alias("gap_us"),
     )
 
 
@@ -144,8 +148,8 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a_user_id", "a_session_id", "b_user_id", "b_session_id",
         (
-            F.unix_micros(F.least("a_end", "b_end"))
-            - F.unix_micros(F.greatest("a_start", "b_start"))
+            epoch_micros(F.least("a_end", "b_end"))
+            - epoch_micros(F.greatest("a_start", "b_start"))
         ).alias("overlap_us"),
     )
 

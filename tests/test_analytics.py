@@ -72,7 +72,7 @@ def test_sketch_table_merges_match_full_build(spark):
 
     ev = load_table(spark, SF_DIR, "events")
     cut = ev.agg(
-        F.date_trunc("day", F.timestamp_micros(F.expr("percentile(unix_micros(ts), 0.5)").cast("long"))).alias("c")
+        F.date_trunc("day", F.timestamp_micros(F.expr("percentile(unix_micros(cast(ts as timestamp_ltz)), 0.5)").cast("long"))).alias("c")
     ).first()["c"]
     daily = daily_user_sketches(ev).cache()
     full = merge_sketches(daily).first()
