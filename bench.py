@@ -64,13 +64,21 @@ def main() -> int:
     _lt(spark, sf_dir, "embeddings").limit(1).count()
     setup = time.time() - t0
 
+    # Per-query error isolation: one broken query must never zero out the
+    # round's perf signal (BENCH_r04 crashed wholesale on one
+    # AnalysisException). Failures are reported per-query instead.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         if name in SKIP:
             continue
         t = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t, 3)
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t, 3)
+        except Exception as exc:  # noqa: BLE001 - bench must survive anything
+            msg = str(exc).split("\n", 1)[0][:200]
+            errors[name] = f"{type(exc).__name__}: {msg}"
 
     total = round(sum(timings.values()), 3)
 
@@ -129,6 +137,7 @@ def main() -> int:
     )
 
     root = tempfile.mkdtemp(prefix="bench_lake_")
+    full_build = gold_incremental = None
     try:
         lake = pl.Lakehouse(root, partition_silver=False)
         t0 = time.time()
@@ -139,24 +148,56 @@ def main() -> int:
         t0 = time.time()
         pl.run_gold(spark, lake)  # incremental MERGE + quality gate
         gold_incremental = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["__pipeline__"] = f"{type(exc).__name__}: {str(exc)[:200]}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    # The driver keeps only a bounded stdout tail, so the primary line must
+    # stay compact (r02/r03 benches were lost to tail truncation of the full
+    # per-query map). Primary line: totals + the 10 slowest queries + errors.
+    # The complete per-query map goes to BENCH_FULL.json, committed to the
+    # repo for round-over-round deltas.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    full_report = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf_val,
+        "setup_sec": round(setup, 3),
+        "n_queries": len(timings),
+        "pipeline_full_build_sec": full_build,
+        "gold_incremental_merge_sec": gold_incremental,
+        "streaming_fct_phases": streaming_phases,
+        "prev_bench": prev_files[-1] if prev_files else None,
+        "prev_total": prev_total,
+        "delta_vs_prev": delta_vs_prev,
+    }
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(full_report, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf_val,
-                "setup_sec": round(setup, 3),
                 "n_queries": len(timings),
+                "n_errors": len(errors),
+                "errors": errors,
+                "setup_sec": round(setup, 3),
                 "pipeline_full_build_sec": full_build,
                 "gold_incremental_merge_sec": gold_incremental,
                 "streaming_fct_phases": streaming_phases,
-                "prev_bench": prev_files[-1] if prev_files else None,
-                "prev_total": prev_total,
-                "delta_vs_prev": delta_vs_prev,
+                "queries_full": "BENCH_FULL.json",
             }
         )
     )
