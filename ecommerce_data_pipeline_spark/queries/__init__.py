@@ -40,14 +40,19 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # Driver-priority ordering.
 #
 # The correctness driver checks the FIRST ~50 registered queries per round
-# and the signal is cumulative across rounds. Round 2 verified the first 50
-# in the then-registration order; this list rotates the queries that still
-# need a driver row to the front for round 3: the 25 that fell outside the
-# round-2 window, the 3 whose oracle types were just fixed, and the 4
-# reformulated approx/sketch contracts. Everything not named keeps its
-# registration order behind these.
+# and the signal is cumulative across rounds. Round 5 rotates to the front
+# the three queries broken by the Spark 4 TIMESTAMP_NTZ upgrade (fixed this
+# round via functions.epoch_micros — re-certify them), the as-of query that
+# shares the root cause but fell outside the round-4 window, and the
+# ann_recall_report row that just gained its first oracle. Everything not
+# named keeps its registration order behind these.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
+    # NTZ regression fixes + newly-oracled rows — need fresh driver rows
+    "user_sessions",
+    "session_overlap_pairs",
+    "asof_view_before_purchase",
+    "ann_recall_report",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",
@@ -73,11 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_cube",
     "above_avg_orders",
     "payment_reconciliation",
-    "ann_recall_report",
-    # driver hash rows fixed this round (HUGEINT oracle casts)
-    "user_sessions",
     "inventory_counters",
-    "session_overlap_pairs",
     # reformulated from rows-only to deterministic oracle contracts
     "events_value_quantiles_approx",
     "approx_distinct_users",

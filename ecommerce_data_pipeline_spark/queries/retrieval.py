@@ -582,15 +582,127 @@ def q_payment_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_report")  # compares two engine paths: rows-only check
+def _kmeans_recall_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3
+) -> str:
+    """DuckDB twin of the full IVF recall pipeline: deterministic Lloyd's
+    k-means (operators/quantize.py — md5-order init, argmin assign with
+    lowest-cell tiebreak, per-cell component means, empty cells keep their
+    centroid) unrolled over ``iters`` fixed iterations, then exact vs
+    multi-probe top-5 and per-query recall. Unrolling is exact because the
+    iteration count is a constant of the query, not data-dependent."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a},{a}) - 2*list_inner_product({a},{b})"
+            f" + list_inner_product({b},{b}))"
+        )
+
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+         AS INTEGER) AS cell, v
+  FROM (SELECT vec_id, v FROM emb
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})
+)""",
+    ]
+    for t in range(iters + 1):
+        # Assignment under centroids c{t}; the last one (t == iters) is the
+        # final corpus assignment used by the search, not a fit step.
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2('e.v', 'c.v')}, c.cell) AS rn
+    FROM emb e CROSS JOIN c{t} c) WHERE rn = 1
+)"""
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"""m{t} AS (
+  SELECT cell, list(comp ORDER BY i) AS v FROM (
+    SELECT cell, i, avg(val) AS comp FROM (
+      SELECT cell, unnest(generate_series(1, {dim})) AS i, unnest(v) AS val
+      FROM a{t})
+    GROUP BY cell, i)
+  GROUP BY cell
+)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT c.cell, coalesce(m.v, c.v) AS v
+  FROM c{t} c LEFT JOIN m{t} m USING (cell)
+)"""
+        )
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0)"
+    )
+    cos = (
+        "round(list_inner_product({q}, {n})"
+        " / (sqrt(list_inner_product({q}, {q})) * sqrt(list_inner_product({n}, {n}))), 4)"
+    )
+    parts.append(
+        f"""ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cs DESC, neighbor_id) AS rank
+    FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+            {cos.format(q='q.qv', n='e.v')} AS cs
+          FROM q JOIN emb e ON e.vec_id <> q.query_id))
+  WHERE rank <= 5
+)"""
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {d2('q.qv', 'c.v')}, c.cell) AS prn
+    FROM q CROSS JOIN c{iters} c) WHERE prn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cs DESC, neighbor_id) AS rank
+    FROM (SELECT p.query_id, a.vec_id AS neighbor_id,
+            {cos.format(q='p.qv', n='a.v')} AS cs
+          FROM probe p JOIN a{iters} a
+            ON a.cell = p.cell AND a.vec_id <> p.query_id))
+  WHERE rank <= 5
+)"""
+    )
+    parts.append(
+        """hits AS (
+  SELECT query_id, count(*) AS n_hit
+  FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT e.query_id, round(coalesce(h.n_hit, 0) / e.n_exact, 4) AS recall_at_5
+FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) e
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register("ann_recall_report", oracle=_kmeans_recall_oracle_sql())
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality: recall@5 of the k-means IVF multi-probe
     search (8 cells, nprobe=3 — the real quantizer, operators/quantize.py)
     against the exact brute-force top-5, per query — the number a 100 TB
     deployment watches when it trades scan cost for recall. Both paths run
-    in-engine; one semi join + one agg compares them. Engine-vs-engine
-    metric (no external truth) → rows-only driver check; determinism
-    pinned by the same tiebreaks as the underlying operators."""
+    in-engine; one semi join + one agg compares them. The oracle replays
+    the ENTIRE pipeline — Lloyd's fit included — in DuckDB SQL
+    (_kmeans_recall_oracle_sql), made possible by the quantizer's
+    determinism (md5-order init, fixed iteration count, tiebroken argmin)."""
     from ecommerce_data_pipeline_spark.operators.quantize import (
         kmeans_fit,
         multiprobe_topk,
