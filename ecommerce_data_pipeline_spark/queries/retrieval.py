@@ -317,7 +317,12 @@ def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = embed_media(attach_binary_payload(docs))
-    queries_df = emb.filter(F.col("doc_id") % 100 == 0)
+    # Filter BEFORE the embed kernel on the query side: Catalyst does not
+    # push predicates through MapInPandas, so filtering the embedded frame
+    # would run the (expensive at scale) encoder over the full corpus twice.
+    queries_df = embed_media(
+        attach_binary_payload(docs.filter(F.col("doc_id") % 100 == 0))
+    )
     return sim.cosine_topk(
         emb, queries_df, k=3, id_col="doc_id", vec_col="embedding"
     )
