@@ -61,6 +61,46 @@ def _hive_partition_value(v) -> str:
     )
 
 
+def sync_all_columns(
+    target: DataFrame, updates: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for MERGE — dbt ``on_schema_change: sync_all_columns``
+    (analytics/dbt/ecom_analytics/dbt_project.yml:13) / Delta ``mergeSchema``
+    parity:
+
+    - columns NEW in ``updates`` are appended to the table contract; existing
+      target rows read them as null;
+    - columns the updates DROPPED are retained (a MERGE must not destroy
+      history) and null-filled in the update rows;
+    - same-named columns keep the TARGET's type and updates are cast to it.
+      In-place type changes are not supported: a partition-pruned merge
+      rewrites only touched partitions, so changing the type of an existing
+      column would leave mixed file schemas behind.
+
+    Returns the aligned (target, updates) pair sharing the union schema,
+    target columns first (stable contract order), new columns appended in
+    update order.
+    """
+    tgt_fields = {f.name: f for f in target.schema.fields}
+    new_fields = [f for f in updates.schema.fields if f.name not in tgt_fields]
+    dropped = [f for f in target.schema.fields if f.name not in updates.columns]
+    out_cols = target.columns + [f.name for f in new_fields]
+    target = target.select(
+        *target.columns,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in new_fields],
+    )
+    updates = updates.select(
+        *[
+            F.col(f.name).cast(tgt_fields[f.name].dataType).alias(f.name)
+            if f.name in tgt_fields
+            else F.col(f.name)
+            for f in updates.schema.fields
+        ],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in dropped],
+    )
+    return target.select(*out_cols), updates.select(*out_cols)
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Pure-DataFrame MERGE: rows of ``target`` whose key appears in
     ``updates`` are replaced (update-all), new keys are inserted.
@@ -130,7 +170,11 @@ class ParquetTable:
     def read(self, spark: SparkSession) -> DataFrame:
         if self.use_delta:
             return spark.read.format("delta").load(self.path)
-        return spark.read.parquet(self.path)
+        # mergeSchema: after an evolving merge, untouched partitions keep
+        # their pre-evolution files; the union schema (old files null-fill
+        # the appended columns) is what Delta would serve from its log. The
+        # footer-sampling cost is parallelized and paid at planning time.
+        return spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Bootstrap write (operator S8: mode=overwrite, overwriteSchema).
@@ -191,9 +235,26 @@ class ParquetTable:
                 ).localCheckpoint(eager=True)
             return None
         target: DataFrame | None = None
+        if not self.use_delta:
+            target = self.read(spark)
+            if set(updates.columns) != set(target.columns):
+                # Schema drift: apply sync_all_columns before merging. A
+                # partition column may never be dropped by an update set —
+                # its null-fill would silently re-route rows to the null
+                # partition.
+                missing_parts = [
+                    c for c in self.partition_by if c not in updates.columns
+                ]
+                if missing_parts:
+                    raise ValueError(
+                        f"updates are missing partition column(s) {missing_parts}; "
+                        "schema evolution cannot null-fill a partition key"
+                    )
+                target, updates = sync_all_columns(target, updates)
         changes: DataFrame | None = None
         if capture_changes:
-            target = self.read(spark)
+            if target is None:
+                target = self.read(spark)
             tgt_keys = target.select(*keys).distinct()
             changes = (
                 updates.join(tgt_keys, keys, "left_semi")

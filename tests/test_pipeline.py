@@ -372,3 +372,73 @@ def test_run_gold_cdf_retracts_emptied_bucket(spark, tmp_path):
     assert after.filter(F.col("minute_bucket") == F.lit(bucket)).count() == 0
     # Other buckets are untouched.
     assert after.count() == fact_rows_before - 1
+
+
+def test_merge_schema_evolution_sync_all_columns(spark, tmp_path):
+    """dbt on_schema_change: sync_all_columns parity (dbt_project.yml:13):
+    an evolving update set adds its new columns (old rows null-filled),
+    retains columns it dropped (null-filled in new rows), and never
+    rewrites untouched partitions — their files keep the old schema and
+    the union read serves nulls."""
+    t = ParquetTable(str(tmp_path / "t"), partition_by=["event_date"])
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 1.0, d1), ("b", 2.0, d2)], "k string, v double, event_date date"
+        ),
+        keys=["k"],
+    )
+    # Evolved batch: new column `source`, dropped column `v`; touches only d2.
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("b", "kafka", d2), ("c", "s3", d2)],
+            "k string, source string, event_date date",
+        ),
+        keys=["k"],
+    )
+    out = {
+        r["k"]: (r["v"], r["source"], str(r["event_date"]))
+        for r in t.read(spark).collect()
+    }
+    assert out == {
+        "a": (1.0, None, "2024-01-01"),  # untouched partition, null-filled
+        "b": (None, "kafka", "2024-01-02"),  # updated: v dropped, source set
+        "c": (None, "s3", "2024-01-02"),  # inserted under the union schema
+    }
+    # Untouched partition's files were NOT rewritten (still the old schema).
+    import os
+
+    d1_dir = os.path.join(t.path, "event_date=2024-01-01")
+    old_schema_files = spark.read.parquet(d1_dir).columns
+    assert "source" not in old_schema_files
+
+    # A third merge in the evolved shape keeps working (idempotent contract).
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("a", "api", d1)], "k string, source string, event_date date"
+        ),
+        keys=["k"],
+    )
+    assert {
+        r["k"]: r["source"] for r in t.read(spark).collect()
+    } == {"a": "api", "b": "kafka", "c": "s3"}
+
+
+def test_merge_schema_evolution_rejects_dropped_partition_key(spark, tmp_path):
+    t = ParquetTable(str(tmp_path / "t"), partition_by=["event_date"])
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 1.0, dt.date(2024, 1, 1))], "k string, v double, event_date date"
+        ),
+        keys=["k"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.merge(
+            spark,
+            spark.createDataFrame([("a", 2.0)], "k string, v double"),
+            keys=["k"],
+        )
