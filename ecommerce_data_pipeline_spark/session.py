@@ -52,6 +52,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -83,6 +84,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # Persistent catalog (reference: Hive Metastore shared by Spark and
+    # Trino, spark-defaults.conf:18, trino delta.properties:2-3). With a
+    # metastore dir — argument or $SPARK_GRAFT_METASTORE — databases and
+    # tables registered via register_catalog survive session restarts: a
+    # local Derby-backed HMS standing in for the thrift metastore a cluster
+    # would point at (spark.hadoop.hive.metastore.uris). Off by default:
+    # the correctness driver and tests use ephemeral in-memory catalogs.
+    metastore_dir = metastore_dir or os.environ.get("SPARK_GRAFT_METASTORE")
+    if metastore_dir:
+        builder = (
+            builder.config(
+                "spark.sql.warehouse.dir", os.path.join(metastore_dir, "warehouse")
+            )
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(metastore_dir, 'metastore_db')};create=true",
+            )
+            .enableHiveSupport()
+        )
     # Delta Lake is the production table format (the reference already uses
     # io.delta extensions); wire it in when the package is present, otherwise
     # lake.py provides MERGE semantics over plain parquet.

@@ -31,8 +31,15 @@ def to_kafka_shape(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFr
 
 def register_catalog(spark: SparkSession, lake) -> None:
     """S12/S4: idempotent DDL registering lakehouse tables by namespace and
-    the S10 views. In-memory session catalog here; with a metastore (Hive/
-    Delta) the identical statements persist across sessions."""
+    the S10 views.
+
+    Persistence follows the session's catalog implementation: with the
+    in-memory catalog (default) the registrations last for the session;
+    with ``get_spark(metastore_dir=...)`` — the Derby-backed HMS standing
+    in for the reference's shared thrift metastore
+    (analytics/spark/conf/spark-defaults.conf:18) — the same statements
+    persist and ``gold.fct_sales_minute`` is queryable by name from a
+    fresh session (tests/test_catalog.py exercises the restart)."""
     for db in ("bronze_raw", "silver", "gold"):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     tables = {
