@@ -92,3 +92,75 @@ def stream_fold_states(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_enrichment_cache(
+    events: DataFrame,
+    key_col: str = "order_id",
+    email_col: str = "user_email",
+    ts_col: str = "event_ts",
+    ttl_hours: int = 24,
+) -> DataFrame:
+    """ST8 streaming twin WITH eviction: the order_id→email enrichment
+    cache (services/notifications/app/kafka/consumer.py:13-16,36-44 — a
+    10k-entry, 24 h-TTL LRU) as checkpointed keyed state with event-time
+    TTL.
+
+    Rows carrying a non-null ``email_col`` (order.created) install/update
+    the cache entry; EVERY row is emitted enriched with the cached email
+    (null = cache miss, which the reference logs-and-skips). A key's state
+    is dropped once the stream's watermark passes its last update plus the
+    TTL (``GroupStateTimeout.EventTimeTimeout``) — the state-store
+    analogue of the LRU's TTL eviction, keeping state bounded by the
+    active-key working set on an unbounded stream instead of growing with
+    every order ever seen. The caller must set ``withWatermark(ts_col,…)``
+    (event-time timeouts require one).
+
+    Output per input row: (key, ts, email).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, {ts_col} timestamp, email string"
+    state_schema = "email string, last_us long"
+    ttl_ms = int(ttl_hours) * 3600 * 1000
+
+    def fold(key, pdfs, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # Watermark passed last_update + TTL with no new events for
+            # this key: evict silently (the reference's LRU expiry).
+            state.remove()
+            return iter(())
+        email, last_us = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="stable")
+        out_email = []
+        for e, t in zip(batch[email_col], batch[ts_col]):
+            if e is not None and not (isinstance(e, float) and pd.isna(e)):
+                email = e
+            t_us = int(t.value // 1000)
+            last_us = t_us if last_us is None else max(last_us, t_us)
+            out_email.append(email)
+        state.update((email, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        key_col: batch[key_col].to_numpy(),
+                        ts_col: batch[ts_col].to_numpy(),
+                        "email": out_email,
+                    }
+                )
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

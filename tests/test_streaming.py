@@ -375,3 +375,67 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ).collect()
     assert len(out) == 3            # three distinct Kafka identities
     assert all(r["c"] == 1 for r in out)  # each exactly once
+
+
+def test_stream_enrichment_cache_ttl_eviction(spark, tmp_path):
+    """ST8 with TTL: the order→email cache serves hits while fresh and is
+    EVICTED once the watermark passes last_update + 24h — the probe after
+    expiry misses (null email), proving state does not grow forever."""
+    import os
+    import time as _time
+
+    from ecommerce_data_pipeline_spark.streaming.stateful import (
+        stream_enrichment_cache,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "order_id string, user_email string, event_ts timestamp"
+
+    def stage(name, rows, mtime):
+        """One micro-batch file; mtimes order the file-source triggers."""
+        tmp = str(tmp_path / f"tmp_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time()
+    # b1: install o1's email, then a same-batch probe -> hit.
+    stage("b1", [
+        ("o1", "a@x.com", ts("2024-01-01 10:00:00")),
+        ("o1", None, ts("2024-01-01 11:00:00")),
+    ], t0)
+    # b2: unrelated key far in the future -> watermark jumps past o1's TTL.
+    stage("b2", [("o9", None, ts("2024-01-03 12:00:00"))], t0 + 10)
+    # b3: unrelated key again -> the trigger where o1's timeout fires.
+    stage("b3", [("o9", None, ts("2024-01-03 13:00:00"))], t0 + 20)
+    # b4: probe o1 after eviction -> miss.
+    stage("b4", [("o1", None, ts("2024-01-03 14:00:00"))], t0 + 30)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("event_ts", "1 hour")
+    )
+    q = (
+        stream_enrichment_cache(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_cache")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["order_id"], str(r["event_ts"])): r["email"]
+        for r in spark.sql("SELECT * FROM enrich_cache").collect()
+    }
+    assert rows[("o1", "2024-01-01 10:00:00")] == "a@x.com"  # install emits
+    assert rows[("o1", "2024-01-01 11:00:00")] == "a@x.com"  # fresh hit
+    assert rows[("o1", "2024-01-03 14:00:00")] is None  # post-TTL miss
