@@ -9,6 +9,7 @@ from pyspark.sql.window import Window
 
 from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
 from ecommerce_data_pipeline_spark.operators import curate as cu
+from ecommerce_data_pipeline_spark.operators import packing as pk
 from ecommerce_data_pipeline_spark.operators import dedup as dd
 from ecommerce_data_pipeline_spark.operators import similarity as sim
 from ecommerce_data_pipeline_spark.operators import text as tx
@@ -386,3 +387,23 @@ def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("distinct_word_ratio") >= 0.3)
         )
     )
+
+
+@register("sequence_packing", oracle=pk.pack_sequences_sql())
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence packing (operators/packing.py):
+    per deterministic shard, docs lie end-to-end in id order and the token
+    stream is cut into 512-token sequences; each doc reports the
+    sequence(s) and offset it occupies. One shuffle (the per-shard window
+    cumsum); shard count bounds the per-reducer sort, which is what keeps
+    a global-order operation 100 TB-safe."""
+    return pk.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@register("document_chunks", oracle=pk.chunk_documents_sql())
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64/16-token chunking (the RAG / embedding-index shape,
+    operators/packing.py): explode over per-doc chunk starts, slice the
+    token array per chunk — embarrassingly parallel, fan-out bounded by
+    ceil(n_tokens/stride), no shuffle at all."""
+    return pk.chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -488,3 +488,47 @@ def test_reconciliation_cogroup_equals_builtin_query(spark):
     cg = {tuple(r) for r in reconcile_orders_payments(o, p).collect()}
     sql = {tuple(r) for r in QUERIES["payment_reconciliation"](spark, sf).collect()}
     assert cg == sql and len(cg) > 0
+
+
+def test_pack_sequences_straddles_boundaries(spark):
+    """Docs lie end-to-end per shard; a doc crossing a 10-token boundary
+    reports both sequences; zero-token docs are dropped."""
+    from ecommerce_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # 6 tokens: seq0 [0,6)
+            (32, "g h i j k l"),       # 6 tokens: offsets 6..11 -> seq0+seq1
+            (64, ""),                  # 0 tokens: dropped
+            (96, "m n o p"),           # 4 tokens: offsets 12..15 -> seq1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["start_seq"], r["start_offset"], r["end_seq"])
+        for r in pack_sequences(docs, budget=10, n_shards=32).collect()
+    }
+    assert out == {0: (0, 0, 0), 32: (0, 6, 1), 96: (1, 2, 1)}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from ecommerce_data_pipeline_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    got = [
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in rows
+    ]
+    # stride 2: starts 0,2,4,6; each chunk re-reads 2 overlap tokens.
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 3, "t4 t5 t6"),
+        (1, 3, 6, 1, "t6"),
+    ]
