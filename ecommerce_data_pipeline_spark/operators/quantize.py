@@ -31,16 +31,30 @@ from ecommerce_data_pipeline_spark.operators.similarity import (
 )
 
 
-def _dist2(v: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    """All centroids as ONE array<array<double>> literal. A per-centroid
+    expression tree (k × dim literal nodes) made Catalyst re-derive and
+    codegen-compile a huge plan every Lloyd iteration — at k=8, dim=64
+    that compile dominated the whole fit on small corpora. A single nested
+    literal is one plan node regardless of k×dim."""
+    return F.lit([[float(x) for x in c] for c in centroids])
+
+
+def _dist2_col(v: Column, c: Column) -> Column:
     diff = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dist2(v: Column, centroid: list[float]) -> Column:
+    return _dist2_col(v, F.lit([float(x) for x in centroid]))
+
+
 def _cell_expr(v: Column, centroids: list[list[float]]) -> Column:
     """0-based argmin-distance cell id; ties resolve to the lowest index
-    (array_position returns the first match — deterministic)."""
-    dists = F.array(*[_dist2(v, c) for c in centroids])
+    (array_position returns the first match — deterministic). Arithmetic
+    is element-order identical to the unrolled form, so results (and the
+    DuckDB oracle replay) are unchanged."""
+    dists = F.transform(_centroid_lit(centroids), lambda c: _dist2_col(v, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -129,13 +143,11 @@ def multiprobe_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    dists = F.array(
-        *[
-            F.struct(
-                _dist2(F.col("q_vec"), c).alias("d"), F.lit(i).alias("cell")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    dists = F.transform(
+        _centroid_lit(centroids),
+        lambda c, i: F.struct(
+            _dist2_col(F.col("q_vec"), c).alias("d"), i.alias("cell")
+        ),
     )
     probed = qv.withColumn(
         "cell",
