@@ -161,6 +161,29 @@ def minhash_signatures(
     )
 
 
+def _lsh_buckets(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, bucket): LSH banding of minhash signatures — bucket =
+    md5 of the band's signature slice. Shared by the self-join
+    (minhash_lsh_pairs) and the incremental new-vs-existing join."""
+    rows_per_band = n_hashes // n_bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.slice(
+                            F.col("sig"), bnd * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -282,25 +305,9 @@ def minhash_lsh_pairs(
     colliding buckets.
     Output: (doc_id_a, doc_id_b, jaccard).
     """
-    rows_per_band = n_hashes // n_bands
     base = _hashed_shingle_arrays(_spread(docs), k, text_col, id_col)
     sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda bnd: F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band).cast(
-                            "array<string>"
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _lsh_buckets(sigs, n_hashes, n_bands)
     lhs = banded.alias("x")
     rhs = banded.alias("y")
     candidates = (
@@ -473,5 +480,120 @@ def duplicate_span_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias(
                 "dup_span_ratio"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: assign a NEW batch against an EXISTING canonical corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.5,
+    k: int = 12,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shape a 100 TB corpus actually runs DAILY: dedup an incoming
+    batch against the already-deduped corpus without re-pairing the corpus
+    with itself. Work is O(|new| x bands) bucket probes + verification of
+    colliding pairs — |existing| contributes only its (reusable,
+    incrementally maintainable) signature/bucket table, never a quadratic
+    term.
+
+    Per new doc, in precedence order:
+    - 'exact': content-hash match in ``existing`` (canonical = smallest
+      matching existing id, jaccard = 1.0);
+    - 'near': best LSH-candidate with exact shingle-Jaccard >= threshold
+      (max jaccard, ties to the smallest existing id);
+    - 'new': no match — the doc enters the corpus as its own canonical.
+
+    Output: (doc_id, canonical_id, match_kind, jaccard); jaccard is null
+    for 'new' rows.
+    """
+    new_ids = new.select(F.col(id_col).alias("doc_id"))
+    # Exact tier: one hash join on the 16-byte digest.
+    old_hash = (
+        existing.select(
+            F.md5(F.col(text_col)).alias("__h"), F.col(id_col).alias("doc_id")
+        )
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("exact_canonical"))
+    )
+    exact = (
+        new.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__h"))
+        .join(old_hash, "__h")
+        .select("doc_id", "exact_canonical")
+    )
+    # Near tier: bucket-probe the existing LSH table with the new batch's
+    # buckets — an equi-join keyed on (band, bucket), never all-pairs.
+    banded_new = _lsh_buckets(
+        minhash_signatures(new, k, n_hashes, text_col, id_col), n_hashes, n_bands
+    )
+    banded_old = _lsh_buckets(
+        minhash_signatures(existing, k, n_hashes, text_col, id_col),
+        n_hashes,
+        n_bands,
+    )
+    candidates = (
+        banded_new.alias("x")
+        .join(
+            banded_old.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand_id")
+        )
+        .distinct()
+    )
+    sh_new = _hashed_shingle_arrays(_spread(new), k, text_col, id_col).select(
+        F.col("doc_id"), F.col("shingles").alias("sh_n")
+    )
+    sh_old = _hashed_shingle_arrays(_spread(existing), k, text_col, id_col).select(
+        F.col("doc_id").alias("cand_id"), F.col("shingles").alias("sh_o")
+    )
+    verified = (
+        candidates.join(sh_new, "doc_id")
+        .join(sh_old, "cand_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_o"))
+                / F.size(F.array_union("sh_n", "sh_o")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("cand_id")
+    )
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("cand_id").alias("near_canonical"), "jaccard")
+    )
+    return (
+        new_ids.join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_canonical", "near_canonical", "doc_id").alias(
+                "canonical_id"
+            ),
+            F.when(F.col("exact_canonical").isNotNull(), "exact")
+            .when(F.col("near_canonical").isNotNull(), "near")
+            .otherwise("new")
+            .alias("match_kind"),
+            F.when(
+                F.col("exact_canonical").isNotNull(), F.lit(1.0)
+            ).otherwise(F.col("jaccard")).alias("jaccard"),
         )
     )
