@@ -532,3 +532,35 @@ def test_chunk_documents_overlap_and_tail(spark):
         (1, 2, 4, 3, "t4 t5 t6"),
         (1, 3, 6, 1, "t6"),
     ]
+
+
+def test_incremental_dedup_tiers(spark):
+    """Exact beats near; best-jaccard-then-smallest-id tiebreak; unmatched
+    docs become their own canonical."""
+    from ecommerce_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    existing = spark.createDataFrame(
+        [
+            (10, base),                       # exact twin of doc 100
+            (11, base),                       # same content, larger id
+            (12, base + " with a small extra tail appended"),  # near of 101
+            (13, "completely unrelated content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                      # exact dup -> canonical 10
+            (101, base + " with a small extra tail appended xx"),  # near 12
+            (102, "zzz qqq vvv totally novel text never seen anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["match_kind"], r["jaccard"])
+        for r in incremental_dedup(existing, new).collect()
+    }
+    assert out[100] == (10, "exact", 1.0)  # min existing id wins
+    assert out[101][0] == 12 and out[101][1] == "near" and out[101][2] >= 0.5
+    assert out[102] == (102, "new", None)
