@@ -79,3 +79,89 @@ def test_kafka_dedup_unique_and_idempotent(spark, rows):
         assert r["kafka_timestamp"].second == best[(r["partition"], r["offset"])]
     # idempotent
     assert kafka_identity_dedup(out).count() == len(collected)
+
+
+asof_data = st.tuples(
+    # left probes: (key, ts_sec)
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    # right events: (key, ts_sec) — unique per key to avoid tie ambiguity
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=15, unique=True,
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_data)
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join == per-left-row argmax(right_ts <= left_ts) for any key
+    distribution and any interleaving of probe/event times."""
+    import datetime as dt
+
+    from ecommerce_data_pipeline_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(k, mk(s), i) for i, (k, s) in enumerate(lrows)],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, mk(s), 10.0 + k + s) for (k, s) in rrows],
+        "k int, ts timestamp, val double",
+    )
+    got = {
+        (r["k"], r["lid"]): (r["matched_ts"], r["matched_val"])
+        for r in asof_join(
+            left, right, on=["k"], value_cols=["val"], prefix="matched_"
+        ).collect()
+    }
+    want = {}
+    for i, (k, s) in enumerate(lrows):
+        cands = [(ks, vs) for (kk, ks), vs in
+                 [((kk, ks), 10.0 + kk + ks) for (kk, ks) in rrows if kk == k]
+                 if ks <= s]
+        if cands:
+            bs, bv = max(cands)
+            want[(k, i)] = (mk(bs), bv)
+    assert got == want
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_texts)
+def test_pack_sequences_tiles_contiguously(spark, texts):
+    """Per shard: docs tile the token stream with no gaps or overlaps, and
+    end_seq is exactly the sequence holding the doc's last token."""
+    from ecommerce_data_pipeline_spark.operators.packing import pack_sequences
+
+    budget = 7
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = sorted(
+        (
+            (r["shard"], r["doc_id"], r["n_tokens"], r["start_seq"],
+             r["start_offset"], r["end_seq"])
+            for r in pack_sequences(docs, budget=budget, n_shards=3).collect()
+        )
+    )
+    offsets: dict[int, int] = {}
+    for shard, _doc, n, sseq, soff, eseq in out:
+        cursor = offsets.get(shard, 0)
+        assert sseq == cursor // budget and soff == cursor % budget
+        assert eseq == (cursor + n - 1) // budget
+        offsets[shard] = cursor + n
+    n_nonempty = sum(1 for t in texts if t.split())
+    assert len(out) == n_nonempty  # zero-token docs dropped, others kept
