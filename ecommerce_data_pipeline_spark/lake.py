@@ -144,6 +144,7 @@ class ParquetTable:
         path: str,
         partition_by: list[str] | None = None,
         use_delta: bool = False,
+        keep_versions: int = 0,
     ):
         self.path = path
         self.partition_by = partition_by or []
@@ -153,6 +154,67 @@ class ParquetTable:
                 "and configure spark.sql.extensions per docs.delta.io)"
             )
         self.use_delta = use_delta
+        # Time travel (Delta `VERSION AS OF` parity for plain parquet):
+        # with keep_versions > 0, every mutation first snapshots the
+        # current table into {path}__hist/v{n} via HARD LINKS — parquet
+        # files are immutable once written, so a snapshot costs directory
+        # entries, not data bytes (same-filesystem only; falls back to
+        # copy). Delta tables get real time travel from their log instead.
+        self.keep_versions = int(keep_versions)
+
+    # -- time travel ------------------------------------------------------
+
+    @property
+    def _hist_root(self) -> str:
+        return f"{self.path}__hist"
+
+    def versions(self) -> list[int]:
+        """Archived snapshot versions, oldest first (v0 = first mutation's
+        pre-image)."""
+        if not os.path.isdir(self._hist_root):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self._hist_root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _archive(self) -> None:
+        """Hard-link-snapshot the current table into the next history slot
+        and prune to ``keep_versions`` newest."""
+        if self.keep_versions <= 0 or not self.exists():
+            return
+        vs = self.versions()
+        dst = os.path.join(self._hist_root, f"v{(vs[-1] + 1) if vs else 0}")
+        for root, _dirs, files in os.walk(self.path):
+            rel = os.path.relpath(root, self.path)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                src = os.path.join(root, f)
+                try:
+                    os.link(src, os.path.join(out, f))
+                except OSError:  # cross-device or FS without hard links
+                    shutil.copy2(src, os.path.join(out, f))
+        for stale in self.versions()[: -self.keep_versions]:
+            shutil.rmtree(
+                os.path.join(self._hist_root, f"v{stale}"), ignore_errors=True
+            )
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Read an archived snapshot (Delta ``VERSION AS OF`` parity)."""
+        vdir = os.path.join(self._hist_root, f"v{int(version)}")
+        if not os.path.isdir(vdir):
+            raise ValueError(
+                f"version {version} not archived (have {self.versions()})"
+            )
+        return spark.read.option("mergeSchema", "true").parquet(vdir)
+
+    def restore(self, spark: SparkSession, version: int) -> None:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` parity: archive the
+        current state, then make ``version``'s snapshot current."""
+        snap = self.read_version(spark, version).localCheckpoint(eager=True)
+        self.overwrite(snap)
 
     def exists(self) -> bool:
         if self.use_delta:
@@ -193,6 +255,7 @@ class ParquetTable:
                 writer = writer.partitionBy(*self.partition_by)
             writer.save(self.path)
             return
+        self._archive()
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -343,6 +406,7 @@ class ParquetTable:
             merged.write.mode("overwrite").parquet(staging)
             try:
                 staged = spark.read.parquet(staging)
+                self._archive()
                 (
                     staged.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -463,6 +527,7 @@ class ParquetTable:
             kept.write.mode("overwrite").parquet(staging)
             try:
                 staged = spark.read.parquet(staging)
+                self._archive()
                 (
                     staged.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")

@@ -442,3 +442,48 @@ def test_merge_schema_evolution_rejects_dropped_partition_key(spark, tmp_path):
             spark.createDataFrame([("a", 2.0)], "k string, v double"),
             keys=["k"],
         )
+
+
+def test_time_travel_versions_and_restore(spark, tmp_path):
+    """Delta time-travel parity on plain parquet: every mutation archives a
+    hard-link snapshot; read_version serves the pre-image and restore
+    rolls the table back (archiving the rolled-back state too)."""
+    t = ParquetTable(str(tmp_path / "t"), keep_versions=3)
+    df = lambda rows: spark.createDataFrame(rows, "k string, v double")  # noqa: E731
+    t.merge(spark, df([("a", 1.0), ("b", 2.0)]), keys=["k"])   # bootstrap
+    assert t.versions() == []  # nothing existed before the bootstrap
+    t.merge(spark, df([("a", 9.0)]), keys=["k"])               # v0 = pre-image
+    t.merge(spark, df([("c", 3.0)]), keys=["k"])               # v1
+    assert t.versions() == [0, 1]
+    v0 = {r["k"]: r["v"] for r in t.read_version(spark, 0).collect()}
+    assert v0 == {"a": 1.0, "b": 2.0}
+    v1 = {r["k"]: r["v"] for r in t.read_version(spark, 1).collect()}
+    assert v1 == {"a": 9.0, "b": 2.0}
+    t.restore(spark, 0)                                        # v2 = pre-restore
+    now = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert now == {"a": 1.0, "b": 2.0}
+    assert t.versions() == [0, 1, 2]
+    with pytest.raises(ValueError, match="not archived"):
+        t.read_version(spark, 9)
+
+
+def test_time_travel_partitioned_merge_and_pruning(spark, tmp_path):
+    """Partition-pruned merges snapshot before the dynamic overwrite, and
+    history is pruned to keep_versions."""
+    t = ParquetTable(
+        str(tmp_path / "t"), partition_by=["event_date"], keep_versions=2
+    )
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double, event_date date"
+    )
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t.merge(spark, df([("a", 1.0, d1), ("b", 1.0, d2)]), keys=["k"])
+    for i in range(3):  # three mutations -> v0..v2 archived, v0 pruned
+        t.merge(spark, df([("a", float(10 + i), d1)]), keys=["k"])
+    assert t.versions() == [1, 2]
+    latest_pre = {
+        r["k"]: r["v"] for r in t.read_version(spark, 2).collect()
+    }
+    assert latest_pre == {"a": 11.0, "b": 1.0}
+    # the untouched partition is present in every snapshot (full pre-image)
+    assert "b" in {r["k"] for r in t.read_version(spark, 1).collect()}
