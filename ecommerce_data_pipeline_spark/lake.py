@@ -555,6 +555,34 @@ class ParquetTable:
             self.overwrite(target.join(doomed_keys, keys, "left_anti"))
         return (removed, changes) if capture_changes else removed
 
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """Delta ``VACUUM`` parity: drop archived snapshots beyond
+        ``retain_versions`` newest plus any leftover staging/tmp/old dirs
+        from interrupted writes. Returns the number of dirs removed.
+        Hard-linked files release disk only once the last snapshot
+        referencing them is removed — exactly Delta's data/log retention
+        split."""
+        removed = 0
+        vs = self.versions()
+        for stale in vs[: max(0, len(vs) - retain_versions)]:
+            shutil.rmtree(
+                os.path.join(self._hist_root, f"v{stale}"), ignore_errors=True
+            )
+            removed += 1
+        if retain_versions == 0 and os.path.isdir(self._hist_root):
+            shutil.rmtree(self._hist_root, ignore_errors=True)
+        parent, base = os.path.split(self.path.rstrip("/"))
+        for d in os.listdir(parent or "."):
+            full = os.path.join(parent, d)
+            if (
+                d.startswith(f"{base}__")
+                and not d.startswith(f"{base}__hist")
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed
+
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE-equivalent: rewrite the table into ~target-sized files.
 

@@ -487,3 +487,21 @@ def test_time_travel_partitioned_merge_and_pruning(spark, tmp_path):
     assert latest_pre == {"a": 11.0, "b": 1.0}
     # the untouched partition is present in every snapshot (full pre-image)
     assert "b" in {r["k"] for r in t.read_version(spark, 1).collect()}
+
+
+def test_vacuum_drops_history_and_stale_dirs(spark, tmp_path):
+    import os
+
+    t = ParquetTable(str(tmp_path / "t"), keep_versions=5)
+    df = lambda rows: spark.createDataFrame(rows, "k string, v double")  # noqa: E731
+    t.merge(spark, df([("a", 1.0)]), keys=["k"])
+    t.merge(spark, df([("a", 2.0)]), keys=["k"])
+    t.merge(spark, df([("a", 3.0)]), keys=["k"])
+    assert t.versions() == [0, 1]
+    os.makedirs(str(tmp_path / "t__stage_deadbeef"))  # interrupted write
+    assert t.vacuum(retain_versions=1) >= 2
+    assert t.versions() == [1]
+    assert not os.path.exists(str(tmp_path / "t__stage_deadbeef"))
+    # retaining more than exist removes nothing further
+    assert t.versions() == [1] and t.vacuum(retain_versions=5) == 0
+    assert {r["v"] for r in t.read(spark).collect()} == {3.0}
