@@ -53,6 +53,10 @@ _DRIVER_PRIORITY: list[str] = [
     "session_overlap_pairs",
     "asof_view_before_purchase",
     "ann_recall_report",
+    # round-5 additions — never had a driver row
+    "sequence_packing",
+    "document_chunks",
+    "dedup_incremental_assign",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",
