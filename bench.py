@@ -62,6 +62,12 @@ def main() -> int:
     docs_warm = _lt(spark, sf_dir, "documents").limit(64)
     _dd.minhash_lsh_pairs(docs_warm).count()
     _lt(spark, sf_dir, "embeddings").limit(1).count()
+    # Warm the Arrow/Python worker pool: the first Pandas-UDF query in the
+    # run otherwise pays the per-executor python worker forks (~1-2s) that
+    # every later UDF query reuses for free.
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     setup = time.time() - t0
 
     # Per-query error isolation: one broken query must never zero out the
