@@ -329,6 +329,29 @@ class ParquetTable:
                 )
                 .localCheckpoint(eager=True)
             )
+        if not self.use_delta:
+            # Insert-only fast path: if NO update key exists in the target,
+            # MERGE degenerates to INSERT ALL — append files instead of
+            # rewriting. This is the hot case for append-mostly streams
+            # (every Kafka (topic,partition,offset) key is new), and the
+            # 100 TB case where rewriting a growing table per micro-batch
+            # is the difference between O(batch) and O(table) I/O per
+            # trigger. The probe is a column-pruned key semi-join with an
+            # early-out limit(1). Replays (matched keys) and mixed batches
+            # take the rewrite path below, keeping idempotency semantics.
+            any_match = (
+                updates.select(*keys)
+                .join(target.select(*keys), keys, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if any_match == 0:
+                self._archive()
+                writer = updates.write.mode("append")
+                if self.partition_by:
+                    writer = writer.partitionBy(*self.partition_by)
+                writer.parquet(self.path)
+                return changes
         if self.use_delta:
             # Real MERGE with file-level rewrite + transaction log
             # (reference behavior: silver_orders.py:72-79). Delta prunes

@@ -505,3 +505,33 @@ def test_vacuum_drops_history_and_stale_dirs(spark, tmp_path):
     # retaining more than exist removes nothing further
     assert t.versions() == [1] and t.vacuum(retain_versions=5) == 0
     assert {r["v"] for r in t.read(spark).collect()} == {3.0}
+
+
+def test_merge_insert_only_appends_without_rewrite(spark, tmp_path):
+    """A batch whose keys are all new takes the append fast path: existing
+    data files are untouched (same inodes), result equals the union."""
+    import os
+
+    t = ParquetTable(str(tmp_path / "t"))
+    df = lambda rows: spark.createDataFrame(rows, "k string, v double")  # noqa: E731
+    t.merge(spark, df([("a", 1.0), ("b", 2.0)]), keys=["k"])
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(t.path, f)).st_ino
+            for f in os.listdir(t.path)
+            if f.endswith(".parquet")
+        }
+
+    before = inodes()
+    t.merge(spark, df([("c", 3.0)]), keys=["k"])  # disjoint keys -> append
+    after = inodes()
+    assert set(before).issubset(set(after))  # original files still present
+    assert all(after[f] == ino for f, ino in before.items())  # not rewritten
+    assert len(after) > len(before)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {"a": 1.0, "b": 2.0, "c": 3.0}
+    # A matched-key batch still takes the rewrite path and updates in place.
+    t.merge(spark, df([("a", 9.0)]), keys=["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
