@@ -177,3 +177,34 @@ def multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def int8_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-scale layout
+    for embedding corpora (4x smaller than float32, 8x than float64;
+    at 100 TB of vectors this is the difference between scanning 25 TB
+    and 100 TB per ANN sweep).
+
+    scale = max(|v|)/127 (per vector; 1.0 for all-zero vectors), q_i =
+    floor(v_i/scale + 0.5). floor(+0.5) rather than round() pins the
+    half-way rounding mode to one definition reproducible across engines.
+    Cosine against the dequantized vector equals cosine against q directly
+    (the positive scale cancels), so downstream scoring never multiplies
+    back.
+
+    Output: (id, scale double, qvec array<int>).
+    """
+    v = _as_double(F.col(vec_col))
+    raw_scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    scale = F.when(raw_scale == 0.0, F.lit(1.0)).otherwise(raw_scale)
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
+    )

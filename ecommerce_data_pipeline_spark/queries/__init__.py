@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sequence_packing",
     "document_chunks",
     "dedup_incremental_assign",
+    "embedding_int8_audit",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",

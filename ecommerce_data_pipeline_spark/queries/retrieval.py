@@ -882,3 +882,67 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "embedding_int8_audit",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m/127 END AS scale
+  FROM (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+),
+q AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> CAST(floor(x/scale + 0.5) AS INTEGER)) AS qv
+  FROM s
+)
+SELECT vec_id,
+  round(scale, 6) AS scale_r,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+  CAST(list_max(qv) AS INTEGER) AS q_max,
+  round(list_inner_product(v, CAST(qv AS DOUBLE[]))
+        / (sqrt(list_inner_product(v, v))
+           * sqrt(list_inner_product(CAST(qv AS DOUBLE[]),
+                                     CAST(qv AS DOUBLE[])))), 4) AS cos_q
+FROM q
+""",
+)
+def q_embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 storage quantization audit (operators/quantize.py:int8_quantize
+    — the 4x embedding-storage compression a 100 TB vector corpus runs):
+    per vector, the quantization scale, exact integer digests of the
+    quantized values (L1 mass, max code — bit-stable cross-engine because
+    floor(+0.5) pins the rounding mode), and the cosine between the
+    original and its quantized form (scale cancels), i.e. the retrieval
+    fidelity the compression actually costs. Pure map stage, no shuffle."""
+    from ecommerce_data_pipeline_spark.operators.quantize import int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    joined = int8_quantize(emb).join(
+        emb.select("vec_id", v.alias("v")), "vec_id"
+    )
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qd, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return joined.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.round(dot / (norm(F.col("v")) * norm(qd)), 4).alias("cos_q"),
+    )
