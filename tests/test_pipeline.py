@@ -535,3 +535,31 @@ def test_merge_insert_only_appends_without_rewrite(spark, tmp_path):
     t.merge(spark, df([("a", 9.0)]), keys=["k"])
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+def test_merge_evolving_batch_takes_append_path(spark, tmp_path):
+    """An all-new-keys batch with a drifted schema goes through sync THEN
+    the append fast path: appended files carry the union schema and reads
+    null-fill across old and new files."""
+    import os
+
+    t = ParquetTable(str(tmp_path / "t"))
+    t.merge(
+        spark,
+        spark.createDataFrame([("a", 1.0)], "k string, v double"),
+        keys=["k"],
+    )
+    before = {
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    }
+    t.merge(
+        spark,
+        spark.createDataFrame([("b", "s3")], "k string, source string"),
+        keys=["k"],
+    )
+    after = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    assert before.issubset(after) and len(after) > len(before)  # appended
+    got = {
+        r["k"]: (r["v"], r["source"]) for r in t.read(spark).collect()
+    }
+    assert got == {"a": (1.0, None), "b": (None, "s3")}
