@@ -239,3 +239,33 @@ def temperature_sample(
         .filter(F.col("__bucket") < F.col("rate_bp"))
         .drop("__bucket")
     )
+
+
+def source_capped_sample(
+    docs: DataFrame,
+    cap: int = 50,
+    stratum_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source cap: keep at most ``cap`` docs per source, preferring
+    larger ``order_col`` (id tiebreak) — the anti-domination rule that
+    stops one crawl domain from flooding the training mixture.
+
+    The rank<=cap filter over the window is recognized by Spark >= 3.5's
+    WindowGroupLimit: every scan partition pre-prunes to its local best
+    ``cap`` per source BEFORE the shuffle, so a 10-billion-doc domain
+    moves at most cap x n_partitions rows — not the domain — through the
+    exchange.
+    Output: (doc_id, source, order_col, rank).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        docs.select(id_col, stratum_col, order_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(cap))
+    )

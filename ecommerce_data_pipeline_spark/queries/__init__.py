@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "document_chunks",
     "dedup_incremental_assign",
     "embedding_int8_audit",
+    "source_capped_sample",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",

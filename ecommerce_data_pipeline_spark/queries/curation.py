@@ -407,3 +407,25 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array per chunk — embarrassingly parallel, fan-out bounded by
     ceil(n_tokens/stride), no shuffle at all."""
     return pk.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_capped_sample",
+    oracle="""
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+        ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+  FROM documents)
+WHERE rank <= 5
+""",
+)
+def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (operators/curate.py:source_capped_sample): at most
+    5 docs per source, longest first — the anti-domination mixture rule.
+    The rank filter triggers WindowGroupLimit map-side pruning, so a
+    mega-domain ships cap x partitions rows through the shuffle, not its
+    whole corpus."""
+    return cu.source_capped_sample(
+        load_table(spark, sf_dir, "documents"), cap=5
+    )
