@@ -317,15 +317,16 @@ def ngram_jaccard_pairs(
     keep this as the verifier.
     Output: (doc_id_a, doc_id_b, jaccard) with jaccard rounded to 4dp.
     """
-    base = _hashed_shingle_arrays(_spread(docs), k, text_col, id_col)
-    sh = base.select("doc_id", F.explode("shingles").alias("sh"))
+    # One materialized shingle pass shared by the prefix-filter branch and
+    # both verification sides (the old plan re-shingled the corpus 3x).
+    # |shingle set| rides along as size(shingles) — no count window needed.
+    base = _minhash_profile(docs, k, text_col, id_col)
+    sh = base.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
+    )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    ranked = (
-        sh.join(freq, "sh")
-        .withColumn("rk", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    ranked = sh.join(freq, "sh").withColumn("rk", F.row_number().over(w_doc))
     prefix = ranked.filter(
         F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "sh", "rk", "n")
@@ -441,27 +442,30 @@ def simhash(docs: DataFrame, k: int = 12, bits: int = 64, text_col: str = "text"
     have bit b set. Uses bits-1 (≤63) bit positions to stay in signed int64;
     _md5_long yields 60-bit hashes so positions ≥60 never vote 1.
 
-    Plan: explode shingles → md5 once per (doc, shingle) → one conditional-sum
-    aggregate per bit position (Python-int shift amounts, so everything stays
-    a built-in JVM expression). Map-side partial aggregation collapses the
-    shuffle to docs × bits longs.
+    Plan: one materialized shingle pass (_minhash_profile), then the bit
+    majority votes in an Arrow-vectorized pandas_udf — 63 conditional-sum
+    SQL aggregates are wide-agg-buffer-bound exactly like the minhash mins
+    (see _profile_buckets), while numpy folds the same votes per batch in
+    microseconds. Values are bit-identical to the SQL formulation (same
+    md5-derived hashes, same strict-majority `2*votes > n` rule), which the
+    DuckDB oracle twin replays.
     Output: (doc_id, simhash long).
     """
     n_bits = bits - 1
-    hashed = _exploded_shingle_hashes(docs, k, text_col, id_col)
-    votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__v{b}")
-        for b in range(n_bits)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *votes)
-    sig = None
-    for b in range(n_bits):
-        term = (
-            F.when(F.col(f"__v{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sig = term if sig is None else sig + term
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    profile = _minhash_profile(docs, k, text_col, id_col)
+    shifts = np.arange(n_bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+
+    @F.pandas_udf("bigint")
+    def sim_udf(shingles: pd.Series) -> pd.Series:
+        out = np.empty(len(shingles), dtype=np.int64)
+        for i, arr in enumerate(shingles):
+            h = np.asarray(arr, dtype=np.int64)
+            votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
+            out[i] = int(weights[2 * votes > len(h)].sum())
+        return pd.Series(out)
+
+    return profile.select("doc_id", sim_udf("shingles").alias("simhash"))
 
 
 def simhash_pairs(
