@@ -66,45 +66,59 @@ def kmeans_fit(
     vec_col: str = "embedding",
     fit_sample: int | None = None,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means; returns the centroid list."""
-    v = vectors.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
-    if fit_sample is not None:
-        # Deterministic "sample": smallest md5(id) — uniform over ids.
-        v = (
-            v.withColumn("__h", F.md5(F.col("id").cast("string")))
-            .orderBy("__h")
-            .limit(fit_sample)
-            .drop("__h")
+    """Deterministic Lloyd's k-means; returns the centroid list.
+
+    The fit runs DRIVER-SIDE over one bounded collect: a coarse quantizer
+    needs ~100×k training points, not the corpus, so the scalable pattern
+    (faiss, sklearn, every IVF build) is sample → in-memory Lloyd's →
+    distributed assign. ``fit_sample`` caps the collect (smallest-md5(id)
+    rows — the same deterministic pseudo-sample as before, now computed in
+    the driver with hashlib, which matches Spark's md5 byte-for-byte); at
+    production scale ALWAYS pass it. Iterating Lloyd's as per-round Spark
+    jobs was 5 plan-compiles + 5 cluster barriers to average ~1 MB of
+    vectors — two orders of magnitude slower than this on the test corpus
+    and no more scalable, since the per-iteration reduce was already
+    k×dim driver scalars.
+
+    Numerics: distances/means accumulate in numpy instead of one-at-a-time
+    SQL fold order; both the previous Spark plan and the DuckDB oracle
+    already used different accumulation orders than each other, and every
+    emitted value downstream is rounded/ranked far above that noise floor.
+    """
+    import hashlib
+
+    rows = (
+        vectors.select(
+            F.col(id_col).cast("string").alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
         )
-    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism)
-    init_rows = (
-        v.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .collect()
+        if fit_sample is None
+        else vectors.select(
+            F.col(id_col).cast("string").alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("__h", F.md5(F.col("id")))
         .orderBy("__h")
-        .limit(k)
-        .select("v")
+        .limit(fit_sample)
         .collect()
     )
-    centroids = [list(r["v"]) for r in init_rows]
-    dim = len(centroids[0])
+    import numpy as np
+
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: hashlib.md5(rows[i]["id"].encode()).hexdigest(),
+    )
+    x = np.array([rows[i]["v"] for i in order], dtype=np.float64)
+    centroids = x[:k].copy()
     for _ in range(iters):
-        assigned = v.withColumn("cell", _cell_expr(F.col("v"), centroids))
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        new = list(centroids)
-        for row in means:
-            new[row["cell"]] = [row[f"c{i}"] for i in range(dim)]
-        centroids = new
-    return centroids
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[cells == c]
+            if len(members):  # empty cell keeps its previous centroid
+                centroids[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in centroids]
 
 
 def assign_cells(
