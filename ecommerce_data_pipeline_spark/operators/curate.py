@@ -269,3 +269,40 @@ def source_capped_sample(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(cap))
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    train_bp: int = 9000,
+    val_bp: int = 500,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the deterministic md5 coin is tossed per CLUSTER (the
+    ``cluster_id`` from dedup_clusters), so every member of a near-dup
+    cluster — not just the canonical doc — lands in the same split. A
+    doc-keyed split would put a 0.95-Jaccard copy of a training document
+    into the eval set, the classic train/test contamination failure
+    (Dodge et al. 2021, C4 analysis; Lee et al. 2022 §6 measure the
+    resulting eval inflation).
+
+    Basis points: ``train_bp``/``val_bp`` of 10000 (defaults 90/5/5).
+    Pure map stage over the cluster assignment — the split coin adds no
+    shuffle on top of dedup_clusters; membership is reproducible across
+    retries, executors and engines (same md5 bucket rule as
+    ``deterministic_keep``).
+    Output: (doc_id, cluster_id, split).
+    """
+    h = _md5_long(
+        F.concat_ws(":", F.col("cluster_id").cast("string"), F.lit(salt))
+    )
+    bucket = h % 10000
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.when(bucket < train_bp, F.lit("train"))
+        .when(bucket < train_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

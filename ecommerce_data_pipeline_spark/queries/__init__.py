@@ -59,6 +59,14 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_assign",
     "embedding_int8_audit",
     "source_capped_sample",
+    "leakage_safe_split",
+    # changed late in round 5 (shared shingle profile / driver-side kmeans
+    # fit) — re-certify under the new plans
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ivf_topk",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",

@@ -42,6 +42,7 @@ from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
     register,
 )
 from ecommerce_data_pipeline_spark.queries.llm_text import _jaccard_pairs_sql
+from ecommerce_data_pipeline_spark.queries.medallion import md5_long_sql
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +183,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs)
     return gr.dedup_clusters(docs, pairs)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION SELECT doc_id_b, doc_id_a FROM jac
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+bucketed AS (
+  SELECT doc_id, cluster_id,
+    {md5_long_sql("CAST(cluster_id AS VARCHAR) || ':split-v1'")} % 10000 AS b
+  FROM clusters
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed train/val/test split (90/5/5): the md5 coin is tossed
+    per dedup cluster, so near-duplicate documents can never straddle the
+    train/eval boundary — the split that actually prevents contamination
+    after near-dup detection. Oracle replays the transitive closure and the
+    same md5 bucket rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = gr.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
+    return cu.leakage_safe_split(clusters)
 
 
 @register(

@@ -135,3 +135,22 @@ def test_duplicate_span_stats_toy(spark):
     assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
     assert out[1]["n_spans"] == 4  # 11 words -> 4 distinct 8-word spans
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark):
+    # Three clusters: {1,2,3}, {10,11}, {20}. Every member must share its
+    # cluster's split, and the assignment must be deterministic.
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster_id long",
+    )
+    out = cu.leakage_safe_split(clusters).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    again = {(r["doc_id"], r["split"]) for r in cu.leakage_safe_split(clusters).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+    # Extreme basis points pin the outcome regardless of hash values.
+    all_train = cu.leakage_safe_split(clusters, train_bp=10000, val_bp=0).collect()
+    assert {r["split"] for r in all_train} == {"train"}
