@@ -543,22 +543,25 @@ def duplicate_span_stats(
 
     Plan: explode per-doc distinct spans (the array_distinct bounds the
     explode at one row per distinct span) HASHED to 64-bit ints before
-    they leave the map stage — the count/join shuffles move 8-byte keys,
-    not ~50-byte strings (the payload never matters, only identity;
-    xxhash64 collisions at corpus scale are ~n²/2⁶⁵ — noise next to the
-    fixed-width-span approximation itself). One map-side-combined count
-    per span, join back, per-doc aggregate. Span cardinality ~ corpus
-    word count — the same scale class as the inverted index the
-    TF-IDF/BM25 operators already build.
+    they leave the map stage — the shuffles move 8-byte keys, not ~50-byte
+    strings (the payload never matters, only identity; xxhash64 collisions
+    at corpus scale are ~n²/2⁶⁵ — noise next to the fixed-width-span
+    approximation itself). The per-span document count is a window count
+    over the span partition: one explode pass and two shuffles (by span,
+    then by doc) — the groupBy+join-back formulation shuffled the span set
+    three times AND re-ran the explode for the join's probe side. Span
+    cardinality ~ corpus word count — the same scale class as the inverted
+    index the TF-IDF/BM25 operators already build.
     """
-    spans = docs.select(
+    spans = _spread(docs).select(
         F.col(id_col),
         F.explode(word_span_shingles(F.col(text_col), w)).alias("span"),
     ).select(id_col, F.xxhash64("span").alias("span"))
-    span_docs = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    counted = spans.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    )
     return (
-        spans.join(span_docs, "span")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
