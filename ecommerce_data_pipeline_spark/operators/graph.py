@@ -37,12 +37,20 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
     ``edges`` is undirected (each pair listed once is enough). ``vertices``
     optionally supplies isolated vertices (no edges) which come back as
     singleton components. Output: (id, component).
+
+    Graphs at or under ``small_graph_edges`` are solved by driver-side
+    union-find on one bounded collect (≤16 MB of long pairs at the
+    default): each distributed min-label round costs two joins, a
+    checkpoint and a convergence probe — pure cluster latency when the
+    whole edge set fits in one task. The iterative plan below is the
+    100 TB path and produces the identical labeling.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -56,6 +64,33 @@ def connected_components(
     # vertex set — labels are O(edge endpoints), not O(documents).
     n_edges = sym.count()  # sym is checkpointed: metadata-cheap
     spark = edges.sparkSession
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in sym.collect():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # Union by MIN root: the component label IS the min id.
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        labels = spark.createDataFrame(
+            [(x, find(x)) for x in parent],
+            schema=sym.select(
+                F.col("u").alias(id_col), F.col("v").alias("component")
+            ).schema,
+        )
+        return _attach_isolated(labels, vertices, id_col)
     # Right-size the loop's shuffle width to the graph, not the session
     # default: min-label rounds on a few thousand edges schedule in 1-2
     # tasks instead of 32 near-empty ones (per-round latency, not
@@ -115,19 +150,25 @@ def connected_components(
             "(doubling handles diameter up to ~2^rounds; this is not a "
             "dedup-shaped graph)"
         )
-    if vertices is not None:
-        # Isolated vertices come back as singletons; edge vertices missing
-        # from ``vertices`` are kept too (same union contract as before).
-        vs = vertices.select(id_col)
-        labels = (
-            vs.join(labels, id_col, "left")
-            .select(
-                id_col,
-                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-            )
-            .unionByName(labels.join(vs, id_col, "left_anti"))
+    return _attach_isolated(labels, vertices, id_col)
+
+
+def _attach_isolated(
+    labels: DataFrame, vertices: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Union edge-vertex labels with singleton components for isolated
+    vertices; edge vertices missing from ``vertices`` are kept too."""
+    if vertices is None:
+        return labels
+    vs = vertices.select(id_col)
+    return (
+        vs.join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
-    return labels
+        .unionByName(labels.join(vs, id_col, "left_anti"))
+    )
 
 
 def dedup_clusters(

@@ -366,21 +366,39 @@ def q_shipment_status_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("order_id"), "o_orderstatus"
     )
     e = enriched.join(status, "order_id")
-    pending = e.select(
-        "order_id", F.lit("PENDING_PAYMENT").alias("state"),
-        F.col("order_ts").alias("event_ts"),
+    # Emit all three lifecycle events in ONE pass: a 3-branch union re-ran
+    # the whole silver+enrich chain per branch (Catalyst plans each union
+    # leg independently). Conditional struct elements explode to the same
+    # rows; null elements (guard not met) are filtered out.
+    ev = F.explode(
+        F.array(
+            F.struct(
+                F.lit("PENDING_PAYMENT").alias("state"),
+                F.col("order_ts").alias("event_ts"),
+            ),
+            F.when(
+                F.col("fully_paid"),
+                F.struct(
+                    F.lit("READY_TO_SHIP").alias("state"),
+                    F.col("last_payment_ts").alias("event_ts"),
+                ),
+            ),
+            F.when(
+                F.col("fully_paid") & (F.col("o_orderstatus") == "F"),
+                F.struct(
+                    F.lit("DISPATCHED").alias("state"),
+                    (F.col("last_payment_ts") + F.expr("INTERVAL 1 HOUR")).alias(
+                        "event_ts"
+                    ),
+                ),
+            ),
+        )
     )
-    ready = e.filter("fully_paid").select(
-        "order_id", F.lit("READY_TO_SHIP").alias("state"),
-        F.col("last_payment_ts").alias("event_ts"),
+    events = (
+        e.select("order_id", ev.alias("ev"))
+        .filter(F.col("ev").isNotNull())
+        .select("order_id", "ev.state", "ev.event_ts")
     )
-    dispatched = e.filter(
-        F.col("fully_paid") & (F.col("o_orderstatus") == "F")
-    ).select(
-        "order_id", F.lit("DISPATCHED").alias("state"),
-        (F.col("last_payment_ts") + F.expr("INTERVAL 1 HOUR")).alias("event_ts"),
-    )
-    events = pending.unionByName(ready).unionByName(dispatched)
     return fold_state_events(events, ranks=SHIPMENT_STATE_RANKS)
 
 

@@ -155,7 +155,13 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    out = connected_components(edges, max_iter=12)
+    # Force the distributed pointer-doubling path (small_graph_edges=0);
+    # the driver union-find fast path must produce the identical labeling.
+    out = connected_components(edges, max_iter=12, small_graph_edges=0)
     rows = out.collect()
     assert len(rows) == 64
     assert {r["component"] for r in rows} == {0}
+    fast = connected_components(edges).collect()
+    assert {(r["id"], r["component"]) for r in fast} == {
+        (r["id"], r["component"]) for r in rows
+    }
