@@ -222,3 +222,67 @@ def int8_quantize(
             v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
         ).alias("qvec"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    deduplication that catches what shingle methods cannot — paraphrases
+    and re-encodings with near-identical meaning. Cluster the corpus with
+    the deterministic k-means coarse quantizer, then inside each cell drop
+    every vector that has a LOWER-id cell-mate with cosine >= threshold
+    (keep-the-min-id — the deterministic stand-in for the paper's
+    keep-farthest-from-centroid).
+
+    Scale shape: the quadratic step is confined to cells (k controls cell
+    size, exactly the SemDeDup recipe — they run k=50k on LAION); the
+    per-cell join is an equi-join on cell id, so shuffle volume is one
+    pass of (id, vector) rows and AQE handles cell-size skew. The cell
+    assignment is materialized once (lazy localCheckpoint) instead of
+    re-scanning the corpus for each side of the pair join.
+    Output: (id_col, cell, kept).
+    """
+    centroids = kmeans_fit(vectors, k, iters, id_col, vec_col, fit_sample)
+    cells = assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        4,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= float(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_int8_audit",
     "source_capped_sample",
     "leakage_safe_split",
+    "semantic_dedup_keep",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

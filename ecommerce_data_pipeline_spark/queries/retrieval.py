@@ -605,22 +605,20 @@ def q_payment_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_recall_oracle_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3
-) -> str:
-    """DuckDB twin of the full IVF recall pipeline: deterministic Lloyd's
-    k-means (operators/quantize.py — md5-order init, argmin assign with
+def _d2_sql(a: str, b: str) -> str:
+    return (
+        f"(list_inner_product({a},{a}) - 2*list_inner_product({a},{b})"
+        f" + list_inner_product({b},{b}))"
+    )
+
+
+def _kmeans_cells_sql(k: int, iters: int, dim: int) -> list[str]:
+    """CTE parts replaying the deterministic Lloyd's fit + final corpus
+    assignment (operators/quantize.py — md5-order init, argmin assign with
     lowest-cell tiebreak, per-cell component means, empty cells keep their
-    centroid) unrolled over ``iters`` fixed iterations, then exact vs
-    multi-probe top-5 and per-query recall. Unrolling is exact because the
-    iteration count is a constant of the query, not data-dependent."""
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"(list_inner_product({a},{a}) - 2*list_inner_product({a},{b})"
-            f" + list_inner_product({b},{b}))"
-        )
-
+    centroid), unrolled over ``iters`` fixed iterations. Exact because the
+    iteration count is a constant of the query, not data-dependent. The
+    final assignment lands in CTE ``a{iters}`` (vec_id, v, cell)."""
     parts = [
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (
@@ -638,7 +636,7 @@ def _kmeans_recall_oracle_sql(
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY {d2('e.v', 'c.v')}, c.cell) AS rn
+                         ORDER BY {_d2_sql('e.v', 'c.v')}, c.cell) AS rn
     FROM emb e CROSS JOIN c{t} c) WHERE rn = 1
 )"""
         )
@@ -660,6 +658,17 @@ def _kmeans_recall_oracle_sql(
   FROM c{t} c LEFT JOIN m{t} m USING (cell)
 )"""
         )
+    return parts
+
+
+def _kmeans_recall_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3
+) -> str:
+    """DuckDB twin of the full IVF recall pipeline: the shared k-means
+    replay (_kmeans_cells_sql), then exact vs multi-probe top-5 and
+    per-query recall."""
+    d2 = _d2_sql
+    parts = _kmeans_cells_sql(k, iters, dim)
     parts.append(
         "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0)"
     )
@@ -756,6 +765,48 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """DuckDB twin of operators.quantize.semantic_dedup: shared k-means
+    replay, within-cell cosine pairs, drop the higher id of each pair."""
+    parts = _kmeans_cells_sql(k, iters, dim)
+    cos = (
+        "round(list_inner_product(a.v, b.v)"
+        " / (sqrt(list_inner_product(a.v, a.v))"
+        " * sqrt(list_inner_product(b.v, b.v))), 4)"
+    )
+    parts.append(
+        f"""dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a{iters} a JOIN a{iters} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT x.vec_id, x.cell, x.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM a{iters} x
+"""
+
+
+@register("semantic_dedup_keep", oracle=_semantic_dedup_oracle_sql())
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-space near-dup removal inside k-means cells —
+    the dedup tier that catches paraphrases shingle methods miss. Keeps
+    the minimum id of every within-cell pair with cosine >= 0.4 (the
+    synthetic corpus' cosines top out at ~0.51, so 0.4 exercises both
+    kept and dropped outcomes; production SemDeDup uses ~0.95 on real
+    encoder embeddings). Oracle replays the deterministic fit, the cell
+    assignment and the same pair rule."""
+    from ecommerce_data_pipeline_spark.operators.quantize import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.4)
 
 
 @register(

@@ -58,3 +58,17 @@ def test_ann_recall_report_bounds(spark):
     # nprobe=3 of 8 cells on clustered synthetic data: recall well above
     # the 3/8 random-pruning floor.
     assert sum(vals) / len(vals) >= 0.5
+
+
+def test_semantic_dedup_drops_higher_id_of_near_pair(spark):
+    from ecommerce_data_pipeline_spark.operators.quantize import semantic_dedup
+
+    # Two identical vectors (cos=1) plus one orthogonal: the higher id of
+    # the identical pair is dropped, everything else kept.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, k=2, iters=2, threshold=0.95).collect()}
+    assert out[1] is True and out[9] is True
+    assert out[2] is False
