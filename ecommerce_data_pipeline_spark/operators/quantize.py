@@ -249,24 +249,32 @@ def semantic_dedup(
     re-scanning the corpus for each side of the pair join.
     Output: (id_col, cell, kept).
     """
+    from ecommerce_data_pipeline_spark.operators.dedup import _spread
+
     centroids = kmeans_fit(vectors, k, iters, id_col, vec_col, fit_sample)
-    cells = assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
-        eager=False
+    # Spread first (a single parquet file otherwise runs the whole
+    # within-cell pair scan on one task) and precompute each vector's norm
+    # ONCE — inside the pair join the norm would be re-derived per partner
+    # (~cell_size times per vector).
+    cells = (
+        assign_cells(_spread(vectors), centroids, id_col, vec_col)
+        .withColumn("nrm", _norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
         F.col("cell").alias("cell_a"),
     )
     b = cells.select(
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         F.col("cell").alias("cell_b"),
     )
     cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (_norm(F.col("va")) * _norm(F.col("vb"))),
-        4,
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
     )
     dropped = (
         a.join(
