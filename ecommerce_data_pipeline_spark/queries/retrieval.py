@@ -118,6 +118,94 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_search",
+    oracle=f"""
+WITH {_TOKS_SQL},
+q AS (SELECT doc_id, token, tf FROM tfreq
+      WHERE token IN ('spark', 'join', 'stream')),
+dfreq AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS dl
+  FROM documents
+),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+bm_scored AS (
+  SELECT q.doc_id,
+    round(sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+      * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      AS score
+  FROM q JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         AS INTEGER) AS bm25_rank
+  FROM bm_scored QUALIFY bm25_rank <= 20
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+dn AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id)
+         AS INTEGER) AS cosine_rank
+  FROM (
+    SELECT e.vec_id,
+      round(list_inner_product(e.v, qv.q_vec)
+        / (sqrt(list_inner_product(e.v, e.v))
+           * sqrt(list_inner_product(qv.q_vec, qv.q_vec))), 4) AS cs
+    FROM e CROSS JOIN qv WHERE e.vec_id <> 0)
+  QUALIFY cosine_rank <= 20
+)
+SELECT coalesce(bm.doc_id, dn.vec_id) AS doc_id,
+  round(coalesce(1.0/(60 + bm25_rank), 0)
+        + coalesce(1.0/(60 + cosine_rank), 0), 6) AS rrf_score,
+  bm25_rank, cosine_rank
+FROM bm FULL JOIN dn ON bm.doc_id = dn.vec_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-20 and dense cosine top-20 (query
+    = vector 0) fused by reciprocal-rank fusion, score = Σ 1/(60+rank)
+    (Cormack et al. 2009's k=60) — the standard sparse+dense fusion of a
+    RAG/retrieval data pipeline. Both legs are the already-verified
+    operators; fusion is one broadcast-sized full outer join over ≤40 rows,
+    so the plan cost is the two legs themselves."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm = (
+        tx.bm25_search(docs, ["spark", "join", "stream"], top_n=20)
+        .withColumn("bm25_rank", F.row_number().over(w))
+        .select("doc_id", "bm25_rank")
+    )
+    dn = (
+        sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("vec_id"),
+                F.col("rank").alias("cosine_rank"))
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("cosine_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bm.join(dn, bm["doc_id"] == dn["vec_id"], "full_outer")
+        .select(
+            F.coalesce(bm["doc_id"], dn["vec_id"]).alias("doc_id"),
+            rrf.alias("rrf_score"),
+            "bm25_rank",
+            "cosine_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
     "top_tokens",
     oracle=f"""
 WITH {_TOKS_SQL}
