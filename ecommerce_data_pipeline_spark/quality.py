@@ -71,15 +71,50 @@ def freshness(
 
 
 def gold_fact_suite(fact: DataFrame) -> list[CheckResult]:
-    """The exact dbt suite on gold.fct_sales_minute (schema.yml:4-20)."""
+    """The exact dbt suite on gold.fct_sales_minute (schema.yml:4-20).
+
+    All seven checks fold into ONE two-level aggregation (per-bucket
+    counts, then a global roll-up) — running them as individual jobs
+    re-scanned the fact seven times, and on an every-build gate the scan
+    count is the latency. Same CheckResult names and failing-row
+    semantics as the primitive checks."""
+    per = fact.groupBy("minute_bucket").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("gmv").isNull(), 1).otherwise(0)).alias("n_gmv"),
+        F.sum(
+            F.when(F.col("paid_orders").isNull(), 1).otherwise(0)
+        ).alias("n_po"),
+        F.sum(
+            F.when(F.col("processed_ts").isNull(), 1).otherwise(0)
+        ).alias("n_pts"),
+        F.sum(F.when(F.col("gmv") < 0, 1).otherwise(0)).alias("n_neg_gmv"),
+        F.sum(
+            F.when(F.col("paid_orders") < 0, 1).otherwise(0)
+        ).alias("n_neg_po"),
+    )
+    row = per.agg(
+        F.sum(
+            F.when(F.col("minute_bucket").isNull(), F.col("c")).otherwise(0)
+        ).alias("nb"),
+        F.sum("n_gmv").alias("ng"),
+        F.sum("n_po").alias("np"),
+        F.sum("n_pts").alias("nt"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dups"),
+        F.sum("n_neg_gmv").alias("neg_g"),
+        F.sum("n_neg_po").alias("neg_p"),
+    ).first()
+    c = {
+        k: int(row[k] or 0)
+        for k in ("nb", "ng", "np", "nt", "dups", "neg_g", "neg_p")
+    }
     return [
-        not_null(fact, "minute_bucket"),
-        not_null(fact, "gmv"),
-        not_null(fact, "paid_orders"),
-        not_null(fact, "processed_ts"),
-        unique(fact, "minute_bucket"),
-        non_negative(fact, "gmv"),
-        non_negative(fact, "paid_orders"),
+        CheckResult("not_null:minute_bucket", c["nb"] == 0, c["nb"]),
+        CheckResult("not_null:gmv", c["ng"] == 0, c["ng"]),
+        CheckResult("not_null:paid_orders", c["np"] == 0, c["np"]),
+        CheckResult("not_null:processed_ts", c["nt"] == 0, c["nt"]),
+        CheckResult("unique:minute_bucket", c["dups"] == 0, c["dups"]),
+        CheckResult("non_negative:gmv", c["neg_g"] == 0, c["neg_g"]),
+        CheckResult("non_negative:paid_orders", c["neg_p"] == 0, c["neg_p"]),
     ]
 
 
