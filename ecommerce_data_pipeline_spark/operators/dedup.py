@@ -324,9 +324,14 @@ def ngram_jaccard_pairs(
     sh = base.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
     )
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency as a window count over the shingle partition —
+    # the groupBy+join-back formulation shuffled the exploded shingle set
+    # once more for the join's probe side (same rewrite as
+    # duplicate_span_stats).
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    ranked = sh.join(freq, "sh").withColumn("rk", F.row_number().over(w_doc))
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).withColumn("rk", F.row_number().over(w_doc))
     prefix = ranked.filter(
         F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "sh", "rk", "n")
