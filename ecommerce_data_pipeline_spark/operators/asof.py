@@ -129,6 +129,11 @@ def interval_overlap_pairs(
     lexicographically on (partition, ids).
     """
     W = int(bucket_seconds)
+    # Materialize the binned intervals once: both sides of the self-join
+    # otherwise re-run the whole upstream lineage (for session overlap
+    # that's two window passes over the raw event stream — per side).
+    # Intervals are aggregates, orders of magnitude smaller than their
+    # source events, so the checkpoint is cheap at any scale.
     binned = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -137,7 +142,7 @@ def interval_overlap_pairs(
                 F.floor(epoch_seconds(F.col(end_col)) / W).cast("long"),
             )
         ),
-    )
+    ).localCheckpoint(eager=False)
     key_cols = ([partition_col] if partition_col else []) + id_cols
     a = binned.select(
         F.col("__bucket"),
