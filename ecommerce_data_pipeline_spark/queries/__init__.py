@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "leakage_safe_split",
     "semantic_dedup_keep",
     "hybrid_rrf_search",
+    "streaming_replay_dedup",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -395,3 +395,80 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "streaming_replay_dedup",
+    # The stream ingests the slice PLUS a replayed subset (at-least-once
+    # delivery); watermark-scoped dedup must recover exactly the clean
+    # slice, which is what the oracle selects.
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events WHERE user_id % 5 = 0
+""",
+)
+def q_streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once recovery from at-least-once delivery:
+    dropDuplicatesWithinWatermark on the event id over a file stream in
+    which half the slice's files are delivered TWICE (the broker-replay
+    shape ST3 tolerates). The watermark delay is sized past the fixture's
+    whole time span so replayed files are deduped regardless of file
+    arrival order — production sizes it to the real delivery lag, which
+    bounds the id state instead of keeping it all.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    # Watermarks require TIMESTAMP (with zone); the lake reads ts as NTZ.
+    # Session TZ is pinned UTC so the cast is value-identity.
+    slice_df = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    # Stateful operators pin their partition count from the session conf at
+    # stream start; 32-64 state-store partitions for a fixture-sized id
+    # space is pure per-batch setup churn. Sizing state partitions to key
+    # cardinality is standard stateful-streaming tuning; restored after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        slice_df.repartition(4).write.mode("overwrite").parquet(src)
+        # Replay: a subset of the stream arrives again as new files.
+        slice_df.filter(F.col("user_id") % 10 == 0).repartition(2).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        deduped = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+            .withWatermark("ts", "1440 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
