@@ -9,11 +9,16 @@ Usage: python tools/verify_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+# Make the repo importable no matter where the tool is launched from
+# (python tools/verify_correctness.py puts tools/ on sys.path, not the root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm_cell(v):
