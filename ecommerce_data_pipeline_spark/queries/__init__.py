@@ -63,6 +63,11 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_keep",
     "hybrid_rrf_search",
     "streaming_replay_dedup",
+    # round-5 behavioral additions — never had a driver row
+    "event_funnel",
+    "retention_cohorts",
+    "minute_anomalies",
+    "order_count_distribution",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -223,3 +223,127 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnels, cohort retention, anomaly detection
+# ---------------------------------------------------------------------------
+
+from ecommerce_data_pipeline_spark.operators import behavior as bh  # noqa: E402
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS anchor_ts FROM events
+            WHERE event_type='view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS anchor_ts FROM events e
+       JOIN s1 USING(user_id)
+       WHERE e.event_type='click' AND e.ts > s1.anchor_ts GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS anchor_ts FROM events e
+       JOIN s2 USING(user_id)
+       WHERE e.event_type='purchase' AND e.ts > s2.anchor_ts GROUP BY 1),
+c AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT step, event_type, users,
+       round(users / greatest((SELECT count(*) FROM s1), 1), 4) AS pct_of_first
+FROM c
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential view→click→purchase funnel (first-touch anchors).
+    The reference's dashboards stop at the minute fact (README.md:154-190);
+    this is the next query its users write. Fully lazy: per-step anchor
+    cascades co-partitioned on user_id, single-row per-step aggregates
+    unioned, denominator via 1-row broadcast — one job, no driver counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return bh.funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week)/7 AS INT) AS week_offset,
+       count(*) AS users
+FROM active JOIN firsts USING(user_id)
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort_week × week_offset → users).
+    Monday-truncated weeks match DuckDB's date_trunc('week') exactly; all
+    stages shuffle on user_id (first-event groupBy, user×week distinct,
+    co-partitioned join), final rollup is over the already-reduced frame."""
+    ev = load_table(spark, sf_dir, "events")
+    return bh.retention_matrix(ev)
+
+
+@register(
+    "minute_anomalies",
+    oracle="""
+WITH pm AS (
+  SELECT date_trunc('minute', ts) AS minute_bucket,
+         sum(CAST(round(value*100) AS BIGINT))/100.0 AS minute_value
+  FROM events WHERE event_type='purchase' GROUP BY 1),
+sc AS (
+  SELECT minute_bucket, minute_value,
+         avg(minute_value) OVER w AS m,
+         stddev_samp(minute_value) OVER w AS sd,
+         count(*) OVER w AS n
+  FROM pm
+  WINDOW w AS (ORDER BY minute_bucket ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+SELECT minute_bucket, minute_value,
+       CASE WHEN n >= 30 AND sd > 0
+            THEN round((minute_value - m)/sd, 4) END AS z,
+       coalesce(abs(CASE WHEN n >= 30 AND sd > 0
+                         THEN round((minute_value - m)/sd, 4) END) > 2.5,
+                FALSE) AS is_anomaly
+FROM sc
+""",
+)
+def q_minute_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-minute purchase value.
+    The data-sized stage is one map-side-partial minute groupBy (cents-exact
+    sum); the trailing-60-minute window then runs over the aggregated
+    series (~0.5M rows/year regardless of raw scale), where a global
+    ORDER BY window is cheap by construction. z rounded to 4 dp so both
+    engines' stddev accumulations hash identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return bh.minute_value_anomalies(ev)
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1) t
+GROUP BY 1
+""",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via left join +
+    two-level aggregation. The join and first groupBy share the custkey
+    hash partitioning (one effective shuffle of each side); the second
+    groupBy reduces a one-row-per-customer frame to O(distinct counts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
