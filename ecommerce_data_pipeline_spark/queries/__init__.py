@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "retention_cohorts",
     "minute_anomalies",
     "order_count_distribution",
+    "part_pagerank",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

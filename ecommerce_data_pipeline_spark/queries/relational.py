@@ -640,3 +640,83 @@ def q_salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_total_events",
         "user_first_seen",
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank on the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled fixed-point PageRank as chained CTEs — one CTE per
+    iteration, mirroring operators/graph.py:pagerank exactly (int64
+    nano-unit ranks, integer-division shares, HALF_UP rounds on single
+    exact values). No floating-point accumulation on either engine."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT src AS u, dst AS v FROM pairs
+        UNION SELECT dst AS u, src AS v FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u AS id, CAST(round(1000000000.0 / n.n) AS BIGINT) AS r
+       FROM deg CROSS JOIN n)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+r{k} AS (
+  SELECT s.v AS id,
+         CAST(round(0.15 * 1000000000.0 / max(n.n)) AS BIGINT)
+         + CAST(round(0.85 * sum(p.r // d.deg)) AS BIGINT) AS r
+  FROM sym s
+  JOIN r{k - 1} p ON s.u = p.id
+  JOIN deg d ON d.u = s.u
+  CROSS JOIN n
+  GROUP BY s.v)""")
+    tail = f"""
+SELECT id AS part_id, round(r{iters}.r / 1000000000.0, 6) AS rank
+FROM r{iters}
+ORDER BY r{iters}.r DESC, id
+LIMIT 100"""
+    return head + "".join(steps) + tail
+
+
+@register("part_pagerank", oracle=_pagerank_oracle(10))
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order are
+    neighbors), 10 fixed Pregel iterations, top-100 parts by rank.
+
+    The iterative-algorithm row: exact integer fixed-point state makes a
+    10-round distributed iteration hash-match a 10-CTE SQL unroll — the
+    determinism technique that lets iterative Spark jobs carry oracles at
+    all. Per round: one edges×ranks hash join + destination groupBy-sum
+    (two shuffles of O(edges) fixed-width rows), lineage truncated per
+    round. Edge build is a per-order self-join — bounded by order width,
+    not corpus size."""
+    from ecommerce_data_pipeline_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        # no .distinct() here: pagerank symmetrizes-then-distincts anyway,
+        # and a second dedup would just add a shuffle
+    )
+    ranks = gr.pagerank(pairs, iters=10)
+    return (
+        ranks.orderBy(F.col("rank_nano").desc(), F.col("id"))
+        .limit(100)
+        .select(
+            F.col("id").alias("part_id"),
+            F.round(F.col("rank_nano") / 1e9, 6).alias("rank"),
+        )
+    )

@@ -165,3 +165,30 @@ def test_connected_components_long_chain(spark):
     assert {(r["id"], r["component"]) for r in fast} == {
         (r["id"], r["component"]) for r in rows
     }
+
+
+def test_pagerank_paths_identical(spark):
+    # path graph 1-2-3 plus isolated pair 4-5: hub (2) must outrank leaves
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    from ecommerce_data_pipeline_spark.operators.graph import pagerank
+
+    fast = {
+        r["id"]: r["rank_nano"]
+        for r in pagerank(edges, iters=5).collect()
+    }
+    dist = {
+        r["id"]: r["rank_nano"]
+        for r in pagerank(edges, iters=5, small_graph_edges=0).collect()
+    }
+    assert fast == dist  # exact integer agreement between both paths
+    assert fast[2] > fast[1] == fast[3]  # hub outranks symmetric leaves
+    assert fast[4] == fast[5]
+    # duplicate + reversed edges must not change degrees or ranks
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 2), (4, 5)], "src long, dst long"
+    )
+    assert fast == {
+        r["id"]: r["rank_nano"] for r in pagerank(noisy, iters=5).collect()
+    }
