@@ -69,6 +69,10 @@ _DRIVER_PRIORITY: list[str] = [
     "minute_anomalies",
     "order_count_distribution",
     "part_pagerank",
+    "conversion_lag",
+    "copurchase_lift",
+    "user_trailing_hour_value",
+    "curated_training_set",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -347,3 +347,172 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "conversion_lag",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type='view' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v USING(user_id)
+      WHERE e.event_type='purchase' AND e.ts > v.first_view GROUP BY 1)
+SELECT CAST(date_diff('day', CAST(v.first_view AS DATE),
+                      CAST(p.first_purchase AS DATE)) AS INT) AS lag_days,
+       count(*) AS users
+FROM v JOIN p USING(user_id)
+GROUP BY 1
+""",
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: calendar days between a user's first
+    view and their first subsequent purchase, histogrammed. Both firsts
+    are user_id-keyed groupBys over type-filtered slices; the join is
+    co-partitioned; the final histogram groups a one-row-per-converter
+    frame into O(distinct lags) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(p, "user_id")
+        .select(
+            F.datediff(
+                F.col("first_purchase").cast("date"),
+                F.col("first_view").cast("date"),
+            )
+            .cast("int")
+            .alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+@register(
+    "copurchase_lift",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+supp AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, n_both,
+       round(n_both * CAST(n.n_orders AS DOUBLE)
+             / (sa.n * CAST(sb.n AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.l_partkey = part_a
+JOIN supp sb ON sb.l_partkey = part_b
+CROSS JOIN n
+WHERE n_both >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+""",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top part pairs by lift
+    (P(a,b)/P(a)P(b) over orders), min support 3 orders.
+
+    The pair build is the per-order self-join (bounded by order width,
+    not catalog size); supports join back via broadcast (the per-part
+    support frame is one row per part). Lift arithmetic is one double
+    multiply/divide per surviving pair — exact integer counts in,
+    6-dp round out, so the hash is stable. At 100 TB the standard
+    refinement is frequent-itemset pruning (drop parts below min
+    support BEFORE pairing); the shape here already never materializes
+    the full part×part space."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = F.broadcast(
+        li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = F.broadcast(supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")))
+    sb = F.broadcast(supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(n_orders)
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * F.col("n_orders").cast("double")
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@register(
+    "user_trailing_hour_value",
+    oracle="""
+SELECT event_id, user_id,
+       sum(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       / 100.0 AS trailing_1h_value
+FROM events
+""",
+)
+def q_user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour spend: a RANGE window frame over integer
+    epoch seconds (time-interval frames are the frame spec the rest of
+    the registry's ROWS-frame windows don't cover). Both engines order by
+    the same truncated epoch-second key so frame membership is identical
+    despite sub-second timestamps; the frame sum is cents-exact. One
+    shuffle on user_id; frame evaluation is a per-partition sliding
+    accumulator inside codegen."""
+    from pyspark.sql.window import Window as W
+
+    from ecommerce_data_pipeline_spark.functions import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    es = F.floor(epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0
+        ).alias("trailing_1h_value"),
+    )

@@ -429,3 +429,115 @@ def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.source_capped_sample(
         load_table(spark, sf_dir, "documents"), cap=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the whole curation pipeline in one call
+# ---------------------------------------------------------------------------
+
+from ecommerce_data_pipeline_spark.operators import graph as gr  # noqa: E402
+from ecommerce_data_pipeline_spark.queries.llm_text import (  # noqa: E402
+    _jaccard_pairs_sql,
+    _sw_list,
+    _WORDS_SQL,
+)
+
+
+@register(
+    "curated_training_set",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION SELECT doc_id_b, doc_id_a FROM jac
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sized AS (
+  SELECT cl.doc_id, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n_chars DESC, doc_id) AS rn
+  FROM sized
+),
+canon AS (SELECT doc_id, cluster_id FROM ranked WHERE rn = 1),
+w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS INTEGER) AS alpha_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, CAST(len(words) AS INTEGER) AS n_tokens,
+    round(coalesce(list_sum(list_transform(words, t -> length(t))), 0) * 1.0
+          / greatest(len(words), 1), 4) AS mean_token_len,
+    round(alpha_chars * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+    round(len(list_filter(words, t -> list_contains({_sw_list("en")}, t))) * 1.0
+          / greatest(len(words), 1), 4) AS stopword_ratio
+  FROM w
+),
+q AS (
+  SELECT doc_id, n_tokens,
+    round(
+      (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+  FROM f
+),
+kept AS (
+  SELECT canon.doc_id, canon.cluster_id, q.n_tokens, q.quality_score
+  FROM canon JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.75
+),
+h AS (
+  SELECT doc_id,
+    {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':v1')")} AS h
+  FROM kept
+)
+SELECT k.doc_id, k.cluster_id, k.n_tokens, k.quality_score,
+  CAST(h.h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h.h % 8 ORDER BY h.h, h.doc_id) - 1
+       AS INTEGER) AS pos
+FROM kept k JOIN h USING (doc_id)
+""",
+)
+def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline composed end-to-end in one call:
+    MinHash-LSH near-dup clustering → keep the longest member per cluster
+    → C4/Gopher-style quality gate (score ≥ 0.75) → deterministic shard
+    assignment with stable in-shard positions. One frame out: the
+    training set a user would actually materialize, every stage the
+    already-certified operator (dedup.py, graph.py, text.py, curate.py).
+
+    Scale: stages hand off by doc_id only — text never travels past its
+    own stage; the LSH banding bounds the pair space; the cluster frame
+    and quality features are one row per doc; the shard shuffle is the
+    single full-corpus exchange, by design (it IS the training-order
+    shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    clusters = gr.dedup_clusters(docs, pairs)
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    canon = (
+        sized.select(
+            "doc_id", "cluster_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = tx.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    kept = canon.join(q, "doc_id").filter(F.col("quality_score") >= 0.75)
+    shards = cu.shard_assign(kept.select("doc_id"), n_shards=8)
+    return kept.join(shards, "doc_id").select(
+        "doc_id", "cluster_id", "n_tokens", "quality_score", "shard", "pos"
+    )
