@@ -114,3 +114,98 @@ def conditional_state_merge(
         .drop("__k", "__cur_rank")
     )
     table.merge(spark, advancing, keys=[key_col])
+
+
+def scd2_collapse(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "state",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """SCD Type-2 history from a state-event stream (`dbt snapshot`
+    semantics): consecutive duplicate states collapse; each state CHANGE
+    opens an interval [valid_from, valid_to); the open interval is
+    flagged current. One shuffle on the key; the change-detect lag and
+    interval-close lead share one sort.
+    Output: (key, state, valid_from, valid_to, is_current)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    changes = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.col(order_col).alias("__ord"),
+            F.lag(state_col).over(w).alias("__prev"),
+        )
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("state")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "__ord")
+    return (
+        changes.select(
+            key_col,
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    new_events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "state",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally fold a batch of new state events into an existing
+    SCD2 history, touching ONLY the affected keys — the write-side twin
+    of :func:`scd2_collapse` (a dbt-snapshot run against a batch).
+
+    Per affected key: its open (is_current) row is re-expressed as a
+    pseudo-event at its own valid_from and re-collapsed together with the
+    batch (so a batch state equal to the open state merges into the open
+    interval instead of opening a duplicate one); its closed rows pass
+    through untouched, as do entire unaffected keys.
+
+    Invariant (tested): apply(batch₂, apply(batch₁, ∅)) ≡ collapse(batch₁∪batch₂).
+
+    Scale: the batch and the open-row slice are both O(affected keys) —
+    the closed history (the bulk at 100 TB) moves through an untouched
+    pass-through branch; with the lake's partition-pruned MERGE this is
+    an O(batch) write, never a history rewrite.
+    """
+    affected = new_events.select(F.col(key_col)).distinct()
+    open_rows = history.filter(F.col("is_current")).join(affected, key_col)
+    closed_rows = history.filter(~F.col("is_current"))
+    untouched_open = history.filter(F.col("is_current")).join(
+        affected, key_col, "left_anti"
+    )
+
+    # Open rows become pseudo-events ordered BEFORE any batch event at the
+    # same timestamp (order key -1: a real stream's order ids are
+    # non-negative), so the existing interval anchors the re-collapse.
+    pseudo = open_rows.select(
+        F.col(key_col),
+        F.col("state").alias(state_col),
+        F.col("valid_from").alias(ts_col),
+        F.lit(-1).cast("long").alias(order_col),
+    )
+    batch = new_events.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.col(ts_col),
+        F.col(order_col).cast("long"),
+    )
+    recollapsed = scd2_collapse(
+        pseudo.unionByName(batch),
+        key_col=key_col,
+        state_col=state_col,
+        ts_col=ts_col,
+        order_col=order_col,
+    )
+    return closed_rows.unionByName(untouched_open).unionByName(recollapsed)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import datetime as dt
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,33 @@ def run_checks(results: list[CheckResult]) -> None:
     if failed:
         lines = ", ".join(f"{r.name}({r.failing_rows} rows {r.detail})" for r in failed)
         raise AssertionError(f"quality checks failed: {lines}")
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expectations: split ``df`` into (good, bad) on named
+    boolean rules (True = row passes). Bad rows carry ``failed_rules``,
+    the sorted array of rule names they violated — dbt
+    ``store_failures`` / Delta table-constraint semantics, expressed as
+    one projection + filter (no shuffle, stays in codegen; each side
+    re-reads the same scan, or cache upstream to split one pass).
+
+    A null rule result counts as a FAILURE (constraint semantics: the
+    row could not be proven valid), unlike SQL WHERE.
+    """
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~F.coalesce(expr, F.lit(False)), F.lit(name))
+                    for name, expr in rules.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    good = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = tagged.filter(F.size("failed_rules") > 0)
+    return good, bad

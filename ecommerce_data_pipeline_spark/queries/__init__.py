@@ -73,6 +73,8 @@ _DRIVER_PRIORITY: list[str] = [
     "copurchase_lift",
     "user_trailing_hour_value",
     "curated_training_set",
+    "user_state_history",
+    "events_quarantine",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -547,3 +547,43 @@ def q_inventory_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "user_state_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_state
+  FROM events),
+changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM ordered WHERE prev_state IS NULL OR prev_state <> event_type)
+SELECT user_id, state, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+    AS valid_to,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+    IS NULL AS is_current
+FROM changes
+""",
+)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 state history — `dbt snapshot` semantics (the dimension-
+    history feature of the reference's dbt tier) on the keyed state
+    machine ST7 tracks only the head of: consecutive duplicate states
+    collapse, each state CHANGE opens an interval [valid_from, valid_to),
+    the open interval is flagged current.
+
+    One shuffle on user_id; the change-detect lag and the interval-close
+    lead share the same partitioning+ordering so Catalyst plans a single
+    sort, and the lead runs on the already-collapsed change frame. The
+    incremental write-side twin is operators/state.py:scd2_apply
+    (O(batch) per run, tested incremental == rebuild)."""
+    from ecommerce_data_pipeline_spark.operators.state import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_collapse(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        order_col="event_id",
+    )

@@ -1103,3 +1103,70 @@ def q_embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").cast("int").alias("q_max"),
         F.round(dot / (norm(F.col("v")) * norm(qd)), 4).alias("cos_q"),
     )
+
+
+@register(
+    "events_quarantine",
+    oracle="""
+WITH t AS (
+  SELECT *,
+    (event_type IN ('signup','click','view','purchase')) AS r_type,
+    (value BETWEEN 0 AND 400) AS r_value,
+    (user_id IS NOT NULL) AS r_user
+  FROM events),
+b AS (
+  SELECT * FROM t
+  WHERE NOT coalesce(r_type, FALSE) OR NOT coalesce(r_value, FALSE)
+     OR NOT coalesce(r_user, FALSE))
+SELECT 'known_type' AS rule, count(*) AS n FROM t WHERE NOT coalesce(r_type, FALSE)
+UNION ALL
+SELECT 'value_in_range', count(*) FROM t WHERE NOT coalesce(r_value, FALSE)
+UNION ALL
+SELECT 'has_user', count(*) FROM t WHERE NOT coalesce(r_user, FALSE)
+UNION ALL
+SELECT '__quarantined__', count(*) FROM b
+UNION ALL
+SELECT '__passed__', (SELECT count(*) FROM events) - count(*) FROM b
+""",
+)
+def q_events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations ledger (dbt store_failures / Delta
+    constraint parity): per-rule violation counts plus the
+    quarantined/passed split from quality.quarantine — error-typed events
+    and out-of-range values land in quarantine instead of silently
+    polluting downstream facts. Null rule results count as failures
+    (constraint semantics). Every branch is a single-row aggregate over
+    the same pushed-filter scan."""
+    from ecommerce_data_pipeline_spark.quality import quarantine
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "known_type": F.col("event_type").isin(
+            "signup", "click", "view", "purchase"
+        ),
+        "value_in_range": F.col("value").between(0, 400),
+        "has_user": F.col("user_id").isNotNull(),
+    }
+    good, bad = quarantine(ev, rules)
+    branches = [
+        ev.agg(
+            F.sum(
+                (~F.coalesce(expr, F.lit(False))).cast("long")
+            ).alias("n")
+        ).select(F.lit(name).alias("rule"), "n")
+        for name, expr in rules.items()
+    ]
+    branches.append(
+        bad.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("__quarantined__").alias("rule"), "n"
+        )
+    )
+    branches.append(
+        good.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("__passed__").alias("rule"), "n"
+        )
+    )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out

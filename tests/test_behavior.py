@@ -89,3 +89,80 @@ def test_minute_anomalies_flags_spike(spark):
     # early minutes (insufficient history) are unscored, not flagged
     early = out.filter("minute_bucket < timestamp'2024-01-01 10:10:00'").collect()
     assert all(r["z"] is None and not r["is_anomaly"] for r in early)
+
+
+def _state_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+
+
+def test_scd2_incremental_equals_rebuild(spark):
+    from ecommerce_data_pipeline_spark.operators.state import (
+        scd2_apply,
+        scd2_collapse,
+    )
+
+    batch1 = _state_events(
+        spark,
+        [
+            (1, "created", ts("2024-01-01T10:00:00"), 1),
+            (1, "created", ts("2024-01-01T10:05:00"), 2),  # dup: collapses
+            (1, "paid", ts("2024-01-01T11:00:00"), 3),
+            (2, "created", ts("2024-01-01T09:00:00"), 4),
+        ],
+    )
+    batch2 = _state_events(
+        spark,
+        [
+            (1, "shipped", ts("2024-01-02T08:00:00"), 5),
+            (2, "created", ts("2024-01-02T09:00:00"), 6),  # same state: no-op
+            (3, "created", ts("2024-01-02T10:00:00"), 7),  # brand-new key
+        ],
+    )
+    kw = dict(key_col="user_id", state_col="state", ts_col="ts", order_col="event_id")
+    incr = scd2_apply(scd2_collapse(batch1, **kw), batch2, **kw)
+    full = scd2_collapse(batch1.unionByName(batch2), **kw)
+    key = lambda r: (r["user_id"], str(r["valid_from"]))  # noqa: E731
+    as_map = lambda df: {  # noqa: E731
+        key(r): (r["state"], str(r["valid_to"]), r["is_current"])
+        for r in df.collect()
+    }
+    assert as_map(incr) == as_map(full)
+    # untouched key 2 kept exactly one open row; dup states never split
+    rows = {r["user_id"]: [] for r in incr.collect()}
+    for r in incr.collect():
+        rows[r["user_id"]].append(r)
+    assert len(rows[2]) == 1 and rows[2][0]["is_current"]
+    assert [r["state"] for r in sorted(rows[1], key=lambda r: r["valid_from"])] == [
+        "created",
+        "paid",
+        "shipped",
+    ]
+
+
+def test_quarantine_split_and_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.quality import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "click"), (2, -5.0, "click"), (3, None, "view"), (4, 1.0, "bogus")],
+        "id long, value double, event_type string",
+    )
+    good, bad = quarantine(
+        df,
+        {
+            "non_negative": F.col("value") >= 0,
+            "known_type": F.col("event_type").isin("click", "view"),
+        },
+    )
+    good_ids = sorted(r["id"] for r in good.collect())
+    bad_map = {
+        r["id"]: list(r["failed_rules"]) for r in bad.collect()
+    }
+    assert good_ids == [1]
+    assert bad_map[2] == ["non_negative"]
+    assert bad_map[3] == ["non_negative"]  # NULL value -> constraint failure
+    assert bad_map[4] == ["known_type"]
+    assert set(df.columns) == set(good.columns)  # good side is schema-clean
