@@ -521,9 +521,10 @@ def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     and quality features are one row per doc; the shard shuffle is the
     single full-corpus exchange, by design (it IS the training-order
     shuffle)."""
+    from ecommerce_data_pipeline_spark.sources.corpus import dedup_clusters_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs)
-    clusters = gr.dedup_clusters(docs, pairs)
+    clusters = dedup_clusters_frame(spark, sf_dir)
     sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

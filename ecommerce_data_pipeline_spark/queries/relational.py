@@ -215,9 +215,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/eval boundary — the split that actually prevents contamination
     after near-dup detection. Oracle replays the transitive closure and the
     same md5 bucket rule."""
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = gr.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
-    return cu.leakage_safe_split(clusters)
+    from ecommerce_data_pipeline_spark.sources.corpus import dedup_clusters_frame
+
+    return cu.leakage_safe_split(dedup_clusters_frame(spark, sf_dir))
 
 
 @register(
@@ -575,9 +575,10 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipelines keep the best-quality member, not an arbitrary one.
     Window ranks run inside the (small) cluster-assignment frame — the
     corpus text never reaches the window shuffle."""
+    from ecommerce_data_pipeline_spark.sources.corpus import dedup_clusters_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs)
-    clusters = gr.dedup_clusters(docs, pairs)
+    clusters = dedup_clusters_frame(spark, sf_dir)
     sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id")
     ranked = sized.select(
