@@ -55,3 +55,76 @@ def merge_sketches(
         ).alias("approx_distinct"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def cms_table(
+    items: DataFrame,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Count-Min sketch materialized AS A DATAFRAME: (i, bucket, n) —
+    depth×width counters, engine-portable (md5-derived hash rows rather
+    than an opaque binary), and mergeable by construction: union two
+    sketch tables and re-sum the buckets.
+
+    The frequency twin of the HLL sketch table above: heavy-hitter
+    queries over an unbounded token stream keep O(depth×width) state
+    (32k rows at the defaults — FIXED, regardless of vocabulary size)
+    where an exact count table keeps O(vocab). Build is one map-side-
+    combinable groupBy over the exploded hash rows; estimates
+    overcount only (min over depth rows bounds the collision error by
+    εN with ε ≈ e/width).
+    """
+    from ecommerce_data_pipeline_spark.operators.dedup import _md5_long
+
+    buckets = F.array(
+        *[
+            (
+                _md5_long(
+                    F.concat(F.col(item_col), F.lit(f":{i}"))
+                )
+                % width
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        items.select(F.posexplode(buckets).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Point-estimate probe items against a cms_table: min over the
+    depth counters. The sketch table is depth×width rows — broadcast it;
+    the probe side never shuffles."""
+    from ecommerce_data_pipeline_spark.operators.dedup import _md5_long
+
+    buckets = F.array(
+        *[
+            (
+                _md5_long(
+                    F.concat(F.col(item_col), F.lit(f":{i}"))
+                )
+                % width
+            )
+            for i in range(depth)
+        ]
+    )
+    exploded = probes.select(
+        "*", F.posexplode(buckets).alias("i", "bucket")
+    )
+    others = [c for c in probes.columns]
+    return (
+        exploded.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("n").alias("cms_est"))
+    )

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "curated_training_set",
     "user_state_history",
     "events_quarantine",
+    "token_freq_cms",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

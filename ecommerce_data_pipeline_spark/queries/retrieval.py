@@ -1170,3 +1170,55 @@ def q_events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for br in branches[1:]:
         out = out.unionByName(br)
     return out
+
+
+@register(
+    "token_freq_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(regexp_replace(lower(text),
+      '[^a-z ]', '', 'g')), ' '), w -> w <> '')) AS token
+  FROM documents),
+exact AS (
+  SELECT token, count(*) AS exact_n FROM toks
+  GROUP BY 1 ORDER BY exact_n DESC, token LIMIT 20),
+cms AS (
+  SELECT g.i AS i,
+    {md5_long_sql("concat(token, ':', CAST(g.i AS VARCHAR))")} % 8192 AS bucket,
+    count(*) AS n
+  FROM toks CROSS JOIN generate_series(0, 3) AS g(i)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT e.token, e.exact_n, g.i AS i,
+    {md5_long_sql("concat(e.token, ':', CAST(g.i AS VARCHAR))")} % 8192 AS bucket
+  FROM exact e CROSS JOIN generate_series(0, 3) AS g(i))
+SELECT p.token, p.exact_n, min(c.n) AS cms_est
+FROM probes p JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+GROUP BY 1, 2
+""",
+)
+def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: the top-20 exact tokens probed
+    against a DataFrame-materialized CMS (operators/sketches.py:cms_table)
+    — (token, exact_n, cms_est). The sketch is depth×width = 4×8192
+    counter rows NO MATTER the corpus/vocabulary size (the fixed-state
+    property that makes frequency tracking viable over unbounded token
+    streams), built in one map-side-combinable groupBy and probed via a
+    broadcast join. md5-derived bucket hashing keeps the sketch
+    bit-identical across engines, so even the sketch ESTIMATES
+    hash-match the oracle — no error-bound contract needed."""
+    from ecommerce_data_pipeline_spark.operators.sketches import (
+        cms_lookup,
+        cms_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx._words(F.col("text"))).alias("token"))
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    cms = cms_table(toks, depth=4, width=8192)
+    return cms_lookup(cms, exact_top, depth=4, width=8192)

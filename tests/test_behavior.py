@@ -166,3 +166,38 @@ def test_quarantine_split_and_null_semantics(spark):
     assert bad_map[3] == ["non_negative"]  # NULL value -> constraint failure
     assert bad_map[4] == ["known_type"]
     assert set(df.columns) == set(good.columns)  # good side is schema-clean
+
+
+def test_cms_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.sketches import (
+        cms_lookup,
+        cms_table,
+    )
+
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "token string"
+    )
+    # tiny width forces collisions; estimates must never undercount
+    cms = cms_table(items, depth=3, width=4)
+    probes = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "token string, exact_n long"
+    )
+    est = {
+        r["token"]: r["cms_est"]
+        for r in cms_lookup(cms, probes, depth=3, width=4).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 1
+    # sketch state is bounded by depth*width regardless of input size
+    assert cms.count() <= 3 * 4
+    # mergeability: sum of two half-sketches == sketch of the union
+    half1 = spark.createDataFrame([("a",)] * 5, "token string")
+    half2 = spark.createDataFrame([("b",)] * 3 + [("c",)] * 1, "token string")
+    h1 = cms_table(half1, depth=3, width=4)
+    h2 = cms_table(half2, depth=3, width=4)
+    merged = (
+        h1.unionByName(h2).groupBy("i", "bucket").agg(F.sum("n").alias("n"))
+    )
+    full = {(r["i"], r["bucket"]): r["n"] for r in cms.collect()}
+    assert {(r["i"], r["bucket"]): r["n"] for r in merged.collect()} == full
