@@ -472,3 +472,110 @@ def q_streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_stream_attribution_join",
+    # Deterministic because availableNow drains ALL staged files and the
+    # watermark is sized past the fixture span: the streamed interval join
+    # must land on exactly the batch join's pair set.
+    oracle="""
+SELECT p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+  p.user_id,
+  date_diff('microsecond', v.ts, p.ts) AS gap_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND p.user_id % 3 = 0
+""",
+)
+def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (the Structured Streaming
+    feature ST8's cache is the poor-man's version of): purchases joined to
+    every view by the same user in the preceding hour, both sides real
+    file streams. The event-time range condition is what lets Spark BOUND
+    the join state: each side retains only rows inside
+    watermark + interval, so state is O(rate × horizon), not O(stream).
+    Here the watermark spans the whole fixture (drain-everything test
+    shape); production sizes it to the delivery lag. Oracle = the batch
+    interval join — streamed and batch answers must be identical."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stream_ssj_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        p_src, v_src = f"{root}/purchases", f"{root}/views"
+        out, ck = f"{root}/out", f"{root}/ckpt"
+        ev.filter(F.col("event_type") == "purchase").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(p_src)
+        ev.filter(F.col("event_type") == "view").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(v_src)
+        schema = spark.read.parquet(p_src).schema
+        ps = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(p_src)
+            .withWatermark("ts", "1440 hours")
+            .select(
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("p_ts"),
+                F.col("user_id").alias("p_user"),
+            )
+        )
+        vs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(v_src)
+            .withWatermark("ts", "1440 hours")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("v_ts"),
+                F.col("user_id").alias("v_user"),
+            )
+        )
+        joined = ps.join(
+            vs,
+            F.expr(
+                "p_user = v_user AND v_ts <= p_ts "
+                "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .select(
+                "purchase_event_id",
+                "view_event_id",
+                F.col("p_user").alias("user_id"),
+                (
+                    F.unix_micros("p_ts") - F.unix_micros("v_ts")
+                ).alias("gap_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
