@@ -587,3 +587,48 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", state_col="event_type", ts_col="ts",
         order_col="event_id",
     )
+
+
+@register(
+    "order_items_revenue",
+    # Oracle recomputes from lineitem directly: the Spark side must carry
+    # the items ARRAY<STRUCT> through to_json -> from_json -> explode
+    # losslessly (price doubles included) to hash-match.
+    oracle="""
+SELECT CAST(l_partkey AS INTEGER) AS product_id,
+  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty_total,
+  sum(CAST(l_quantity AS INTEGER)
+      * CAST(round(l_extendedprice/l_quantity*100) AS BIGINT))/100.0
+    AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_order_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array analytics through the full medallion chain: the
+    silver orders' items ARRAY<STRUCT<product_id,qty,price>> (parsed out
+    of the JSON envelope, silver_orders.py:52-67 contract) exploded into
+    a per-product revenue rollup. Proves array-of-struct columns survive
+    the to_json -> from_json round trip value-exact — the oracle never
+    sees the JSON, it recomputes from lineitem. Explode is a no-shuffle
+    generator; the only exchange is the product_id rollup (map-side
+    partials first). Money in cents per the engine discipline."""
+    from ecommerce_data_pipeline_spark.sources.events import silver_orders_frame
+
+    so = silver_orders_frame(spark, sf_dir)
+    it = so.select(F.explode("items").alias("it")).select(
+        F.col("it.product_id").alias("product_id"),
+        F.col("it.qty").alias("qty"),
+        F.col("it.price").alias("price"),
+    )
+    return it.groupBy("product_id").agg(
+        F.sum("qty").alias("qty_total"),
+        (
+            F.sum(
+                F.col("qty") * F.round(F.col("price") * 100).cast("long")
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -141,8 +141,19 @@ def _orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.col("l_partkey").cast("int").alias("product_id"),
                         F.col("l_quantity").cast("int").alias("qty"),
-                        F.round(
-                            F.col("l_extendedprice") / F.col("l_quantity"), 2
+                        # Cents recipe (scale -> round -> int -> /100), NOT
+                        # round(x, 2): two-decimal double rounding takes
+                        # different scaling paths in Spark (BigDecimal
+                        # HALF_UP) vs DuckDB (scaled std::round) and
+                        # disagrees on ~8% of prices; the single scaled
+                        # round is bit-identical across engines.
+                        (
+                            F.round(
+                                F.col("l_extendedprice")
+                                / F.col("l_quantity")
+                                * 100
+                            ).cast("long")
+                            / 100.0
                         ).alias("price"),
                     )
                 )
