@@ -294,3 +294,111 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: m independent deterministic k-means
+    fits, one per dim/m-wide subspace (same md5-order init / argmin /
+    fixed-iteration contract as kmeans_fit, so an oracle can replay every
+    subspace). Returns m codebooks of k centroids each.
+
+    PQ is the memory tier below int8: m×log2(k) bits per vector (16 bits
+    at the 4×8 defaults vs 64 bytes int8 vs 256 bytes float32) — the
+    compression that lets a 100 TB embedding corpus's index live in RAM.
+    Fit cost = m small k-means over the same bounded sample."""
+    dim = len(vectors.select(_as_double(F.col(vec_col)).alias("v")).first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub).alias(
+                "embedding"
+            ),
+        )
+        books.append(
+            kmeans_fit(
+                sub, k=k, iters=iters, id_col=id_col, vec_col="embedding",
+                fit_sample=fit_sample,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes ARRAY<INT>): each subvector's argmin-centroid code —
+    one map stage, m×k distance expressions in codegen, no shuffle."""
+    d_sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _cell_expr(F.slice(v, s * d_sub + 1, d_sub), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    return vectors.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query subvectors against the
+    corpus's PQ codes — distance = Σ_s d2(q_s, codebook[s][code_s]).
+
+    The scan touches only the m-int code column (the point of PQ: the
+    float corpus stays on disk); per query the codebook lookup is a
+    broadcast of m×k centroids. Output: (query_id, neighbor_id, adc_d2,
+    rank) — adc_d2 rounded to 4 dp, ranked with neighbor_id tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    d_sub = len(codebooks[0][0])
+    codes = pq_encode(vectors, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    adc = None
+    for s, cb in enumerate(codebooks):
+        q_s = F.slice(F.col("q_vec"), s * d_sub + 1, d_sub)
+        cent = F.element_at(
+            _centroid_lit(cb), F.element_at("pq_codes", s + 1) + 1
+        )
+        term = _dist2_col(q_s, cent)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, 4).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

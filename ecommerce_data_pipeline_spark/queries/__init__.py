@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "token_freq_cms",
     "stream_stream_attribution_join",
     "order_items_revenue",
+    "pq_recall_report",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -700,50 +700,60 @@ def _d2_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_cells_sql(k: int, iters: int, dim: int) -> list[str]:
+def _kmeans_cells_sql(
+    k: int, iters: int, dim: int, src: str = "emb", suffix: str = ""
+) -> list[str]:
     """CTE parts replaying the deterministic Lloyd's fit + final corpus
     assignment (operators/quantize.py — md5-order init, argmin assign with
     lowest-cell tiebreak, per-cell component means, empty cells keep their
     centroid), unrolled over ``iters`` fixed iterations. Exact because the
     iteration count is a constant of the query, not data-dependent. The
-    final assignment lands in CTE ``a{iters}`` (vec_id, v, cell)."""
-    parts = [
-        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""c0 AS (
+    final assignment lands in CTE ``a{iters}{suffix}`` (vec_id, v, cell).
+
+    ``src``/``suffix`` let callers replay several independent fits in one
+    query (the PQ oracle runs one per subspace); with the defaults the
+    emitted names match the original single-fit form."""
+    parts = []
+    if src == "emb":
+        parts.append(
+            "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+        )
+    parts.append(
+        f"""c0{suffix} AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
          AS INTEGER) AS cell, v
-  FROM (SELECT vec_id, v FROM emb
+  FROM (SELECT vec_id, v FROM {src}
         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})
-)""",
-    ]
+)"""
+    )
     for t in range(iters + 1):
         # Assignment under centroids c{t}; the last one (t == iters) is the
         # final corpus assignment used by the search, not a fit step.
         parts.append(
-            f"""a{t} AS (
+            f"""a{t}{suffix} AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY {_d2_sql('e.v', 'c.v')}, c.cell) AS rn
-    FROM emb e CROSS JOIN c{t} c) WHERE rn = 1
+    FROM {src} e CROSS JOIN c{t}{suffix} c) WHERE rn = 1
 )"""
         )
         if t == iters:
             break
         parts.append(
-            f"""m{t} AS (
+            f"""m{t}{suffix} AS (
   SELECT cell, list(comp ORDER BY i) AS v FROM (
     SELECT cell, i, avg(val) AS comp FROM (
       SELECT cell, unnest(generate_series(1, {dim})) AS i, unnest(v) AS val
-      FROM a{t})
+      FROM a{t}{suffix})
     GROUP BY cell, i)
   GROUP BY cell
 )"""
         )
         parts.append(
-            f"""c{t + 1} AS (
+            f"""c{t + 1}{suffix} AS (
   SELECT c.cell, coalesce(m.v, c.v) AS v
-  FROM c{t} c LEFT JOIN m{t} m USING (cell)
+  FROM c{t}{suffix} c LEFT JOIN m{t}{suffix} m USING (cell)
 )"""
         )
     return parts
@@ -1222,3 +1232,129 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = cms_table(toks, depth=4, width=8192)
     return cms_lookup(cms, exact_top, depth=4, width=8192)
+
+
+def _pq_recall_oracle_sql(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, topk: int = 5
+) -> str:
+    """DuckDB replay of the FULL product-quantization pipeline: m
+    independent per-subspace k-means fits (reusing _kmeans_cells_sql with
+    src/suffix), code assignment, asymmetric-distance top-k, and recall@k
+    against the exact L2 top-k. Both engines rank by 4-dp-rounded
+    distances with neighbor_id tiebreaks, so ordering is identical."""
+    d = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(f"emb_s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)")
+        parts.extend(
+            _kmeans_cells_sql(k, iters, d, src=f"emb_s{s}", suffix=f"_s{s}")
+        )
+    code_joins = " ".join(
+        f"JOIN a{iters}_s{s} cs{s} USING (vec_id)" for s in range(1, m)
+    )
+    cb_joins = " ".join(
+        f"JOIN c{iters}_s{s} cb{s} ON cb{s}.cell = cs{s}.cell" for s in range(m)
+    )
+    adc_terms = " + ".join(
+        _d2_sql(f"q.qv[{s * d + 1}:{(s + 1) * d}]", f"cb{s}.v")
+        for s in range(m)
+    )
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0)"
+    )
+    parts.append(f"""adc AS (
+  SELECT q.query_id, cs0.vec_id AS neighbor_id,
+    round({adc_terms}, 4) AS adc_d2
+  FROM a{iters}_s0 cs0 {code_joins} {cb_joins}
+  CROSS JOIN q
+  WHERE q.query_id <> cs0.vec_id)""")
+    parts.append(f"""adc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {topk})""")
+    parts.append(f"""exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round({_d2_sql('q.qv', 'e.v')}, 4),
+                                  e.vec_id) AS rn
+    FROM emb e CROSS JOIN q WHERE q.query_id <> e.vec_id)
+  WHERE rn <= {topk})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT x.query_id,
+  round(count(a.neighbor_id) * 1.0 / {topk}, 4) AS recall_at_{topk}
+FROM exact_top x
+LEFT JOIN adc_top a USING (query_id, neighbor_id)
+GROUP BY 1"""
+    )
+
+
+@register("pq_recall_report", oracle=_pq_recall_oracle_sql())
+def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN quality: recall@5 of asymmetric-distance
+    search over 4×8 PQ codes (16 bits/vector — the RAM-resident index
+    tier below int8) against the exact L2 top-5, per query. The oracle
+    replays the ENTIRE pipeline — all four per-subspace Lloyd's fits,
+    code assignment, ADC ranking — in unrolled DuckDB SQL, possible
+    because every stage is deterministic (md5-order init, fixed
+    iterations, tiebroken argmin, 4-dp-rounded rank keys)."""
+    from pyspark.sql.window import Window
+
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        _as_double,
+        _dist2_col,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    books = pq_fit(emb, m=4, k=8, iters=2)
+    approx = pq_adc_topk(emb, queries_df, books, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("nv"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        corpus.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dist2_col(F.col("qv"), F.col("nv")), 4).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 4
+            ).alias("recall_at_5"),
+        )
+    )
