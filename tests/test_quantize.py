@@ -72,3 +72,33 @@ def test_semantic_dedup_drops_higher_id_of_near_pair(spark):
     out = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, k=2, iters=2, threshold=0.95).collect()}
     assert out[1] is True and out[9] is True
     assert out[2] is False
+
+
+def test_pq_exact_when_codebook_saturates(spark):
+    # k >= n distinct vectors => every vector is its own centroid in every
+    # subspace => ADC distance == exact distance => recall@k must be 1.
+    import pyspark.sql.functions as F
+
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0, float(-i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_fit(vecs, m=2, k=8, iters=2)
+    assert len(books) == 2 and all(len(cb[0]) == 2 for cb in books)
+    codes = pq_encode(vecs, books)
+    rows = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    assert len({tuple(v) for v in rows.values()}) == 6  # all distinct codes
+    top = pq_adc_topk(vecs, vecs.filter(F.col("vec_id") == 0), books, k=2)
+    got = [r["neighbor_id"] for r in top.orderBy("rank").collect()]
+    assert got == [1, 2]  # exact L2 order from v0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_fit(vecs, m=3)  # dim 4 not divisible
