@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_stream_attribution_join",
     "order_items_revenue",
     "pq_recall_report",
+    "contrastive_pairs",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

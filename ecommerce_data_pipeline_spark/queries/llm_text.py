@@ -445,3 +445,50 @@ def q_dedup_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     return dd.incremental_dedup(existing, new)
+
+
+@register(
+    "contrastive_pairs",
+    oracle=f"""
+WITH {_COSINE_SQL}
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 4)
+      AS cosine_sim
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank,
+  CASE WHEN rank <= 5 THEN 'positive' ELSE 'hard_negative' END AS role
+FROM ranked WHERE rank <= 5 OR rank BETWEEN 20 AND 24
+""",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: per anchor, positives = cosine
+    top-5, hard negatives = ranks 20-24 — similar enough to be
+    informative, far enough to be wrong (the standard hard-negative
+    recipe for embedding/reranker training; random negatives are too
+    easy, rank-6 "negatives" are often false). One ranking pass serves
+    both roles: the per-anchor window runs on the already-scored frame,
+    so mining cost == the ANN scoring cost, and at scale the scored
+    candidates come from the IVF/PQ path instead of the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    ranked = sim.cosine_topk(emb, queries_df, k=24)
+    return ranked.filter(
+        (F.col("rank") <= 5) | F.col("rank").between(20, 24)
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        "rank",
+        F.when(F.col("rank") <= 5, "positive")
+        .otherwise("hard_negative")
+        .alias("role"),
+    )
