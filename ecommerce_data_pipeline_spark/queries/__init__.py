@@ -80,6 +80,8 @@ _DRIVER_PRIORITY: list[str] = [
     "order_items_revenue",
     "pq_recall_report",
     "contrastive_pairs",
+    "customer_rfm_segments",
+    "winsorized_event_stats",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

@@ -516,3 +516,129 @@ def q_user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0
         ).alias("trailing_1h_value"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+    max(o_orderdate) AS last_order,
+    count(*) AS frequency,
+    sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS monetary
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT c_custkey, last_order, frequency, monetary,
+    ntile(4) OVER (ORDER BY last_order DESC, c_custkey) AS r,
+    ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+    ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m
+  FROM base)
+SELECT r, f, m, concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+                       CAST(m AS VARCHAR)) AS segment,
+  count(*) AS customers,
+  sum(CAST(round(monetary*100) AS BIGINT))/100.0 AS segment_revenue
+FROM scored GROUP BY 1, 2, 3, 4
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles (NTILE with
+    full tiebreaks so both engines bucket identically) rolled up to
+    segment sizes and revenue — the classic CRM cut. The per-customer
+    base is one groupBy; the three NTILEs are global windows over the
+    customer-grain frame (N_customers rows — small post-aggregation; at
+    extreme scale swap for approx-quantile bucket joins)."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(cents) / 100.0).alias("monetary"),
+    )
+    scored = base.select(
+        "c_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_order").desc(), F.col("c_custkey")))
+        .alias("r"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("c_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), F.col("c_custkey")))
+        .alias("m"),
+    )
+    m_cents = F.round(F.col("monetary") * 100).cast("long")
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("customers"),
+        (F.sum(m_cents) / 100.0).alias("segment_revenue"),
+    ).select(
+        "r", "f", "m",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment"),
+        "customers",
+        "segment_revenue",
+    )
+
+
+@register(
+    "winsorized_event_stats",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.01), 4) AS lo,
+    round(quantile_cont(value, 0.99), 4) AS hi
+  FROM events GROUP BY 1),
+clamped AS (
+  SELECT e.event_type, least(greatest(e.value, b.lo), b.hi) AS w,
+    CAST(e.value < b.lo OR e.value > b.hi AS INTEGER) AS clipped
+  FROM events e JOIN bounds b USING (event_type))
+SELECT c.event_type, b.lo AS p01, b.hi AS p99,
+  round(sum(CAST(round(w*100) AS BIGINT))/100.0 / count(*), 4)
+    AS winsorized_mean,
+  CAST(sum(clipped) AS BIGINT) AS n_clipped,
+  count(*) AS n
+FROM clamped c JOIN bounds b USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clamp each event's value to its
+    type's [p01, p99] band (bounds rounded to 4 dp so both engines clamp
+    against identical thresholds) and report the outlier-resistant mean
+    plus clip counts — the standard tail-taming step before training on
+    heavy-tailed metrics. Bounds are a per-group exact percentile (swap
+    for approx_percentile at 100 TB); the clamp join broadcasts the
+    one-row-per-type bounds frame; the mean is cents-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.01), 4).alias("lo"),
+        F.round(F.percentile("value", 0.99), 4).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("lo"),
+        F.col("hi"),
+        w.alias("w"),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        )
+        .cast("int")
+        .alias("clipped"),
+    )
+    return clamped.groupBy(
+        "event_type", F.col("lo").alias("p01"), F.col("hi").alias("p99")
+    ).agg(
+        F.round(
+            (F.sum(F.round(F.col("w") * 100).cast("long")) / 100.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.count(F.lit(1)).alias("n"),
+    )
