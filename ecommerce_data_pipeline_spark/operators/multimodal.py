@@ -138,3 +138,43 @@ def embed_media(media: DataFrame, dims: int = 16) -> DataFrame:
         ]
     )
     return cols.mapInPandas(_embed_batch, schema=schema)
+
+
+def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
+    """Arrow-batched thumbnail resize over binary payloads.
+
+    STUB KERNEL (same policy as decode_media_features — no image codecs
+    in this environment): the payload is treated as a square grayscale
+    image of side floor(sqrt(n_bytes)) and nearest-neighbor-downsampled
+    to ``out``×``out`` by strided byte sampling; the emitted checksum is
+    the position-weighted sum of the sampled bytes, so any change in the
+    sampling grid or order shows up. A real kernel swaps in
+    PIL.Image.resize over the same (doc_id, payload) → (doc_id, thumb)
+    batch shape — partitioning, Arrow batching and output contract are
+    the production plumbing.
+
+    Output: (doc_id, out_w, out_h, thumb_checksum).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                side = int(len(b) ** 0.5)
+                ck = 0
+                for i in range(out):
+                    for j in range(out):
+                        pos = (i * side // out) * side + (j * side // out)
+                        ck += int(b[pos]) * (1 + i * out + j)
+                rows.append((doc_id, out, out, ck % 1000003))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "thumb_checksum"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batch,
+        "doc_id long, out_w int, out_h int, thumb_checksum long",
+    )

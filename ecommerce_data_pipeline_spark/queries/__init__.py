@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "contrastive_pairs",
     "customer_rfm_segments",
     "winsorized_event_stats",
+    "media_resize_plan",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

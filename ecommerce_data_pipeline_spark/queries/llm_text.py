@@ -492,3 +492,33 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard_negative")
         .alias("role"),
     )
+
+
+@register(
+    "media_resize_plan",
+    # text is ASCII, so payload byte p == ascii(substr(text, p+1, 1)); the
+    # oracle replays the strided sampling grid and weighted checksum.
+    oracle="""
+WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+src AS (
+  SELECT doc_id, text,
+    CAST(floor(sqrt(octet_length(encode(text)))) AS INTEGER) AS side
+  FROM documents)
+SELECT doc_id, 8 AS out_w, 8 AS out_h,
+  CAST(sum(ascii(substr(text, (gi.i*side)//8*side + (gj.i*side)//8 + 1, 1))
+           * (1 + gi.i*8 + gj.i)) % 1000003 AS BIGINT) AS thumb_checksum
+FROM src CROSS JOIN g gi CROSS JOIN g gj
+GROUP BY doc_id
+""",
+)
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over binary payloads (the remaining multimodal
+    primitive: decode / embed / frame-sample / RESIZE): Arrow-batched
+    mapInPandas with a deterministic strided-sampling stub kernel — the
+    production plumbing (batch shape, schema, partitioning) is real, the
+    pixel kernel swaps for PIL when codecs exist. The oracle replays the
+    sampling grid byte-for-byte via ASCII arithmetic."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_binary_payload(docs))
