@@ -83,6 +83,9 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_rfm_segments",
     "winsorized_event_stats",
     "media_resize_plan",
+    "nation_trade_flows",
+    "event_path_trigrams",
+    "event_transition_gaps",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

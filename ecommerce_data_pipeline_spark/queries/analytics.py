@@ -642,3 +642,88 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("clipped").cast("long").alias("n_clipped"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type, 1) OVER w AS p1,
+    lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT concat_ws('>', p2, p1, event_type) AS path, count(*) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 20 most common 3-event paths across all users.
+    One user_id shuffle; both lags share a single sort; the trigram
+    rollup reduces map-side before the tiny final top-k."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "event_transition_gaps",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+    lag(event_type) OVER w AS prev_type,
+    lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_type, event_type AS next_type,
+  count(*) AS n_transitions,
+  round(sum(date_diff('second', prev_ts, ts)) * 1.0 / count(*), 2)
+    AS avg_gap_seconds
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition matrix with dwell times: per (prev, next)
+    event-type pair, how often and how long users take between them.
+    Gap arithmetic in whole integer seconds (truncated epoch diff — both
+    engines identical), summed exactly before one rounded division."""
+    from pyspark.sql.window import Window as W
+
+    from ecommerce_data_pipeline_spark.functions import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.floor(epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    seq = ev.select(
+        F.col("event_type"),
+        es.alias("es"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(es).over(w).alias("prev_es"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.sum(F.col("es") - F.col("prev_es")) / F.count(F.lit(1)), 2
+        ).alias("avg_gap_seconds"),
+    )

@@ -721,3 +721,62 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank_nano") / 1e9, 6).alias("rank"),
         )
     )
+
+
+@register(
+    "nation_trade_flows",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+  sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT))/10000.0
+    AS revenue,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape generalized to ALL nation pairs: supplier-nation ×
+    customer-nation revenue by ship year. Plan: supplier/customer/nation
+    are broadcast (dimension tier), so the fact side shuffles ONCE — the
+    lineitem↔orders equi-join on orderkey; everything else is map-side.
+    Revenue in exact 1e-4 units (discount math) per the Q1 discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (F.sum(rev_u) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
