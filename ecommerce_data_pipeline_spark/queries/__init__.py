@@ -86,6 +86,8 @@ _DRIVER_PRIORITY: list[str] = [
     "nation_trade_flows",
     "event_path_trigrams",
     "event_transition_gaps",
+    "supplier_diversity",
+    "source_quality_drift",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",

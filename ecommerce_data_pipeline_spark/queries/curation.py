@@ -542,3 +542,105 @@ def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(shards, "doc_id").select(
         "doc_id", "cluster_id", "n_tokens", "quality_score", "shard", "pos"
     )
+
+
+@register(
+    "source_quality_drift",
+    # PSI over the 5 discrete quality-score levels (0, .25, .5, .75, 1),
+    # Laplace-smoothed; both engines compute identical ints -> identical
+    # doubles -> one rounded ln-sum.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS words,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS INTEGER) AS alpha_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, CAST(len(words) AS INTEGER) AS n_tokens,
+    round(coalesce(list_sum(list_transform(words, t -> length(t))), 0) * 1.0
+          / greatest(len(words), 1), 4) AS mean_token_len,
+    round(alpha_chars * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+    round(len(list_filter(words, t -> list_contains({_sw_list("en")}, t))) * 1.0
+          / greatest(len(words), 1), 4) AS stopword_ratio
+  FROM w
+),
+q AS (
+  SELECT doc_id, source,
+    round(
+      (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS score
+  FROM f
+),
+levels AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS level),
+corpus AS (
+  SELECT l.level, count(q.doc_id) AS cn
+  FROM levels l LEFT JOIN q ON q.score = l.level GROUP BY 1),
+per_src AS (
+  SELECT s.source, l.level, count(q2.doc_id) AS n
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN levels l
+  LEFT JOIN q q2 ON q2.source = s.source AND q2.score = l.level
+  GROUP BY 1, 2),
+tot AS (SELECT (SELECT count(*) FROM q) AS n_corpus),
+src_tot AS (SELECT source, sum(n) AS n_src FROM per_src GROUP BY 1)
+SELECT p.source,
+  round(sum(
+    ((p.n + 1.0)/(st.n_src + 5.0) - (c.cn + 1.0)/(t.n_corpus + 5.0))
+    * ln(((p.n + 1.0)/(st.n_src + 5.0)) / ((c.cn + 1.0)/(t.n_corpus + 5.0)))
+  ), 4) AS psi,
+  CAST(max(st.n_src) AS BIGINT) AS n_docs
+FROM per_src p
+JOIN corpus c USING (level)
+JOIN src_tot st USING (source)
+CROSS JOIN tot t
+GROUP BY 1
+""",
+)
+def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: population stability index of each
+    source's quality-score distribution against the whole corpus
+    (Laplace-smoothed over the 5 discrete score levels) — the per-feed
+    health metric a training-data pipeline alerts on (PSI > 0.1 ⇒
+    investigate, > 0.25 ⇒ drop the feed). Everything up to the final
+    ln-sum is integer counts; one shuffle on (source, level) over the
+    already-scored frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    levels = docs.sparkSession.createDataFrame(
+        [(lv,) for lv in (0.0, 0.25, 0.5, 0.75, 1.0)], "level double"
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(levels))
+    per_src = (
+        grid.join(
+            q,
+            (q.source == grid.source) & (q.quality_score == grid.level),
+            "left",
+        )
+        .groupBy(grid.source, grid.level)
+        .agg(F.count(q.doc_id).alias("n"))
+    )
+    corpus = (
+        levels.join(q, q.quality_score == levels.level, "left")
+        .groupBy(levels.level)
+        .agg(F.count(q.doc_id).alias("cn"))
+    )
+    n_corpus = F.broadcast(q.agg(F.count(F.lit(1)).alias("n_corpus")))
+    src_tot = per_src.groupBy("source").agg(F.sum("n").alias("n_src"))
+    p = (F.col("n") + 1.0) / (F.col("n_src") + 5.0)
+    c = (F.col("cn") + 1.0) / (F.col("n_corpus") + 5.0)
+    return (
+        per_src.join(F.broadcast(corpus), "level")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(n_corpus)
+        .groupBy("source")
+        .agg(
+            F.round(F.sum((p - c) * F.log(p / c)), 4).alias("psi"),
+            F.max("n_src").cast("long").alias("n_docs"),
+        )
+    )
