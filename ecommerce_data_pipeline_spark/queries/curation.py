@@ -644,3 +644,85 @@ def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_src").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "token_budget_mixture",
+    # Budget 2000 whitespace tokens per source; doc order inside a source
+    # is md5(doc_id) (the deterministic shuffle); sources smaller than the
+    # budget repeat whole epochs until it is met.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      AS n_tok,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+src AS (SELECT source, sum(n_tok) AS src_tok FROM toks GROUP BY 1),
+epochs AS (
+  SELECT t.doc_id, t.source, t.n_tok, t.h, g.e AS epoch
+  FROM toks t JOIN src USING (source)
+  CROSS JOIN generate_series(1, 1000) AS g(e)
+  WHERE g.e <= CAST(ceil(2000.0 / src.src_tok) AS BIGINT)),
+ordered AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY source
+      ORDER BY epoch, h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM epochs)
+SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch, n_tok,
+  CAST(cum AS BIGINT) AS cum
+FROM ordered
+WHERE cum - n_tok < 2000
+""",
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture assembly under a per-source token budget: each
+    source contributes documents (in deterministic md5-shuffled order)
+    until its 2000-token budget is met, repeating WHOLE EPOCHS when a
+    source is smaller than its budget — the data-mixing rule behind
+    under/over-sampling recipes (a doc enters if the budget was not
+    yet exhausted when it starts). One window cumsum per source over
+    the epoch-exploded frame; the epoch fan-out is ceil(budget/source
+    tokens) — bounded by the mixture spec, not data size."""
+    from pyspark.sql.window import Window as W
+
+    budget = 2000
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        )
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    src = toks.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    epochs = (
+        toks.join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.lit(float(budget)) / F.col("src_tok")).cast(
+                        "long"
+                    ),
+                )
+            ).alias("epoch"),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("epoch", "h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordered = epochs.withColumn("cum", F.sum("n_tok").over(w))
+    return ordered.filter(F.col("cum") - F.col("n_tok") < budget).select(
+        "doc_id", "source", F.col("epoch").cast("int").alias("epoch"),
+        "n_tok", "cum",
+    )
