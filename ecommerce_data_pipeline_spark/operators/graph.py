@@ -323,3 +323,45 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("r").alias("rank_nano"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts via the degree-ordered orientation
+    (Suri & Vassilvitskii's MR trick): direct every edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    joining oriented edges on their source, close them against the
+    oriented edge set. Wedge volume drops from Σdeg² (hub-quadratic) to
+    O(m^1.5) — the difference between a celebrity node exploding the
+    join and a bounded shuffle. Output: (id, triangles) for vertices in
+    ≥1 triangle; each triangle credits all three corners.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = sym.join(deg, "u").select(
+        "u", "v", F.col("deg").alias("du")
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    oriented = ranked.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    ).union(oriented.select(F.col("v").alias("b"), F.col("u").alias("c")))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

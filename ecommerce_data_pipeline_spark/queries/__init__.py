@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_diversity",
     "source_quality_drift",
     "token_budget_mixture",
+    "part_triangles",
     # changed late in round 5 (shared shingle profile / driver-side kmeans
     # fit) — re-certify under the new plans
     "minhash_lsh_pairs",
