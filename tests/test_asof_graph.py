@@ -192,3 +192,25 @@ def test_pagerank_paths_identical(spark):
     assert fast == {
         r["id"]: r["rank_nano"] for r in pagerank(noisy, iters=5).collect()
     }
+
+
+def test_triangle_counts_oriented(spark):
+    from ecommerce_data_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+    # duplicate / reversed edges must not inflate counts
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (2, 3), (2, 4), (2, 4)],
+        "src long, dst long",
+    )
+    assert {
+        r["id"]: r["triangles"] for r in triangle_counts(noisy).collect()
+    } == out
+    # triangle-free graph -> empty result
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
