@@ -197,6 +197,7 @@ def int8_quantize(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage-scale layout
     for embedding corpora (4x smaller than float32, 8x than float64;
@@ -210,7 +211,10 @@ def int8_quantize(
     (the positive scale cancels), so downstream scoring never multiplies
     back.
 
-    Output: (id, scale double, qvec array<int>).
+    Output: (id, scale double, qvec array<int>[, *keep]) — ``keep`` carries
+    extra columns through so callers never need a post-hoc self-join (which
+    would turn this shuffle-free map stage into a full shuffle of the
+    vector corpus).
     """
     v = _as_double(F.col(vec_col))
     raw_scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
@@ -221,6 +225,7 @@ def int8_quantize(
         F.transform(
             v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
         ).alias("qvec"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -1086,11 +1086,10 @@ def q_embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity the compression actually costs. Pure map stage, no shuffle."""
     from ecommerce_data_pipeline_spark.operators.quantize import int8_quantize
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    joined = int8_quantize(emb).join(
-        emb.select("vec_id", v.alias("v")), "vec_id"
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
     )
+    joined = int8_quantize(emb, keep=("v",))
     qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(F.col("v"), qd, lambda a, b: a * b),
@@ -1356,5 +1355,79 @@ def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 4
             ).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle=f"""
+WITH {_TOKS_SQL},
+cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tfreq GROUP BY 1),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM cf),
+score AS (
+  SELECT doc_id,
+    round(sum(tf * ln(ctf * 1.0 / tot.n)) / sum(tf), 4) AS avg_logprob
+  FROM tfreq JOIN cf USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.avg_logprob,
+    ntile(3) OVER (PARTITION BY d.lang
+                   ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM score s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, avg_logprob,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS ppl_bucket
+FROM ranked
+""",
+)
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity buckets (Wenzek et al. 2020, arXiv:1911.00359):
+    within each language, rank documents by LM score (unigram stand-in for
+    the 5-gram KenLM) and split into head/middle/tail thirds — the
+    canonical pre-training curation signal (head = fluent, tail = junk;
+    CCNet trains on head+middle).
+
+    Plan: the inverted-index scoring pipeline of `unigram_logprob_score`
+    (one explode-shuffle, vocabulary-sized frequency join, per-doc agg),
+    then ONE window partitioned by language. ntile-per-language is the
+    correctness spec here; at 100 TB a per-language total sort is the
+    skew bottleneck (4 langs = 4 reducers), so the scale path swaps the
+    window for two per-language `percentile_approx` thresholds (a partial
+    agg + a 4-row broadcast join) — same buckets up to quantile-sketch
+    error, no global sort. Ties broken by doc_id; score rounded 4dp so
+    ln() ulp differences can't flip an ordering across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx._term_freqs(docs, "text", "doc_id")
+    cf = t.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tot = cf.agg(F.sum("ctf").alias("n"))
+    score = (
+        t.join(cf, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("n")))
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        score.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "lang",
+            "doc_id",
+            "avg_logprob",
+            F.when(F.col("nt") == 1, F.lit("head"))
+            .when(F.col("nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
         )
     )
