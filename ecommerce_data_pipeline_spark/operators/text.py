@@ -254,3 +254,46 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_n)
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer-training bootstrap (Sennrich et al. 2016,
+    arXiv:1508.07909): corpus-wide counts of adjacent character pairs
+    inside words — the statistic whose argmax is BPE's first merge.
+
+    Scale shape: compress the corpus to its VOCABULARY first (one word
+    groupBy — at 100 TB the vocab is millions of rows where the corpus is
+    trillions of tokens), then explode each distinct word into its ≤len-1
+    pairs weighted by word frequency. Pair counting therefore shuffles
+    O(vocab × avg_word_len) rows, independent of corpus size; each BPE
+    merge round in a full trainer re-runs this over the re-segmented
+    vocab, so this is also the per-round cost model.
+
+    Output: (pair string, cnt long) — top_k by count, ties broken by pair.
+    """
+    wf = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("n"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+    )

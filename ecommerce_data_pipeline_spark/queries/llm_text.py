@@ -522,3 +522,26 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(attach_binary_payload(docs))
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+wf AS (SELECT w, count(*) AS n FROM w WHERE length(w) >= 2 GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair, n
+  FROM wf
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+FROM p GROUP BY 1
+ORDER BY cnt DESC, pair
+LIMIT 50
+""",
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistics: top-50 adjacent character pairs by
+    corpus count, counted over the frequency-weighted VOCABULARY rather
+    than the raw token stream (operators/text.py:bpe_pair_counts) — the
+    shuffle is O(vocab), not O(corpus)."""
+    return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"))

@@ -154,3 +154,39 @@ def test_leakage_safe_split_is_cluster_atomic(spark):
     # Extreme basis points pin the outcome regardless of hash values.
     all_train = cu.leakage_safe_split(clusters, train_bp=10000, val_bp=0).collect()
     assert {r["split"] for r in all_train} == {"train"}
+
+
+def test_bpe_pair_counts_toy(spark):
+    from ecommerce_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    # "aaab aaab ab" -> vocab {aaab: 2, ab: 1};
+    # pairs: aaab -> aa,aa,ab (x2), ab -> ab (x1)
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    rows = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert rows == {"aa": 4, "ab": 3}
+
+
+def test_bpe_pair_counts_ignores_single_char_words(spark):
+    from ecommerce_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c de")], "doc_id long, text string"
+    )
+    rows = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert rows == {"de": 1}
+
+
+def test_int8_quantize_keep_carries_columns(spark):
+    from ecommerce_data_pipeline_spark.operators.quantize import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0], "x")], "vec_id long, embedding array<double>, tag string"
+    )
+    out = int8_quantize(df, keep=("tag",))
+    assert out.columns == ["vec_id", "scale", "qvec", "tag"]
+    row = out.collect()[0]
+    assert row["tag"] == "x"
+    # scale = 2/127; q = floor(v/scale + .5) -> [64, -127]
+    assert row["qvec"] == [64, -127]
