@@ -579,3 +579,117 @@ def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "streaming_session_windows",
+    # Oracle = the batch lag-formulation of 30-min gap sessions (same SQL
+    # as session_window_fact) on the streamed slice: the streaming
+    # session_window state machine must land on the identical session set.
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END
+      AS new_session
+  FROM events WHERE user_id % 7 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM ids GROUP BY user_id, sid
+""",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization: the same ``session_window`` expression as
+    the batch `session_window_fact`, but as a watermarked append-mode
+    aggregation over a real file stream — Spark's mergeable session state
+    (sessions extend/merge as late-but-in-watermark events arrive; state
+    is evicted once the watermark passes a session's end, so memory is
+    O(open sessions), not O(stream)).
+
+    Append mode only EMITS a session once the event-time watermark passes
+    its end, so the fixture stages a far-future sentinel row as the
+    strictly-last file (mtime forced): processing it advances the
+    watermark past every real session, and the availableNow no-data final
+    batch flushes them all. Production has no sentinel — the live stream
+    advances the watermark by itself; the 1 s delay here is fixture-sized
+    where production sizes it to delivery lag."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "value"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stream_sess_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        # One-scalar driver read (same class as the A4 incremental bound).
+        sentinel = ev.agg(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_add("DAY", F.lit(366), F.max("ts")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        before = set(os.listdir(src))
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        # The file source takes unread files oldest-mtime-first; pin the
+        # sentinel's part file to the future so it is unambiguously the
+        # LAST batch (slice rows must never arrive behind its watermark).
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                path = os.path.join(src, f)
+                future = os.path.getmtime(path) + 3600
+                os.utime(path, (future, future))
+        schema = spark.read.parquet(src).schema
+        sessions = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withWatermark("ts", "1 second")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                money_sum("value").alias("total_value"),
+            )
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
