@@ -884,3 +884,47 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("id").alias("part_id"), "triangles")
     )
+
+
+@register(
+    "small_lot_revenue",
+    oracle=f"""
+WITH aq AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+  {money_sum_sql('l.l_extendedprice')} AS small_lot_rev,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN aq ON aq.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * aq.avg_qty
+GROUP BY 1
+""",
+)
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue), decorrelated: the
+    'quantity below 20% of this part's average' predicate as a self-agg
+    join rather than a per-row correlated subquery. Plan: per-part avg
+    (partial-agg shuffle on l_partkey), joined back to lineitem ALREADY
+    partitioned on l_partkey (co-partitioned, no extra shuffle under AQE),
+    brand dimension broadcast, final 25-row brand agg. avg(l_quantity) is
+    exact across engines because quantities are small integers (exact
+    double sum, one division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    aq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(aq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            money_sum("l_extendedprice").alias("small_lot_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
