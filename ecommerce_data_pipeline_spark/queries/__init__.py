@@ -53,6 +53,11 @@ _DRIVER_PRIORITY: list[str] = [
     "session_overlap_pairs",
     "asof_view_before_purchase",
     "ann_recall_report",
+    # latest round-5 additions — never had a driver row
+    "ccnet_quality_buckets",
+    "bpe_pair_stats",
+    "streaming_session_windows",
+    "small_lot_revenue",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",
