@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_pair_stats",
     "streaming_session_windows",
     "small_lot_revenue",
+    "scd2_point_in_time",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

@@ -632,3 +632,67 @@ def q_order_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_state
+  FROM events),
+changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ordered WHERE prev_state IS NULL OR prev_state <> event_type),
+probes AS (
+  SELECT event_id, user_id, ts, ts - INTERVAL 1 HOUR AS pts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+  c.state AS state_1h_before, c.valid_from AS state_since
+FROM probes p ASOF JOIN changes c
+  ON p.user_id = c.user_id AND c.valid_from <= p.pts
+""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup (the lakehouse 'dimension AS OF fact
+    time' join): for each purchase, the state the user was in ONE HOUR
+    before it — an as-of join of probe timestamps against the SCD2
+    history's change points. Because SCD2 intervals are non-overlapping,
+    interval containment `valid_from <= t < valid_to` reduces to backward
+    as-of against valid_from alone — no interval predicate, and the
+    union-sort asof plan gives ONE shuffle of |probes|+|changes| rows on
+    user_id (operators/asof.py) instead of a non-equi join's per-user
+    cross product. Deterministic: (user_id, ts) is unique in the event
+    stream, so every probe has exactly one greatest prior change.
+    Purchases with no change ≥1 h old drop (inner as-of, matching
+    DuckDB's ASOF JOIN)."""
+    from ecommerce_data_pipeline_spark.operators.asof import asof_join
+    from ecommerce_data_pipeline_spark.operators.state import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    history = scd2_collapse(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts"
+    ).select("user_id", "state", "valid_from")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_add("HOUR", F.lit(-1), F.col("ts")).alias("pts"),
+    )
+    out = asof_join(
+        probes,
+        history,
+        on=["user_id"],
+        left_ts="pts",
+        right_ts="valid_from",
+        value_cols=["state"],
+        prefix="m_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("m_state").alias("state_1h_before"),
+        F.col("m_valid_from").alias("state_since"),
+    )
