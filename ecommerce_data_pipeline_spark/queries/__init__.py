@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_session_windows",
     "small_lot_revenue",
     "scd2_point_in_time",
+    "variant_props_rollup",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",
