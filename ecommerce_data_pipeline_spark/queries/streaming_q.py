@@ -36,6 +36,7 @@ from ecommerce_data_pipeline_spark.sources.events import (
     silver_payments_frame,
 )
 from ecommerce_data_pipeline_spark.sources.parquet import load_table, register_views
+from ecommerce_data_pipeline_spark.streaming.statestore import rocksdb_state
 
 from ecommerce_data_pipeline_spark.queries._registry import (  # noqa: F401
     ORACLES,
@@ -451,13 +452,14 @@ def q_streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "1440 hours")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with rocksdb_state(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return (
             spark.read.parquet(out)
@@ -556,13 +558,14 @@ def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFr
                 "AND p_ts <= v_ts + INTERVAL 1 HOUR"
             ),
         )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with rocksdb_state(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return (
             spark.read.parquet(out)
@@ -669,14 +672,15 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 money_sum("value").alias("total_value"),
             )
         )
-        q = (
-            sessions.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with rocksdb_state(spark):
+            q = (
+                sessions.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return (
             spark.read.parquet(out)
