@@ -60,6 +60,8 @@ _DRIVER_PRIORITY: list[str] = [
     "small_lot_revenue",
     "scd2_point_in_time",
     "variant_props_rollup",
+    "forecast_revenue_change",
+    "branded_shipment_revenue",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

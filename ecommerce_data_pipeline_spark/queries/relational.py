@@ -928,3 +928,107 @@ def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+       AS DOUBLE) / 10000.0 AS promo_revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): a pure scan-filter-agg
+    with every predicate pushable to the parquet reader — the query whose
+    entire cost at 100 TB is decided by pushdown + column pruning (reads 4
+    columns, skips row groups via min/max stats on l_shipdate). No joins,
+    no shuffle beyond the final 1-row partial-agg combine. Revenue uses
+    the 4-dp exact-integer discipline (price × discount yields 4-dp
+    values; summed as int64 ten-thousandths)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    promo = (
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+            .cast("long")
+        ).cast("double")
+        / 10000.0
+    )
+    return f.agg(
+        promo.alias("promo_revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "branded_shipment_revenue",
+    oracle="""
+SELECT p.p_brand,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+""",
+)
+def q_branded_shipment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate groups across a join): three
+    OR'd brand/size/quantity clauses spanning both tables. The planner
+    splits the disjunction — single-table conjuncts common to all branches
+    (p_size >= 1) push into the scans, the cross-table residue evaluates
+    after the broadcast hash join of the part dimension; no branch becomes
+    its own scan. The join stays one broadcast regardless of how many
+    disjuncts the query adds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).cast("double")
+        / 10000.0
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
