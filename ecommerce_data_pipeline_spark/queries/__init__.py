@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "variant_props_rollup",
     "forecast_revenue_change",
     "branded_shipment_revenue",
+    "returned_item_customers",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

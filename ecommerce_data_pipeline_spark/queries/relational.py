@@ -1032,3 +1032,64 @@ def q_branded_shipment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS lost_revenue,
+  count(*) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item lost revenue): which customers
+    returned the most value. One fact-sized shuffle — the selective
+    `l_returnflag = 'R'` pushes into the lineitem scan, orders joins on
+    the already-shuffled orderkey, and customer/nation ride along as
+    broadcasts at this SF (at 100 TB the customer side exceeds the
+    broadcast threshold and AQE falls back to a shuffled hash join on
+    o_custkey — the explicit hint is advisory, not load-bearing); the
+    top-20 is a TakeOrdered, never a global sort materialization. Ties
+    broken by custkey for a deterministic LIMIT boundary."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).cast("double")
+        / 10000.0
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(rev.alias("lost_revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
