@@ -153,3 +153,43 @@ def quarantine(
     good = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     bad = tagged.filter(F.size("failed_rules") > 0)
     return good, bad
+
+
+
+def _quality_metrics(df: DataFrame) -> list[Column]:
+    cols = set(df.columns)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if "order_id" in cols:
+        metrics.append(
+            F.sum(F.col("order_id").isNull().cast("long")).alias("null_keys")
+        )
+    if "total_amount" in cols:
+        metrics.append(
+            F.sum((F.col("total_amount") < 0).cast("long")).alias(
+                "negative_amounts"
+            )
+        )
+    return metrics
+
+
+def observe_quality(df: DataFrame, name: str = "quality"):
+    """Attach IN-FLIGHT quality metrics via ``Dataset.observe``: row count,
+    null keys, negative amounts accumulate WHILE the frame's real action
+    runs — zero extra passes over the data, unlike the assertion suite
+    above which is one aggregate job per check. dbt-test economics
+    inverted: the pipeline pays nothing for observability and the metrics
+    arrive with the write.
+
+    Batch: returns ``(observed_df, Observation)`` — run any action, then
+    ``observation.get`` yields the metrics dict. Streaming: returns
+    ``(observed_df, None)`` — per-batch metrics surface through
+    ``StreamingQueryProgress.observedMetrics[name]`` (the ST6 freshness
+    probe without a second query).
+    """
+    from pyspark.sql.observation import Observation
+
+    metrics = _quality_metrics(df)
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -97,3 +97,47 @@ def test_streaming_session_windows_merges_across_files(spark, tmp_path):
     }
     # 10:20 and 10:40 merge into one 2-event session; 13:00 is its own.
     assert got == {(10, 2, 3.0), (10, 1, 4.0)}
+
+
+def test_observe_quality_batch(spark):
+    from ecommerce_data_pipeline_spark.quality import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, -2.0), (3, 1.0)], "order_id long, total_amount double"
+    )
+    observed, obs = observe_quality(df)
+    assert observed.count() == 3  # the action the metrics ride on
+    got = obs.get
+    assert got == {"n_rows": 3, "null_keys": 1, "negative_amounts": 1}
+
+
+def test_observe_quality_streaming_progress(spark, tmp_path):
+    from ecommerce_data_pipeline_spark.quality import observe_quality
+
+    src, out, ck = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    spark.createDataFrame(
+        [(1, 5.0), (None, -2.0)], "order_id long, total_amount double"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    observed, obs = observe_quality(stream)
+    assert obs is None
+    q = (
+        observed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [
+        p.observedMetrics["quality"]
+        for p in q.recentProgress
+        if "quality" in p.observedMetrics
+    ]
+    total = {
+        "n_rows": sum(r["n_rows"] for r in batches),
+        "null_keys": sum(r["null_keys"] for r in batches),
+        "negative_amounts": sum(r["negative_amounts"] for r in batches),
+    }
+    assert total == {"n_rows": 2, "null_keys": 1, "negative_amounts": 1}
