@@ -36,6 +36,7 @@ from pyspark.sql.types import StructType
 from ecommerce_data_pipeline_spark.functions import money_sum
 from ecommerce_data_pipeline_spark.pipeline import Lakehouse
 from ecommerce_data_pipeline_spark.operators.dedup import kafka_identity_dedup
+from ecommerce_data_pipeline_spark.quality import observe_quality
 from ecommerce_data_pipeline_spark.operators.parse import (
     bronze_projection,
     parse_orders,
@@ -85,8 +86,13 @@ def stream_bronze(
     availableNow trigger stops by itself after draining pending input).
     """
     raw = _read_stream(spark, src_dir, schema, files_per_trigger)
+    # In-flight ingest counters (quality.observe_quality): per-batch row
+    # counts ride the write itself and surface in
+    # StreamingQueryProgress.observedMetrics["bronze_quality"] — no
+    # second pass, no extra query.
+    observed, _ = observe_quality(bronze_projection(raw), "bronze_quality")
     return (
-        bronze_projection(raw)
+        observed
         .writeStream.format("parquet")
         .option("path", bronze_path)
         .option("checkpointLocation", checkpoint)
