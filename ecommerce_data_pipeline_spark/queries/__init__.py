@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "forecast_revenue_change",
     "branded_shipment_revenue",
     "returned_item_customers",
+    "promo_revenue_share",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

@@ -1093,3 +1093,48 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+WITH r AS (
+  SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+    p.p_type = 'PROMO' AS is_promo,
+    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+      AS rev_u
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT ship_month,
+  round(100.0 * sum(CASE WHEN is_promo THEN rev_u ELSE 0 END)
+        / sum(rev_u), 4) AS promo_pct,
+  CAST(sum(rev_u) AS DOUBLE) / 10000.0 AS total_revenue
+FROM r GROUP BY 1
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    promo-typed parts. The conditional aggregate folds both the promo and
+    total sums into ONE pass over the joined fact — no second scan, no
+    self-join; part is a broadcast. The percentage divides two exact
+    int64 revenue sums, so the 4-dp round is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0))
+                / F.sum(rev_u),
+                4,
+            ).alias("promo_pct"),
+            (F.sum(rev_u).cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
