@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     "branded_shipment_revenue",
     "returned_item_customers",
     "promo_revenue_share",
+    "nation_market_share",
+    "top_supplier_quarter",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

@@ -1138,3 +1138,148 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_u).cast("double") / 10000.0).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+WITH all_lines AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+    n2.n_name AS supp_nation,
+    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+      AS rev_u
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+SELECT o_year,
+  round(100.0 * sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_u
+                         ELSE 0 END) / sum(rev_u), 4) AS mkt_share_pct,
+  CAST(sum(rev_u) AS DOUBLE) / 10000.0 AS region_revenue
+FROM all_lines GROUP BY 1
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7 suppliers' yearly
+    share of PROMO-part revenue sold into ASIA. Seven-table star resolved
+    with ONE fact-sized shuffle: lineitem joins orders on the orderkey
+    shuffle, every dimension (customer's nation→region chain, supplier's
+    nation, part) is a broadcast, and the share is a conditional aggregate
+    over exact int64 revenue units — the same single-pass trick as Q14,
+    no numerator/denominator re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    cust_region = (
+        cust.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", rev_u).otherwise(0)
+                )
+                / F.sum(rev_u),
+                4,
+            ).alias("mkt_share_pct"),
+            (F.sum(rev_u).cast("double") / 10000.0).alias("region_revenue"),
+        )
+    )
+
+
+@register(
+    "top_supplier_quarter",
+    oracle="""
+WITH sr AS (
+  SELECT l_suppkey,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      AS total_u
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+  CAST(sr.total_u AS DOUBLE) / 10000.0 AS total_revenue
+FROM sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.total_u = (SELECT max(total_u) FROM sr)
+""",
+)
+def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue view over one quarter, then
+    the supplier(s) hitting the maximum. The quarter filter pushes into
+    the lineitem scan; the per-supplier agg is one partial-agg shuffle;
+    the max is a 1-row broadcast scalar (the audited
+    nested-loop-that-isn't pattern), so no second scan of the revenue
+    view and no window sort. Ties keep ALL maximal suppliers, exactly as
+    the spec's subquery form does — exact int64 revenue makes the
+    equality engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    sr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_u).alias("total_u"))
+    )
+    mx = sr.agg(F.max("total_u").alias("mx"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_u") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_u").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
