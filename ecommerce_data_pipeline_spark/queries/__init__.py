@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "promo_revenue_share",
     "nation_market_share",
     "top_supplier_quarter",
+    "large_volume_orders",
     # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",

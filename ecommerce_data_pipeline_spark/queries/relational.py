@@ -1283,3 +1283,56 @@ def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_u").cast("double") / 10000.0).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+  round(o.o_totalprice, 2) AS o_totalprice,
+  big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed line
+    quantity clears a threshold, with customer detail, top-100 by price.
+    The HAVING subquery decorrelates into a pre-aggregated orderkey set —
+    the lineitem agg IS the semi-join side (no second lineitem scan, no
+    IN-subquery rewrite), orders joins it on the same orderkey shuffle,
+    customer broadcasts, and the top-100 is a TakeOrdered. Quantities are
+    small exact integers in doubles, so the HAVING boundary is
+    engine-stable; ties impossible at the LIMIT boundary (orderkey is
+    unique in the sort key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
