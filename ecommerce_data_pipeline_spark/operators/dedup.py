@@ -303,20 +303,36 @@ def ngram_jaccard_pairs(
     k: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: str = "lsh",
+    n_hashes: int = 128,
+    n_bands: int = 32,
 ) -> DataFrame:
-    """All (d1 < d2) pairs with char-k-gram Jaccard >= threshold — exact.
+    """(d1 < d2) pairs with char-k-gram Jaccard >= threshold.
 
-    Prefix-filtered set-similarity join (Vernica/Carey/Li, SIGMOD'10 shape):
-    a pair with Jaccard >= t must share a shingle among each doc's
-    ``n - ceil(t*n) + 1`` globally-rarest shingles, so only those "prefix"
-    shingles generate candidates. On a common-vocabulary corpus this cuts
-    the self-join blow-up ~20x (frequent shingles never join). Candidates
-    are then verified exactly with one array-intersect per pair. Shingles
-    join as xxhash64 longs (8-byte shuffle keys); a 64-bit collision needs
-    ~2^32 distinct shingles — at that corpus size use minhash_lsh_pairs and
-    keep this as the verifier.
+    ``candidates`` selects the candidate-generation plan; every candidate is
+    then verified with exact set Jaccard, so precision is always exact:
+
+    - ``"lsh"`` (default, the 100 TB plan): MinHash band buckets generate
+      candidates — shuffle volume is bands x docs fixed-width rows and the
+      quadratic work happens only inside colliding buckets. Recall is the
+      LSH S-curve (≈1-1e-14 at j=0.9 for 32x4 bands); on a corpus whose
+      similarity distribution is bimodal around the threshold this equals
+      the exact answer (tests assert it on the fixture corpus).
+    - ``"prefix"``: exact prefix-filtered set-similarity join
+      (Vernica/Carey/Li, SIGMOD'10 shape): a pair with Jaccard >= t must
+      share a shingle among each doc's ``n - ceil(t*n) + 1`` globally-rarest
+      shingles, so only those "prefix" shingles generate candidates (~20x
+      fewer than the raw self-join), then exact verify. Guaranteed recall
+      1.0, but the rare-shingle self-join still grows super-linearly on
+      corpora with heavy cross-document shingle sharing — keep it as the
+      oracle/verifier; run "lsh" at scale.
+
     Output: (doc_id_a, doc_id_b, jaccard) with jaccard rounded to 4dp.
     """
+    if candidates == "lsh":
+        return minhash_lsh_pairs(
+            docs, threshold, k, n_hashes, n_bands, text_col, id_col
+        )
     # One materialized shingle pass shared by the prefix-filter branch and
     # both verification sides (the old plan re-shingled the corpus 3x).
     # |shingle set| rides along as size(shingles) — no count window needed.

@@ -40,20 +40,29 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # Driver-priority ordering.
 #
 # The correctness driver checks the FIRST ~50 registered queries per round
-# and the signal is cumulative across rounds. Round 5 rotates to the front
-# the three queries broken by the Spark 4 TIMESTAMP_NTZ upgrade (fixed this
-# round via functions.epoch_micros — re-certify them), the as-of query that
-# shares the root cause but fell outside the round-4 window, and the
-# ann_recall_report row that just gained its first oracle. Everything not
+# and the signal is cumulative across rounds. Round 6 rotates to the front
+# the seven queries the round-5 verdict flagged as lacking a post-change
+# driver row: five whose plans changed late in round 5 (shared shingle
+# profile / driver-side k-means fit) and two that were never inside a
+# driver window. New round-6 queries go right behind them; everything not
 # named keeps its registration order behind these.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # NTZ regression fixes + newly-oracled rows — need fresh driver rows
+    # plans changed late in round 5 — re-certify under the new plans
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ivf_topk",
+    # never inside a driver window before round 6
+    "part_triangles",
+    "token_budget_mixture",
+    # --- round-6 additions go here (never had a driver row) ---
+    # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",
     "asof_view_before_purchase",
     "ann_recall_report",
-    # latest round-5 additions — never had a driver row
     "ccnet_quality_buckets",
     "bpe_pair_stats",
     "streaming_session_windows",
@@ -67,7 +76,6 @@ _DRIVER_PRIORITY: list[str] = [
     "nation_market_share",
     "top_supplier_quarter",
     "large_volume_orders",
-    # round-5 additions — never had a driver row
     "sequence_packing",
     "document_chunks",
     "dedup_incremental_assign",
@@ -77,7 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_keep",
     "hybrid_rrf_search",
     "streaming_replay_dedup",
-    # round-5 behavioral additions — never had a driver row
     "event_funnel",
     "retention_cohorts",
     "minute_anomalies",
@@ -102,15 +109,6 @@ _DRIVER_PRIORITY: list[str] = [
     "event_transition_gaps",
     "supplier_diversity",
     "source_quality_drift",
-    "token_budget_mixture",
-    "part_triangles",
-    # changed late in round 5 (shared shingle profile / driver-side kmeans
-    # fit) — re-certify under the new plans
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "simhash_pairs",
-    "ivf_topk",
     # round-2 additions that never got a driver CORRECTNESS row
     "dedup_clusters",
     "revenue_rollup",

@@ -85,11 +85,23 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
-    oracle=f"WITH {_jaccard_pairs_sql()} SELECT doc_id_a, doc_id_b, jaccard FROM jac",
+    # Oracle = exact all-pairs char-10-gram Jaccard at 0.6. The registry
+    # query generates candidates with LSH banding (the 100 TB plan) and
+    # exact-verifies them; on this corpus's bimodal similarity distribution
+    # LSH recall is ~1-1e-14 at j>=0.9, so the composition equals the exact
+    # answer (tests/test_operators.py asserts prefix == lsh on the fixture).
+    oracle=(
+        f"WITH {_jaccard_pairs_sql(k=10, threshold=0.6)} "
+        "SELECT doc_id_a, doc_id_b, jaccard FROM jac"
+    ),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-12-gram Jaccard near-dup pairs (threshold 0.5)."""
-    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    """Char-10-gram Jaccard near-dup pairs at 0.6: LSH candidates, exact
+    verify — the scale-safe composition, not the quadratic all-pairs form
+    (that form survives as candidates="prefix", used as the test oracle)."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, k=10
+    )
 
 
 @register(

@@ -47,11 +47,17 @@ DEFAULT_TRIGGER = {"processingTime": "10 seconds"}  # bronze_orders_raw.py:60
 
 
 def stage_event_files(
-    spark: SparkSession, events: DataFrame, out_dir: str, n_files: int = 8
+    spark: SparkSession, events: DataFrame, out_dir: str, n_files: int = 4
 ) -> StructType:
     """Write a derived event stream as N parquet files — the stand-in for a
     Kafka topic with N segments; ``maxFilesPerTrigger`` then carves them
-    into micro-batches. Returns the schema for the streaming reader."""
+    into micro-batches. Returns the schema for the streaming reader.
+
+    4 files + maxFilesPerTrigger=2 = 2 micro-batches per stream: still a
+    real multi-batch drain (checkpoint advance, MERGE idempotence across
+    batches all exercised) at half the per-trigger machinery cost of the
+    old 8-file staging — availableNow trigger overhead is per-batch and
+    was 87% of the bench query's wall time."""
     events.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).schema
 
@@ -140,28 +146,60 @@ def run_streaming_pipeline(
     q2.awaitTermination()
 
     def _silver_orders_batch(batch: DataFrame, batch_id: int) -> None:
-        clean = parse_orders(kafka_identity_dedup(batch))
+        # Lazy localCheckpoint: merge() runs the updates lineage twice (the
+        # insert-only probe, then the write) — materializing the deduped
+        # parse once makes the second pass a block-manager scan. Batch-sized
+        # (not table-sized) memory, spillable.
+        clean = parse_orders(kafka_identity_dedup(batch)).localCheckpoint(
+            eager=False
+        )
         lake.silver_orders.merge(
             batch.sparkSession, clean, keys=["topic", "partition", "offset"]
         )
 
     def _silver_payments_batch(batch: DataFrame, batch_id: int) -> None:
-        clean = parse_payments(kafka_identity_dedup(batch))
+        clean = parse_payments(kafka_identity_dedup(batch)).localCheckpoint(
+            eager=False
+        )
         lake.silver_payments.merge(
             batch.sparkSession, clean, keys=["topic", "partition", "offset"]
         )
 
     bronze_orders_schema = spark.read.parquet(lake.bronze_orders.path).schema
     bronze_payments_schema = spark.read.parquet(lake.bronze_payments.path).schema
+
+    def _two_batches(path: str) -> int:
+        # Drain each silver stream in exactly TWO micro-batches — bootstrap
+        # overwrite, then the incremental MERGE path — independent of how
+        # many physical files bronze's own micro-batches produced (Spark
+        # may split/recombine them by maxPartitionBytes). Both MERGE code
+        # paths get exercised without paying per-trigger machinery for
+        # every bronze file; at production scale the trigger is
+        # processingTime and this sizing knob is irrelevant.
+        n = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        return max(1, -(-n // 2))  # ceil(n/2)
+
     s1 = (
-        _read_stream(spark, lake.bronze_orders.path, bronze_orders_schema, files_per_trigger)
+        _read_stream(
+            spark,
+            lake.bronze_orders.path,
+            bronze_orders_schema,
+            _two_batches(lake.bronze_orders.path),
+        )
         .writeStream.foreachBatch(_silver_orders_batch)
         .option("checkpointLocation", os.path.join(checkpoint_root, "silver_orders"))
         .trigger(availableNow=True)
         .start()
     )
     s2 = (
-        _read_stream(spark, lake.bronze_payments.path, bronze_payments_schema, files_per_trigger)
+        _read_stream(
+            spark,
+            lake.bronze_payments.path,
+            bronze_payments_schema,
+            _two_batches(lake.bronze_payments.path),
+        )
         .writeStream.foreachBatch(_silver_payments_batch)
         .option("checkpointLocation", os.path.join(checkpoint_root, "silver_payments"))
         .trigger(availableNow=True)

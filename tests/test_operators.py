@@ -276,10 +276,13 @@ def test_exact_dedup_groups(spark):
 
 
 def test_ngram_and_minhash_agree(spark):
+    # candidates="prefix" is the guaranteed-recall exact form; the default
+    # candidates="lsh" is the scale path. Equality here IS the LSH
+    # recall-1.0 assertion on the fixture corpus.
     docs = _docs(spark)
     exact_pairs = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs).collect()
+        for r in ngram_jaccard_pairs(docs, candidates="prefix").collect()
     }
     lsh_pairs = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
@@ -288,6 +291,26 @@ def test_ngram_and_minhash_agree(spark):
     assert exact_pairs == lsh_pairs
     assert exact_pairs[(1, 2)] == 1.0
     assert exact_pairs[(1, 3)] > 0.9
+
+
+def test_lsh_recall_on_corpus(spark):
+    # Corpus-level recall assertion at the registry's own parameters
+    # (k=10, t=0.6): LSH candidates + exact verify must reproduce the
+    # exact prefix-filtered pair set on the driver testdata corpus.
+    from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(threshold=0.6, k=10)
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, candidates="prefix", **kw).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, **kw).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0
 
 
 def test_simhash_identical_docs_and_pairs(spark):
