@@ -2,10 +2,15 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with a typed
 metadata struct, and runs decode/feature-extraction as Arrow-batched
-``mapInPandas`` stages. The media codec libraries are not available in this
-container, so the decode kernel is a deterministic stub (clearly marked) —
-but everything Spark-side is real and tested: schema contract, binary
-handling, Arrow batch shape, partition sizing.
+``mapInPandas`` stages. Two decode tiers:
+
+- REAL codecs (PGM/BMP images, RIFF/WAV audio — operators/codecs.py,
+  dependency-free parsers): synth_image_corpus / decode_image_features /
+  synth_audio_corpus / decode_audio_features round-trip genuine format
+  bytes and are oracle-checked feature-by-feature.
+- Stub kernels for formats whose codec libraries are not in this container
+  (JPEG/MP4 would need PIL/ffmpeg): deterministic byte-derived features,
+  clearly marked, exercising the same Spark plumbing.
 
 Scale notes: media blobs dominate row size, so the decode stage must run on
 narrow projections (id + payload only — column pruning keeps metadata
@@ -83,6 +88,175 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(_decode_batch, schema=MEDIA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path (operators/codecs.py): PGM / BMP / WAV bytes, parsed by
+# actual format decoders inside the same Arrow-batched mapInPandas shape as
+# the stub path above. The payloads are synthesized from a generative pixel
+# formula so a SQL oracle can verify the decoded features in closed form —
+# any bug in the encoder, the parser, or the Arrow plumbing breaks the
+# round-trip equality.
+# ---------------------------------------------------------------------------
+
+
+def synth_image_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload binary, media_type): REAL image bytes per doc —
+    even doc_ids encode as binary PGM (P5), odd as 24-bit BMP.
+
+    Generative content: side = 8 + doc_id % 9, pixel[i,j] =
+    (doc_id*31 + i*7 + j*13) % 256 — a formula, so downstream decoded
+    features are oracle-checkable without a reference decoder."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                side = 8 + d % 9
+                i = np.arange(side, dtype=np.int64)
+                px = ((d * 31 + i[:, None] * 7 + i[None, :] * 13) % 256).astype(
+                    np.uint8
+                )
+                if d % 2 == 0:
+                    payloads.append(codecs.pgm_encode(px))
+                    kinds.append("image/pgm")
+                else:
+                    payloads.append(codecs.bmp_encode(px))
+                    kinds.append("image/bmp")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media_type": kinds}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary, media_type string"
+    )
+
+
+def decode_image_features(media: DataFrame, thumb: int = 4) -> DataFrame:
+    """REAL image decode + resize: dispatch on the payload's magic bytes
+    (``P5`` -> PGM parser, ``BM`` -> BMP parser — operators/codecs.py),
+    then emit integer-exact features of the DECODED pixel array:
+
+    - pixel_sum: sum of all pixels (bit-stable, unlike float means);
+    - thumb_checksum: position-weighted sum of the nearest-neighbor
+      ``thumb`` x ``thumb`` downsample — any change in decode output,
+      raster orientation (BMP is bottom-up), row padding, or the sampling
+      grid shifts it.
+
+    Same narrow-projection mapInPandas shape as the stub path; this one
+    parses genuine format bytes any external tool could read."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P5":
+                    img, fmt = codecs.pgm_decode(b), "pgm"
+                elif b[:2] == b"BM":
+                    img, fmt = codecs.bmp_decode(b), "bmp"
+                else:
+                    raise ValueError(f"unknown image magic {b[:2]!r}")
+                th = codecs.nearest_resize(img, thumb).astype(np.int64)
+                weights = 1 + np.arange(thumb * thumb, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.astype(np.int64).sum()),
+                        int((th.ravel() * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "format",
+                    "width",
+                    "height",
+                    "pixel_sum",
+                    "thumb_checksum",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _decode,
+        "doc_id long, format string, width int, height int, "
+        "pixel_sum long, thumb_checksum long",
+    )
+
+
+def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload binary, media_type): REAL RIFF/WAVE bytes — mono
+    PCM16 @16 kHz, n = 400 + (doc_id % 64) * 8 samples,
+    s[t] = (doc_id*13 + t*7919) % 65536 - 32768."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                t = np.arange(400 + (d % 64) * 8, dtype=np.int64)
+                s = ((d * 13 + t * 7919) % 65536 - 32768).astype(np.int16)
+                payloads.append(codecs.wav_encode(s, rate=16000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary, media_type string"
+    )
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode (chunk-walking RIFF parser) -> integer-exact audio
+    features of the DECODED samples: (doc_id, sample_rate, n_samples,
+    sum_sq, max_abs). sum_sq stays in int64 (max 2^41 here) so the oracle
+    compares bit-stable integers, not float RMS."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = codecs.wav_decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        int(len(s)),
+                        int((s64 * s64).sum()),
+                        int(np.abs(s64).max()) if len(s64) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_sq", "max_abs"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _decode,
+        "doc_id long, sample_rate int, n_samples int, sum_sq long, max_abs int",
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

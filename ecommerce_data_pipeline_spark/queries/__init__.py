@@ -57,7 +57,9 @@ _DRIVER_PRIORITY: list[str] = [
     # never inside a driver window before round 6
     "part_triangles",
     "token_budget_mixture",
-    # --- round-6 additions go here (never had a driver row) ---
+    # --- round-6 additions (never had a driver row) ---
+    "media_image_decode",
+    "media_audio_decode",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -364,6 +364,78 @@ def q_decode_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_image_decode",
+    # The payloads are REAL PGM/BMP bytes (operators/codecs.py) synthesized
+    # from the generative formula pixel[i,j] = (doc_id*31+i*7+j*13) % 256,
+    # side = 8 + doc_id % 9. The oracle recomputes every decoded feature in
+    # closed form from that formula — encoder bugs, parser bugs (BMP's
+    # bottom-up raster, row padding, PGM header whitespace) and Arrow
+    # plumbing bugs all break the equality. thumb pixel (i,j) samples
+    # source ((i*side)//4, (j*side)//4), weighted 1 + i*4 + j.
+    oracle="""
+WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS side FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS format,
+  CAST(side AS INTEGER) AS width,
+  CAST(side AS INTEGER) AS height,
+  CAST(list_aggregate(
+    [(doc_id*31 + (p//side)*7 + (p%side)*13) % 256
+     for p in generate_series(0, side*side - 1)], 'sum') AS BIGINT)
+    AS pixel_sum,
+  CAST(list_aggregate(
+    [((doc_id*31 + (((t//4)*side)//4)*7 + (((t%4)*side)//4)*13) % 256) * (1+t)
+     for t in generate_series(0, 15)], 'sum') AS BIGINT)
+    AS thumb_checksum
+FROM g
+""",
+)
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: synthesize genuine PGM/BMP bytes per doc,
+    parse them with the dependency-free format decoders inside an
+    Arrow-batched mapInPandas stage, emit integer-exact decoded features
+    (dims, pixel sum, 4x4 nearest-neighbor thumb checksum)."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        decode_image_features,
+        synth_image_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(synth_image_corpus(docs))
+
+
+@register(
+    "media_audio_decode",
+    # REAL RIFF/WAV round trip: s[t] = (doc_id*13 + t*7919) % 65536 - 32768,
+    # n = 400 + (doc_id % 64)*8 samples @16kHz. Integer-exact features so
+    # the comparison is bit-stable (sum of squares, not float RMS).
+    oracle="""
+WITH g AS (SELECT doc_id, 400 + (doc_id % 64) * 8 AS n FROM documents)
+SELECT doc_id,
+  16000 AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  CAST(list_aggregate(
+    [((doc_id*13 + t*7919) % 65536 - 32768) * ((doc_id*13 + t*7919) % 65536 - 32768)
+     for t in generate_series(0, n - 1)], 'sum') AS BIGINT) AS sum_sq,
+  CAST(list_aggregate(
+    [abs((doc_id*13 + t*7919) % 65536 - 32768)
+     for t in generate_series(0, n - 1)], 'max') AS INTEGER) AS max_abs
+FROM g
+""",
+)
+def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: synthesize genuine mono PCM16 WAV bytes,
+    parse them with the chunk-walking RIFF decoder in mapInPandas, emit
+    integer-exact sample statistics."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_audio_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_features(synth_audio_corpus(docs))
+
+
+@register(
     "frame_sample_plan",
     oracle="""
 SELECT doc_id,

@@ -2,8 +2,9 @@
 
 Runs each named query at sf0.001 / sf0.01 / sf0.1 (two decades of data
 volume) in one warm session and fits the per-decade scaling exponent
-alpha: t ~ n^alpha, alpha = log10(t_hi/t_lo) / log10(n_hi/n_lo), using the
-documents/lineitem row counts as n. alpha <= ~1.15 reads as linear (fixed
+alpha: t ~ n^alpha, alpha = log10(t_hi/t_lo) / log10(n_hi/n_lo), where n is
+the row count of the query's basis table (HEAVY map — documents and
+embeddings do NOT grow 10x per decade). alpha <= ~1.15 reads as linear (fixed
 per-query machinery makes small-sf runs overestimate the constant, so the
 exponent across the LAST decade, sf0.01 -> sf0.1, is the honest one);
 anything super-linear is a bug report on the query's own plan.
@@ -16,47 +17,54 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
-HEAVY = [
-    "streaming_fct_sales_minute",
-    "ngram_jaccard_pairs",
-    "streaming_session_windows",
-    "part_pagerank",
-    "stream_stream_attribution_join",
-    "ann_recall_report",
-    "part_triangles",
-    "dedup_clusters",
-    "pq_recall_report",
-    "dedup_incremental_assign",
-    "minhash_lsh_pairs",
-    "hybrid_rrf_search",
-]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query -> the table whose row count is the scaling basis n. The driver
+# testdata scales lineitem 10x per decade but documents/embeddings only
+# grow in the sf0.01 -> sf0.1 decade (500 -> 5000 docs, 500 -> 2000
+# embeddings), so exponents must be computed against the table the query
+# actually consumes or they understate the true slope.
+HEAVY = {
+    "streaming_fct_sales_minute": "orders",
+    "ngram_jaccard_pairs": "documents",
+    "streaming_session_windows": "events",
+    "part_pagerank": "lineitem",
+    "stream_stream_attribution_join": "events",
+    "ann_recall_report": "embeddings",
+    "part_triangles": "lineitem",
+    "dedup_clusters": "documents",
+    "pq_recall_report": "embeddings",
+    "dedup_incremental_assign": "documents",
+    "minhash_lsh_pairs": "documents",
+    "hybrid_rrf_search": "documents",
+}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
 def main() -> None:
-    names = sys.argv[1:] or HEAVY
+    names = sys.argv[1:] or list(HEAVY)
     from ecommerce_data_pipeline_spark.session import get_spark
     from ecommerce_data_pipeline_spark.queries import QUERIES
 
     spark = get_spark()
-    # n proxy per sf dir: lineitem rows (the fact tables and the derived
-    # event streams scale with it; documents/embeddings scale with the same
-    # factor by construction).
-    nrows = {}
-    for sf in SFS:
-        nrows[sf] = (
-            spark.read.parquet(f"{sf}/lineitem.parquet").count()
-        )
+    tables = sorted({HEAVY.get(n, "lineitem") for n in names})
+    nrows = {
+        (sf, t): spark.read.parquet(f"{sf}/{t}.parquet").count()
+        for sf in SFS
+        for t in tables
+    }
     # Warm the JVM + parquet footers so sf0.001 doesn't pay cold-start.
     QUERIES[names[0]](spark, SFS[0]).count()
 
     results: dict[str, dict] = {}
     for name in names:
         fn = QUERIES[name]
+        basis = HEAVY.get(name, "lineitem")
         times = {}
         for sf in SFS:
             best = math.inf
@@ -66,25 +74,22 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             times[sf] = best
         lo, mid, hi = (times[s] for s in SFS)
-        alpha_last = math.log10(hi / mid) / math.log10(
-            nrows[SFS[2]] / nrows[SFS[1]]
-        )
-        alpha_full = math.log10(hi / lo) / math.log10(
-            nrows[SFS[2]] / nrows[SFS[0]]
-        )
+        growth_last = nrows[(SFS[2], basis)] / nrows[(SFS[1], basis)]
+        alpha_last = math.log10(hi / mid) / math.log10(growth_last)
         results[name] = {
+            "basis_table": basis,
+            "basis_growth_last_decade": growth_last,
             "sf0.001_s": round(lo, 2),
             "sf0.01_s": round(mid, 2),
             "sf0.1_s": round(hi, 2),
             "alpha_last_decade": round(alpha_last, 2),
-            "alpha_two_decades": round(alpha_full, 2),
         }
         print(
-            f"| {name} | {lo:.2f} | {mid:.2f} | {hi:.2f} "
-            f"| {alpha_last:.2f} | {alpha_full:.2f} |",
+            f"| {name} | {basis} ×{growth_last:g} | {lo:.2f} | {mid:.2f} "
+            f"| {hi:.2f} | {alpha_last:.2f} |",
             flush=True,
         )
-    print(json.dumps({"nrows": nrows, "results": results}))
+    print(json.dumps({"results": results}))
 
 
 if __name__ == "__main__":
