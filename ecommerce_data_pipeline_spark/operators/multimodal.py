@@ -259,6 +259,86 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def image_patchify(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded images: decode the
+    payload (PGM/BMP dispatch), crop to the largest multiple of ``patch``
+    (standard ViT preprocessing), split into non-overlapping patch x patch
+    tiles, and emit one row per tile with its integer pixel sum — the
+    hand-off shape for a per-patch embedding stage.
+
+    One decode per image, patches emitted from the same kernel pass (no
+    re-decode per patch); output rows are tiny fixed-width tuples, so the
+    explode happens AFTER the blobs are dropped — blobs never shuffle.
+
+    Output: (doc_id, patch_row, patch_col, patch_sum).
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _patch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                img = codecs.pgm_decode(b) if b[:2] == b"P5" else codecs.bmp_decode(b)
+                h, w = (img.shape[0] // patch) * patch, (img.shape[1] // patch) * patch
+                tiles = (
+                    img[:h, :w]
+                    .astype(np.int64)
+                    .reshape(h // patch, patch, w // patch, patch)
+                    .sum(axis=(1, 3))
+                )
+                for pr in range(tiles.shape[0]):
+                    for pc in range(tiles.shape[1]):
+                        rows.append((int(doc_id), pr, pc, int(tiles[pr, pc])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "patch_row", "patch_col", "patch_sum"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _patch, "doc_id long, patch_row int, patch_col int, patch_sum long"
+    )
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
+    """Frame-level energy over REAL decoded WAV audio: split the PCM16
+    stream into non-overlapping ``frame``-sample windows (160 @ 16 kHz =
+    the canonical 10 ms hop) and emit each frame's integer energy — the
+    front half of any VAD / silence-trim / loudness-normalize stage.
+
+    Same kernel-pass shape as image_patchify: one decode per payload,
+    fixed-width frame rows out, blobs never leave the map stage. The tail
+    partial frame is dropped (standard hop alignment).
+
+    Output: (doc_id, frame_idx, frame_sum_sq).
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, _ = codecs.wav_decode(bytes(payload))
+                n = (len(s) // frame) * frame
+                if n:
+                    e = (
+                        s[:n].astype(np.int64).reshape(-1, frame) ** 2
+                    ).sum(axis=1)
+                    rows.extend(
+                        (int(doc_id), i, int(v)) for i, v in enumerate(e)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sum_sq"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _frames, "doc_id long, frame_idx int, frame_sum_sq long"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit (doc_id, frame_idx)
     rows for frames 0, n, 2n... based on a pseudo frame count (bytes/1000).

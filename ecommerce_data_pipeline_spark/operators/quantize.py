@@ -407,3 +407,37 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+def matryoshka_audit(
+    vectors: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, arXiv:2205.13147):
+    how much of each vector's energy survives truncation to the first d
+    dims. For cosine retrieval the truncated-query similarity degrades with
+    the retained-energy ratio r_d = ||v[:d]||^2 / ||v||^2, so r_d IS the
+    per-vector go/no-go signal for serving shorter vectors (storage and
+    ANN cost scale linearly with d).
+
+    Per-row arithmetic only — no shuffle, no self-join; at 100 TB this is
+    a map-only audit pass over the vector corpus.
+
+    Output: (id, n_dims, retained_<d> double per requested d[, *keep]).
+    """
+    v = _as_double(F.col(vec_col))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    cols = [F.col(id_col), F.size(v).alias("n_dims")]
+    for d in dims:
+        part = F.aggregate(
+            F.slice(v, 1, d), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        cols.append(
+            F.round(
+                F.when(total == 0.0, F.lit(1.0)).otherwise(part / total), 4
+            ).alias(f"retained_{d}")
+        )
+    return vectors.select(*cols, *[F.col(c) for c in keep])

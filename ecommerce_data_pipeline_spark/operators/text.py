@@ -297,3 +297,64 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next tier above
+    unigram_logprob_score on the CCNet-style filtering ladder (a corpus-
+    trained bigram model standing in for the 5-gram KenLM).
+
+    p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N, where c(w1) is
+    the bigram-start count (so the conditional sums to 1 over the observed
+    vocabulary) and c(w2)/N is the corpus unigram backoff. Per doc:
+    token-position-weighted average of ln p over its bigrams.
+
+    Plan: one explode of adjacent word pairs -> (doc,w1,w2) hash agg (THE
+    shuffle, same class as the inverted-index build); corpus tables c12 /
+    c1 / unigram derive from re-aggregations of that same frame (no second
+    corpus scan); scoring joins are keyed on vocabulary-sized frames. No
+    UDFs — arrays_zip/slice stay in codegen.
+
+    Output: (doc_id, n_bigrams, avg_logprob) — docs with < 2 tokens drop.
+    """
+    words = _words(F.col(text_col))
+    base = docs.select(F.col(id_col), words.alias("w")).filter(F.size("w") >= 2)
+    big = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice("w", 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    btf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        docs.select(F.explode(words).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n_tok = uni.agg(F.sum("c2").alias("n"))
+    p = F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * F.col(
+        "c2"
+    ) / F.col("n")
+    return (
+        btf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -60,6 +60,11 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-6 additions (never had a driver row) ---
     "media_image_decode",
     "media_audio_decode",
+    "bigram_logprob_score",
+    "matryoshka_audit",
+    "dedup_rate_by_source",
+    "media_image_patches",
+    "media_audio_frames",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -364,6 +364,83 @@ def q_decode_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_audit",
+    # list_inner_product(v,v) and the Spark left-fold sum squares add in
+    # the SAME element order, so the doubles are bit-identical pre-round.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+  CAST(len(v) AS INTEGER) AS n_dims,
+  round(CASE WHEN list_inner_product(v, v) = 0 THEN 1.0
+        ELSE list_inner_product(v[1:16], v[1:16]) / list_inner_product(v, v)
+        END, 4) AS retained_16,
+  round(CASE WHEN list_inner_product(v, v) = 0 THEN 1.0
+        ELSE list_inner_product(v[1:32], v[1:32]) / list_inner_product(v, v)
+        END, 4) AS retained_32
+FROM e
+""",
+)
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per-vector retained-energy ratio at
+    16 and 32 dims — the map-only go/no-go signal for serving truncated
+    embeddings (linear ANN cost savings)."""
+    from ecommerce_data_pipeline_spark.operators.quantize import matryoshka_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_audit(emb, dims=(16, 32))
+
+
+@register(
+    "dedup_rate_by_source",
+    # Composition metric: exact_dedup's content-hash groups rolled up per
+    # source — the per-crawl duplication dashboard of a curation pipeline.
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+  count(*) AS n_docs,
+  count(DISTINCT g.h) AS n_unique,
+  CAST(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  round(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END) * 1.0
+        / count(*), 4) AS drop_rate
+FROM documents d JOIN g ON md5(d.text) = g.h
+GROUP BY d.source
+""",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication dashboard: each source's doc count,
+    distinct contents, and the fraction exact dedup would drop (non-keeper
+    copies). One digest groupBy + one source rollup — both 16-byte-key
+    shuffles at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dd.exact_dedup(docs).select(
+        F.col("content_hash"), F.col("doc_id").alias("keeper")
+    )
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .join(groups, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_hash").alias("n_unique"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+            ).alias("n_dropped"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("drop_rate"),
+        )
+    )
+
+
+@register(
     "media_image_decode",
     # The payloads are REAL PGM/BMP bytes (operators/codecs.py) synthesized
     # from the generative formula pixel[i,j] = (doc_id*31+i*7+j*13) % 256,
@@ -433,6 +510,73 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_features(synth_audio_corpus(docs))
+
+
+@register(
+    "media_image_patches",
+    # ViT patchify over the same generative PGM/BMP corpus as
+    # media_image_decode: patch (pr,pc) covers source pixels
+    # (pr*4+di, pc*4+dj), di,dj in 0..3; images crop to side//4*4 first.
+    oracle="""
+WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS side FROM documents),
+pr AS (
+  SELECT doc_id, side, unnest(generate_series(0, side//4 - 1)) AS patch_row
+  FROM g
+),
+pc AS (
+  SELECT doc_id, side, patch_row,
+    unnest(generate_series(0, side//4 - 1)) AS patch_col
+  FROM pr
+)
+SELECT doc_id,
+  CAST(patch_row AS INTEGER) AS patch_row,
+  CAST(patch_col AS INTEGER) AS patch_col,
+  CAST(list_aggregate(
+    [(doc_id*31 + (patch_row*4 + t//4)*7 + (patch_col*4 + t%4)*13) % 256
+     for t in generate_series(0, 15)], 'sum') AS BIGINT) AS patch_sum
+FROM pc
+""",
+)
+def q_media_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over real decoded PGM/BMP images: one
+    decode per payload, 4x4 tile sums out, blobs never shuffle."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_patchify,
+        synth_image_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_patchify(synth_image_corpus(docs))
+
+
+@register(
+    "media_audio_frames",
+    # 10 ms (160-sample) frame energies over the generative WAV corpus;
+    # tail partial frames drop, energies stay int64-exact.
+    oracle="""
+WITH g AS (SELECT doc_id, 400 + (doc_id % 64) * 8 AS n FROM documents),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, n//160 - 1)) AS frame_idx FROM g
+)
+SELECT doc_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(list_aggregate(
+    [((doc_id*13 + (frame_idx*160+k)*7919) % 65536 - 32768)
+     * ((doc_id*13 + (frame_idx*160+k)*7919) % 65536 - 32768)
+     for k in generate_series(0, 159)], 'sum') AS BIGINT) AS frame_sum_sq
+FROM f
+""",
+)
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy over real decoded WAV payloads — the VAD /
+    silence-trim front end, one decode per payload."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_audio_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_energy(synth_audio_corpus(docs))
 
 
 @register(

@@ -1052,6 +1052,49 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_score",
+    # Same tokenizer as _TOKS_SQL; adjacent pairs via zipped parallel
+    # unnest of the two shifted list slices (1-based inclusive slicing).
+    # c1 is the bigram-START count so the conditional normalizes over the
+    # observed vocab; 0.25/N unigram backoff keeps every pair finite.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    x -> x <> '') AS ws
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM btf GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+uni AS (
+  SELECT unnest(ws) AS w2 FROM w
+),
+unic AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM uni GROUP BY 1),
+tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM unic)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+  round(sum(tf * ln(0.75 * c12 * 1.0 / c1 + 0.25 * c2 * 1.0 / tot.n))
+        / sum(tf), 4) AS avg_logprob
+FROM btf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN unic USING (w2)
+CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score — the tier above the unigram
+    perplexity proxy on the CCNet filtering ladder. One adjacent-pair
+    explode + hash agg; corpus count tables re-aggregate that same frame;
+    vocabulary-keyed scoring joins. All codegen, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob_score(docs)
+
+
+@register(
     "embedding_int8_audit",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

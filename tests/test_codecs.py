@@ -125,3 +125,45 @@ def test_spark_audio_decode_round_trip(spark):
         assert r["n_samples"] == n and r["sample_rate"] == 16000
         ss = sum(((d * 13 + t * 7919) % 65536 - 32768) ** 2 for t in range(n))
         assert r["sum_sq"] == ss
+
+
+def test_spark_image_patchify(spark):
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_patchify,
+        synth_image_corpus,
+    )
+
+    docs = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    rows = image_patchify(synth_image_corpus(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        side = 8 + d % 9
+        assert len(rs) == (side // 4) ** 2
+        r0 = next(x for x in rs if x["patch_row"] == 0 and x["patch_col"] == 0)
+        expect = sum(
+            (d * 31 + i * 7 + j * 13) % 256 for i in range(4) for j in range(4)
+        )
+        assert r0["patch_sum"] == expect
+
+
+def test_spark_audio_frame_energy(spark):
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_audio_corpus,
+    )
+
+    docs = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    rows = audio_frame_energy(synth_audio_corpus(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        n = 400 + (d % 64) * 8
+        assert len(rs) == n // 160
+        f0 = next(x for x in rs if x["frame_idx"] == 0)
+        expect = sum(
+            ((d * 13 + t * 7919) % 65536 - 32768) ** 2 for t in range(160)
+        )
+        assert f0["frame_sum_sq"] == expect

@@ -587,3 +587,38 @@ def test_incremental_dedup_tiers(spark):
     assert out[100] == (10, "exact", 1.0)  # min existing id wins
     assert out[101][0] == 12 and out[101][1] == "near" and out[101][2] >= 0.5
     assert out[102] == (102, "new", None)
+
+
+def test_bigram_logprob_score_tiny(spark):
+    from ecommerce_data_pipeline_spark.operators.text import bigram_logprob_score
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(docs).collect()}
+    # doc 3 has < 2 tokens -> dropped
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    # corpus: bigrams ab×2 (doc1) + ba×1 + ab×1 (doc2) => c12(ab)=3, c1(a)=3,
+    # c12(ba)=1, c1(b)=1; unigrams a=3 b=3 c=1, N=7
+    p_ab = 0.75 * 3 / 3 + 0.25 * 3 / 7
+    p_ba = 0.75 * 1 / 1 + 0.25 * 3 / 7
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(math.log(p_ab), 4)) < 1e-9
+
+
+def test_matryoshka_audit_literal(spark):
+    from ecommerce_data_pipeline_spark.operators.quantize import matryoshka_audit
+
+    vecs = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 5.0]), (3, [0.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r for r in matryoshka_audit(vecs, dims=(2, 4)).collect()
+    }
+    assert out[1]["retained_2"] == 1.0 and out[1]["retained_4"] == 1.0
+    assert out[2]["retained_2"] == 0.0 and out[2]["retained_4"] == 1.0
+    assert out[3]["retained_2"] == 1.0  # zero vector convention
