@@ -1,0 +1,180 @@
+"""Plan-invariant audit: assert scale discipline over EVERY registry query.
+
+Hard invariants (exit 1 on violation):
+
+1. No ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are banned
+   outright; Python must enter plans only as Arrow-vectorized nodes.
+2. Arrow/pandas nodes (MapInPandas / ArrowEvalPython / AggregateInPandas /
+   FlatMapGroupsInPandas) appear only in PANDAS_OK queries — the documented
+   extension-layer exceptions (multimodal kernels, the LSH band-bucket
+   numpy fold, k-means assignment) — never in the reference-parity layer.
+3. Cartesian / broadcast-nested-loop joins appear only in CARTESIAN_OK
+   queries, each audited as a 1-row broadcast scalar join (corpus stats,
+   funnel denominators, exact-baseline top-k) — never data x data.
+
+Queries in SKIP_BUILD execute work at DataFrame-construction time
+(streaming drains, driver-fast-path materializations), so their final plan
+is a checkpoint scan with nothing to audit — they are covered by
+CORRECTNESS rows and tests instead.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001; prints one
+line per violation, a summary, and regenerates nothing — read-only).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose construction RUNS the workload (streaming drains, eager
+# checkpoints): plan audit is meaningless post-hoc.
+SKIP_BUILD = {
+    "streaming_fct_sales_minute",
+    "streaming_replay_dedup",
+    "streaming_session_windows",
+    "stream_stream_attribution_join",
+    "user_state_history",
+    "notification_emails",
+}
+
+# Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
+# else showing a pandas node is a regression.
+PANDAS_OK = {
+    # LSH band buckets via numpy fold (dedup.py:_profile_buckets)
+    "minhash_lsh_pairs",
+    # simhash majority-vote fold (dedup.py pandas_udf, 63 conditional sums)
+    "simhash",
+    "simhash_pairs",
+    # cell-blocked pair scan: one k-means cell = one applyInPandas task
+    "embedding_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "dedup_incremental_assign",
+    # k-means cell assignment / PQ codebooks (quantize.py)
+    "semantic_dedup_keep",
+    "kmeans_ivf_topk",
+    "ivf_topk",
+    "pq_recall_report",
+    "ann_recall_report",
+    # multimodal kernels (real codecs + stubs)
+    "decode_media_features",
+    "frame_sample_plan",
+    "media_resize_plan",
+    "media_embedding_topk",
+    "media_image_decode",
+    "media_audio_decode",
+    "media_image_patches",
+    "media_audio_frames",
+}
+
+# 1-row broadcast scalar joins, individually audited (PLANS.md header).
+CARTESIAN_OK = {
+    "event_funnel",
+    # corpus-N / corpus-stats 1-row broadcasts
+    "tfidf_top_terms",
+    # merged-sketch vs exact-count scalar comparison (both sides 1 row)
+    "approx_users_sketch_rollup",
+    # rolling view anchored on the max(event_ts) scalar
+    "events_last_hour",
+    "copurchase_lift",
+    "bm25_search",
+    "cosine_topk",
+    "unigram_logprob_score",
+    "bigram_logprob_score",
+    "hybrid_rrf_search",
+    "ann_recall_report",
+    "pq_recall_report",
+    "kmeans_ivf_topk",
+    "ivf_topk",
+    "media_embedding_topk",
+    "ccnet_quality_buckets",
+    "token_budget_mixture",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "promo_revenue_share",
+    "top_supplier_quarter",
+    "above_avg_orders",
+    "winsorized_event_stats",
+    "source_quality_drift",
+    "retention_cohorts",
+    "contrastive_pairs",
+    "events_incremental_2h",
+    "events_value_quantiles",
+    "events_value_quantiles_approx",
+    "approx_distinct_users",
+    "payment_reconciliation",
+    "quality_report",
+    "freshness_by_type",
+    "corpus_stats_by_source",
+    "training_corpus_filter",
+    "language_temperature_sample",
+    "curated_training_set",
+    "token_freq_cms",
+    "minute_anomalies",
+    "order_count_distribution",
+    "customer_spend_quartiles",
+    "doc_length_histogram",
+    "duplicate_ngram_spans",
+    "leakage_safe_split",
+    "source_capped_sample",
+    "sequence_packing",
+}
+
+PANDAS_NODES = (
+    "MapInPandas",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "MapInArrow",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+    from ecommerce_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    violations: list[str] = []
+    audited = 0
+    for name, fn in QUERIES.items():
+        if name in SKIP_BUILD:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        except Exception as exc:  # pragma: no cover - audit must not crash
+            violations.append(f"{name}: PLAN BUILD FAILED: {exc}")
+            continue
+        audited += 1
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        pandas_hits = [n for n in PANDAS_NODES if n in plan]
+        if pandas_hits and name not in PANDAS_OK:
+            violations.append(
+                f"{name}: unexpected Arrow/pandas node(s) {pandas_hits} "
+                "(not in PANDAS_OK)"
+            )
+        cartesian = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if cartesian and name not in CARTESIAN_OK:
+            violations.append(
+                f"{name}: cartesian/nested-loop join (not in CARTESIAN_OK)"
+            )
+
+    for v in violations:
+        print(f"VIOLATION  {v}")
+    print(
+        f"{audited} plans audited, {len(SKIP_BUILD)} skipped (execute-on-build), "
+        f"{len(violations)} violations"
+    )
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
