@@ -314,16 +314,20 @@ def bigram_logprob_score(
     vocabulary) and c(w2)/N is the corpus unigram backoff. Per doc:
     token-position-weighted average of ln p over its bigrams.
 
-    Plan: one explode of adjacent word pairs -> (doc,w1,w2) hash agg (THE
-    shuffle, same class as the inverted-index build); corpus tables c12 /
-    c1 / unigram derive from re-aggregations of that same frame (no second
-    corpus scan); scoring joins are keyed on vocabulary-sized frames. No
-    UDFs — arrays_zip/slice stay in codegen.
+    Plan: the tokenized corpus materializes ONCE (lazy localCheckpoint,
+    same trade as dedup._minhash_profile — without it Catalyst re-plans
+    every count-table branch down to its own corpus scan+tokenize, 5 scans
+    measured); one explode of adjacent word pairs -> (doc,w1,w2) hash agg
+    (THE shuffle, same class as the inverted-index build); corpus tables
+    c12 / c1 / unigram re-aggregate that frame; scoring joins are keyed on
+    vocabulary-sized frames. No UDFs — arrays_zip/slice stay in codegen.
 
     Output: (doc_id, n_bigrams, avg_logprob) — docs with < 2 tokens drop.
     """
-    words = _words(F.col(text_col))
-    base = docs.select(F.col(id_col), words.alias("w")).filter(F.size("w") >= 2)
+    toks = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("w")
+    ).localCheckpoint(eager=False)
+    base = toks.filter(F.size("w") >= 2)
     big = base.select(
         id_col,
         F.explode(
@@ -337,7 +341,7 @@ def bigram_logprob_score(
     c12 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni = (
-        docs.select(F.explode(words).alias("w2"))
+        toks.select(F.explode("w").alias("w2"))
         .groupBy("w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
