@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_rate_by_source",
     "media_image_patches",
     "media_audio_frames",
+    "cdc_change_feed",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -728,3 +728,53 @@ def q_variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "cdc_change_feed",
+    # Delta Change-Data-Feed parity on plain parquet: bootstrap the table
+    # with the even docs, then MERGE the %3 docs (text uppercased). The
+    # captured change set tags rows already present (doc_id % 6 == 0) as
+    # update_postimage and new keys (doc_id % 6 == 3) as insert; the
+    # summary is closed-form from the id arithmetic.
+    oracle="""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'update_postimage' ELSE 'insert' END
+         AS _change_type,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY 1
+""",
+)
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7's MERGE with change capture surfaced as a query: the merge
+    returns its own change set (insert vs update_postimage, computed as a
+    key-pruned semi/anti join pair BEFORE the table mutates — lake.py
+    merge(capture_changes=True), the plain-parquet twin of Delta CDF).
+    Downstream incremental consumers (gold refresh, replication) read
+    this feed instead of diffing snapshots. Returns the per-change-type
+    summary of the second (incremental) merge."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="cdc_feed_")
+    try:
+        t = ParquetTable(f"{root}/docs")
+        t.merge(spark, docs.filter(F.col("doc_id") % 2 == 0), keys=["doc_id"])
+        updates = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.upper("text")
+        )
+        changes = t.merge(spark, updates, keys=["doc_id"], capture_changes=True)
+        return (
+            changes.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

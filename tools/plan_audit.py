@@ -37,6 +37,7 @@ SKIP_BUILD = {
     "stream_stream_attribution_join",
     "user_state_history",
     "notification_emails",
+    "cdc_change_feed",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
