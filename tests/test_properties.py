@@ -165,3 +165,68 @@ def test_pack_sequences_tiles_contiguously(spark, texts):
         offsets[shard] = cursor + n
     n_nonempty = sum(1 for t in texts if t.split())
     assert len(out) == n_nonempty  # zero-token docs dropped, others kept
+
+
+# ---------------------------------------------------------------------------
+# Real-codec round trips (no Spark: pure kernel properties)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from ecommerce_data_pipeline_spark.operators import codecs
+
+img_arrays = st.tuples(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=0, max_value=2**32 - 1),
+).map(
+    lambda t: np.random.default_rng(t[2]).integers(
+        0, 256, (t[0], t[1]), dtype=np.uint8
+    )
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(img_arrays)
+def test_pgm_round_trip_any_shape(px):
+    assert np.array_equal(codecs.pgm_decode(codecs.pgm_encode(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(img_arrays)
+def test_bmp_round_trip_any_shape(px):
+    """Any width exercises every row-padding residue (w*3 mod 4)."""
+    assert np.array_equal(codecs.bmp_decode(codecs.bmp_encode(px)), px)
+
+
+wav_samples = st.tuples(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([8000, 16000, 44100]),
+).map(
+    lambda t: (
+        np.random.default_rng(t[1]).integers(
+            -32768, 32768, t[0], dtype=np.int16
+        ),
+        t[2],
+    )
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(wav_samples)
+def test_wav_round_trip_any_length(sr):
+    s, rate = sr
+    dec, got_rate = codecs.wav_decode(codecs.wav_encode(s, rate=rate))
+    assert got_rate == rate and np.array_equal(dec, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(img_arrays, st.integers(min_value=1, max_value=8))
+def test_nearest_resize_matches_grid_formula(px, out):
+    th = codecs.nearest_resize(px, out)
+    h, w = px.shape
+    assert th.shape == (out, out)
+    for i in range(out):
+        for j in range(out):
+            assert th[i, j] == px[(i * h) // out, (j * w) // out]
