@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "media_image_patches",
     "media_audio_frames",
     "cdc_change_feed",
+    "table_time_travel",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -778,3 +778,78 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "table_time_travel",
+    # Snapshot semantics, hash-checked: v0 = even docs; the mutation
+    # rewrites %3 docs (uppercased) and inserts new keys. Reading VERSION
+    # AS OF 0 must return the pre-mutation rows bit-for-bit, so the
+    # summary diffs v0 against current per source: v0 docs, current docs,
+    # and how many of v0's rows were replaced (their text changed).
+    oracle="""
+WITH v0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+cur AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text, source
+  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+)
+SELECT source,
+  (SELECT count(*) FROM v0 x WHERE x.source = s.source) AS v0_docs,
+  (SELECT count(*) FROM cur x WHERE x.source = s.source) AS current_docs,
+  (SELECT count(*) FROM v0 x JOIN cur c USING (doc_id)
+   WHERE x.source = s.source AND x.text <> c.text) AS rows_rewritten
+FROM (SELECT DISTINCT source FROM documents
+      WHERE doc_id % 2 = 0 OR doc_id % 3 = 0) s
+""",
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-link time travel (Delta VERSION AS OF parity on plain parquet,
+    lake.py:_archive/read_version): bootstrap v0, MERGE a mutation, then
+    read BOTH the archived v0 snapshot and the current table and diff them
+    per source. The oracle recomputes the diff from the mutation rule, so
+    a snapshot that leaked post-mutation bytes (or a merge that failed to
+    rewrite) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="time_travel_")
+    try:
+        t = ParquetTable(f"{root}/docs", keep_versions=3)
+        t.merge(spark, docs.filter(F.col("doc_id") % 2 == 0), keys=["doc_id"])
+        t.merge(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "text", F.upper("text")
+            ),
+            keys=["doc_id"],
+        )
+        v0 = t.read_version(spark, 0).select(
+            "doc_id", F.col("text").alias("t0"), "source"
+        )
+        cur = t.read(spark).select("doc_id", F.col("text").alias("t1"))
+        joined = v0.join(cur, "doc_id", "left")
+        per_v0 = joined.groupBy("source").agg(
+            F.count(F.lit(1)).alias("v0_docs"),
+            F.sum(
+                F.when(F.col("t1") != F.col("t0"), 1).otherwise(0)
+            ).alias("rows_rewritten"),
+        )
+        cur_counts = (
+            t.read(spark).groupBy("source").agg(F.count(F.lit(1)).alias("current_docs"))
+        )
+        return (
+            cur_counts.join(per_v0, "source", "left")
+            .select(
+                "source",
+                F.coalesce("v0_docs", F.lit(0)).alias("v0_docs"),
+                "current_docs",
+                F.coalesce("rows_rewritten", F.lit(0)).alias("rows_rewritten"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -106,7 +106,14 @@ def q_streaming_fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake = pl.Lakehouse(f"{root}/lake", partition_silver=False)
         t0 = time.time()
         run_streaming_pipeline(
-            spark, lake, o_src, p_src, o_schema, p_schema, f"{root}/ckpt"
+            spark,
+            lake,
+            o_src,
+            p_src,
+            o_schema,
+            p_schema,
+            f"{root}/ckpt",
+            phases=STREAMING_PHASES,
         )
         STREAMING_PHASES["drain_batches_sec"] = round(time.time() - t0, 3)
         # Pin the (minute-grain, small) fact in the block manager so the

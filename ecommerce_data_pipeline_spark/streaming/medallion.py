@@ -117,6 +117,7 @@ def run_streaming_pipeline(
     payments_schema: StructType,
     checkpoint_root: str,
     files_per_trigger: int = 2,
+    phases: dict | None = None,
 ) -> None:
     """End-to-end streaming medallion with availableNow semantics.
 
@@ -125,7 +126,20 @@ def run_streaming_pipeline(
     the silver tables (ST4: periodic batch as streaming; the MERGE keys make
     replays idempotent, ST3). Enrich + gold run once after the streams
     drain, exactly like the reference's dataset-triggered dbt run.
+
+    ``phases`` (optional dict) receives the wall-clock split — bronze /
+    silver stream drains, enrich, gold — so benchmark numbers can separate
+    per-trigger machinery from compute.
     """
+    import time as _time
+
+    _t = _time.time
+    t0 = _t()
+
+    def _mark(key: str, start: float) -> None:
+        if phases is not None:
+            phases[key] = round(_t() - start, 3)
+
     q1 = stream_bronze(
         spark,
         orders_src,
@@ -144,6 +158,8 @@ def run_streaming_pipeline(
     )
     q1.awaitTermination()
     q2.awaitTermination()
+    _mark("bronze_drain_sec", t0)
+    t0 = _t()
 
     def _silver_orders_batch(batch: DataFrame, batch_id: int) -> None:
         # Lazy localCheckpoint: merge() runs the updates lineage twice (the
@@ -207,11 +223,16 @@ def run_streaming_pipeline(
     )
     s1.awaitTermination()
     s2.awaitTermination()
+    _mark("silver_drain_sec", t0)
 
     from ecommerce_data_pipeline_spark.pipeline import run_enrich, run_gold
 
+    t0 = _t()
     run_enrich(spark, lake)
+    _mark("enrich_sec", t0)
+    t0 = _t()
     run_gold(spark, lake)
+    _mark("gold_sec", t0)
 
 
 def streaming_minute_fact(

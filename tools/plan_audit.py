@@ -38,6 +38,7 @@ SKIP_BUILD = {
     "user_state_history",
     "notification_emails",
     "cdc_change_feed",
+    "table_time_travel",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
