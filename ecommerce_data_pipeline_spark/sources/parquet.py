@@ -45,8 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parallelism comes from spark.sql.files.maxPartitionBytes splits."""
     # Set here (runtime SQL conf), not only in session.py: the driver's
     # verify harness passes its own SparkSession that did not go through
-    # our factory.
+    # our factory. UTC likewise — functions.epoch_seconds/epoch_micros
+    # reinterpret NTZ under the session zone, and oracle parity (DuckDB
+    # naive timestamps) requires that zone to be UTC regardless of the
+    # host default.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):

@@ -54,7 +54,20 @@ def main() -> int:
     from ecommerce_data_pipeline_spark.session import get_spark
     from ecommerce_data_pipeline_spark.sources.parquet import TABLES
 
-    spark = get_spark("verify-correctness")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # Driver simulation: a bare session that did NOT go through our
+        # factory — catches any query that silently relies on a
+        # session.py-only conf (the driver's harness builds its own).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify-plain")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
