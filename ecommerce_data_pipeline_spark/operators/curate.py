@@ -306,3 +306,87 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling on hashed n-gram features. Every token hashes
+    into one of ``n_buckets`` feature buckets; the target subset (rows
+    where ``target`` is true — e.g. the high-quality domain you want more
+    of) and the full corpus each induce a Laplace-smoothed bucket
+    distribution, and a document's log importance weight is the
+    log-likelihood ratio of its bag of buckets:
+
+        log w(d) = sum_b tf_d[b] * ( ln p_target[b] - ln p_raw[b] )
+
+    Resampling by these weights shifts the corpus mixture toward the
+    target domain without a trained classifier — the published cheap
+    alternative to quality-classifier selection.
+
+    Plan: the corpus tokenizes+hashes ONCE (lazy localCheckpoint — the
+    doc-level, target and raw aggregates all derive from that frame); the
+    two distribution tables are n_buckets rows, broadcast into the scoring
+    join; one (doc,bucket) shuffle total. Hashing is the cross-engine
+    md5-long (DuckDB oracle replays it bit-for-bit).
+
+    Output: (doc_id, n_tokens, log_weight 4dp), every input doc (docs with
+    zero tokens score 0.0).
+    """
+    from ecommerce_data_pipeline_spark.operators.text import _words
+
+    tok = docs.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).select(
+        id_col,
+        "__is_target",
+        (_md5_long(F.col("w")) % n_buckets).alias("b"),
+    ).localCheckpoint(eager=False)
+    dtf = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("tf"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        tok.filter(F.col("__is_target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    n_raw = raw.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt"))
+    lw = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_tgt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(1.0))
+                    / (F.col("n_raw") + F.lit(float(n_buckets)))
+                )
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        dtf.join(F.broadcast(lw), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lw")), 4).alias("log_weight"),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "media_audio_frames",
     "cdc_change_feed",
     "table_time_travel",
+    "dsir_importance_weights",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -726,3 +726,45 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("epoch").cast("int").alias("epoch"),
         "n_tok", "cum",
     )
+
+
+@register(
+    "dsir_importance_weights",
+    # DSIR log-likelihood-ratio weights under the cross-engine md5-long
+    # bucket hash; target distribution = English docs. Laplace smoothing
+    # (+1 / +n_buckets) keeps every bucket finite on both engines.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, is_t, {md5_long_sql('w')} % 256 AS b
+  FROM (SELECT doc_id, lang = 'en' AS is_t,
+               unnest({_WORDS_SQL}) AS w FROM documents)
+),
+dtf AS (SELECT doc_id, b, count(*) AS tf FROM toks GROUP BY 1, 2),
+raw AS (SELECT b, count(*) AS c_raw FROM toks GROUP BY 1),
+tgt AS (SELECT b, count(*) AS c_tgt FROM toks WHERE is_t GROUP BY 1),
+nr AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM raw),
+nt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgt),
+lw AS (
+  SELECT raw.b,
+    ln((coalesce(c_tgt, 0) + 1.0) / (nt.n_tgt + 256.0))
+    - ln((c_raw + 1.0) / (nr.n_raw + 256.0)) AS lw
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nr CROSS JOIN nt
+),
+sc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(tf * lw), 4) AS log_weight
+  FROM dtf JOIN lw USING (b) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(sc.n_tokens, 0) AS n_tokens,
+  coalesce(sc.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (hashed n-gram importance resampling): per-doc
+    log-likelihood ratio of the English-target vs raw bucket
+    distributions. One tokenize+hash pass, two 256-row broadcast
+    distribution tables, one (doc,bucket) shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.dsir_importance_weights(docs, target=F.col("lang") == "en")

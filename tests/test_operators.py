@@ -622,3 +622,38 @@ def test_matryoshka_audit_literal(spark):
     assert out[1]["retained_2"] == 1.0 and out[1]["retained_4"] == 1.0
     assert out[2]["retained_2"] == 0.0 and out[2]["retained_4"] == 1.0
     assert out[3]["retained_2"] == 1.0  # zero vector convention
+
+
+def test_dsir_importance_weights_tiny(spark):
+    from ecommerce_data_pipeline_spark.operators.curate import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", "en"),
+            (2, "gamma delta", "de"),
+            (3, "alpha beta", "de"),
+            (4, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # empty doc scores 0 with 0 tokens
+    assert out[4]["n_tokens"] == 0 and out[4]["log_weight"] == 0.0
+    # doc 3 shares all tokens with the target doc 1 -> higher weight than
+    # doc 2, whose tokens never appear in the target
+    assert out[3]["log_weight"] > out[2]["log_weight"]
+    # log_weight is a per-token SUM (length-dependent); normalize to
+    # compare: doc 1's tokens carry more target mass per token than doc 3's
+    assert (
+        out[1]["log_weight"] / out[1]["n_tokens"]
+        > out[3]["log_weight"] / out[3]["n_tokens"]
+    )
+    assert out[1]["n_tokens"] == 3
