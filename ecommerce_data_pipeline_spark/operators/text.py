@@ -362,3 +362,66 @@ def bigram_logprob_score(
             ),
         )
     )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the phrase-mining pass (word2phrase / tokenizer-merge candidates) of a
+    corpus pipeline: PMI = ln( p(w1,w2) / (p(w1) p(w2)) ), bigram
+    probability over adjacent-pair positions, unigram probabilities over
+    token positions, pairs below ``min_count`` dropped (PMI is noise at
+    low counts).
+
+    Same shuffle shape as bigram_logprob_score minus the per-doc stage:
+    tokenize once, one (w1,w2) agg, vocabulary-keyed joins, global top-k
+    (a TakeOrdered, not a full sort).
+
+    Output: (w1, w2, pair_count, pmi 4dp), ordered pmi desc then pair.
+    """
+    toks = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("w")
+    ).localCheckpoint(eager=False)
+    base = toks.filter(F.size("w") >= 2)
+    big = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice("w", 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    n12 = c12.agg(F.sum("pair_count").alias("n12"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    return (
+        c12.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n12))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n12"))
+                    / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_change_feed",
     "table_time_travel",
     "dsir_importance_weights",
+    "pmi_top_pairs",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -364,6 +364,34 @@ def q_decode_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pmi_top_pairs",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+big AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+n12 AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n12 FROM c12),
+unic AS (SELECT t, count(*) AS c FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM unic)
+SELECT w1, w2, pair_count,
+  round(ln((pair_count * 1.0 / n12.n12)
+           / ((u1.c * 1.0 / n1.n1) * (u2.c * 1.0 / n1.n1))), 4) AS pmi
+FROM c12 JOIN unic u1 ON u1.t = w1 JOIN unic u2 ON u2.t = w2
+CROSS JOIN n12 CROSS JOIN n1
+WHERE pair_count >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""",
+)
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI (min pair count 5) — the
+    phrase-mining / tokenizer-merge-candidate pass. TakeOrdered top-k,
+    not a global sort."""
+    return tx.pmi_top_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "matryoshka_audit",
     # list_inner_product(v,v) and the Spark left-fold sum squares add in
     # the SAME element order, so the doubles are bit-identical pre-round.
