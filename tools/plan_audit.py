@@ -86,6 +86,9 @@ CARTESIAN_OK = {
     "cosine_topk",
     "unigram_logprob_score",
     "bigram_logprob_score",
+    # 1-row corpus-total denominators (n_raw/n_tgt, n12/n1)
+    "dsir_importance_weights",
+    "pmi_top_pairs",
     "hybrid_rrf_search",
     "ann_recall_report",
     "pq_recall_report",
