@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: list[str] = [
     "table_time_travel",
     "dsir_importance_weights",
     "pmi_top_pairs",
+    "user_decayed_value",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

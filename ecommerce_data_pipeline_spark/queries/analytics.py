@@ -727,3 +727,51 @@ def q_event_transition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("es") - F.col("prev_es")) / F.count(F.lit(1)), 2
         ).alias("avg_gap_seconds"),
     )
+
+
+@register(
+    "user_decayed_value",
+    # Exponential time-decay LTV: weight = exp(-(now - ts)/tau), tau = 7
+    # days, "now" = the corpus max event second (deterministic anchor).
+    # Epoch math in whole seconds on both engines; one rounded division
+    # at the end absorbs exp() ulp drift.
+    oracle="""
+WITH p AS (
+  SELECT user_id, value, date_diff('second', TIMESTAMP '1970-01-01', ts) AS es
+  FROM events WHERE event_type = 'purchase'
+),
+now_s AS (SELECT max(es) AS now_es FROM p)
+SELECT user_id,
+  count(*) AS n_purchases,
+  round(sum(value * exp(-(now_es - es) / 604800.0)), 4) AS decayed_value
+FROM p CROSS JOIN now_s
+GROUP BY user_id
+""",
+)
+def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed lifetime value per user (recency-weighted
+    LTV, the retention-marketing twin of plain RFM): purchase values decay
+    with a 7-day time constant against the corpus max event time. One
+    filter + one 1-row broadcast anchor + one groupBy."""
+    from ecommerce_data_pipeline_spark.functions import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    es = F.floor(epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    p = ev.select("user_id", "value", es.alias("es"))
+    now_s = p.agg(F.max("es").alias("now_es"))
+    return (
+        p.crossJoin(F.broadcast(now_s))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-(F.col("now_es") - F.col("es")) / F.lit(604800.0))
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )

@@ -89,6 +89,8 @@ CARTESIAN_OK = {
     # 1-row corpus-total denominators (n_raw/n_tgt, n12/n1)
     "dsir_importance_weights",
     "pmi_top_pairs",
+    # 1-row max-event-time anchor
+    "user_decayed_value",
     "hybrid_rrf_search",
     "ann_recall_report",
     "pq_recall_report",
