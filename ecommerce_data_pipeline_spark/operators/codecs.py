@@ -111,6 +111,8 @@ def bmp_decode(data: bytes) -> np.ndarray:
     top-down (negative height) rasters."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError(f"BMP header truncated: {len(data)} bytes")
     _, _, _, _, px_off = struct.unpack_from("<2sIHHI", data, 0)
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     if hdr_size < 40:
@@ -166,13 +168,22 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(
+                f"WAV chunk {cid!r} truncated: declares {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError(
                     f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}"
                 )
         elif cid == b"data":
+            if size % 2:
+                raise ValueError("WAV PCM16 data chunk has odd byte length")
             samples = np.frombuffer(body, dtype="<i2")
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None or samples is None:

@@ -333,6 +333,10 @@ def ngram_jaccard_pairs(
         return minhash_lsh_pairs(
             docs, threshold, k, n_hashes, n_bands, text_col, id_col
         )
+    if candidates != "prefix":
+        raise ValueError(
+            f"candidates must be 'lsh' or 'prefix', got {candidates!r}"
+        )
     # One materialized shingle pass shared by the prefix-filter branch and
     # both verification sides (the old plan re-shingled the corpus 3x).
     # |shingle set| rides along as size(shingles) — no count window needed.
@@ -360,7 +364,7 @@ def ngram_jaccard_pairs(
         F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
     )
     required = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n")))
-    candidates = (
+    cand_pairs = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -373,7 +377,7 @@ def ngram_jaccard_pairs(
     va = base.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     vb = base.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(va, "doc_id_a")
+        cand_pairs.join(va, "doc_id_a")
         .join(vb, "doc_id_b")
         .withColumn(
             "jaccard",

@@ -299,6 +299,33 @@ def bpe_pair_counts(
     )
 
 
+def _adjacent_pairs(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffold for the bigram-family operators: the tokenized
+    corpus materialized ONCE (lazy localCheckpoint — every count-table
+    branch would otherwise re-plan down to its own corpus scan+tokenize),
+    plus the exploded adjacent-pair frame (id, w1, w2) from docs with >= 2
+    tokens. arrays_zip over the two shifted slices stays in codegen."""
+    toks = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("w")
+    ).localCheckpoint(eager=False)
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                    F.slice("w", 2, F.size("w") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    return toks, big
+
+
 def bigram_logprob_score(
     docs: DataFrame,
     lam: float = 0.75,
@@ -324,19 +351,7 @@ def bigram_logprob_score(
 
     Output: (doc_id, n_bigrams, avg_logprob) — docs with < 2 tokens drop.
     """
-    toks = docs.select(
-        F.col(id_col), _words(F.col(text_col)).alias("w")
-    ).localCheckpoint(eager=False)
-    base = toks.filter(F.size("w") >= 2)
-    big = base.select(
-        id_col,
-        F.explode(
-            F.arrays_zip(
-                F.slice("w", 1, F.size("w") - 1).alias("w1"),
-                F.slice("w", 2, F.size("w") - 1).alias("w2"),
-            )
-        ).alias("b"),
-    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    toks, big = _adjacent_pairs(docs, text_col, id_col)
     btf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     c12 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -384,18 +399,7 @@ def pmi_top_pairs(
 
     Output: (w1, w2, pair_count, pmi 4dp), ordered pmi desc then pair.
     """
-    toks = docs.select(
-        F.col(id_col), _words(F.col(text_col)).alias("w")
-    ).localCheckpoint(eager=False)
-    base = toks.filter(F.size("w") >= 2)
-    big = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("w", 1, F.size("w") - 1).alias("w1"),
-                F.slice("w", 2, F.size("w") - 1).alias("w2"),
-            )
-        ).alias("b")
-    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    toks, big = _adjacent_pairs(docs, text_col, id_col)
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
     n12 = c12.agg(F.sum("pair_count").alias("n12"))
     uni = (

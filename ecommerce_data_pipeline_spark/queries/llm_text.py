@@ -90,6 +90,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-verifies them; on this corpus's bimodal similarity distribution
     # LSH recall is ~1-1e-14 at j>=0.9, so the composition equals the exact
     # answer (tests/test_operators.py asserts prefix == lsh on the fixture).
+    # FIXTURE-DEPENDENT EQUALITY: a regenerated corpus containing pairs in
+    # the LSH S-curve's soft band (~0.6-0.8 Jaccard, band-miss up to ~1%)
+    # could make LSH drop a row the exact oracle has — if the driver
+    # testdata ever changes, re-run test_lsh_recall_on_corpus first.
     oracle=(
         f"WITH {_jaccard_pairs_sql(k=10, threshold=0.6)} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM jac"
@@ -441,15 +445,15 @@ GROUP BY d.source
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication dashboard: each source's doc count,
     distinct contents, and the fraction exact dedup would drop (non-keeper
-    copies). One digest groupBy + one source rollup — both 16-byte-key
-    shuffles at corpus scale."""
+    copies). The keeper is a min-over-window on the content digest — ONE
+    shuffle of (doc_id, digest, source) rows, vs the groupBy+join-back
+    formulation that re-shuffled the same rows a second time keyed on the
+    32-char digest."""
     docs = load_table(spark, sf_dir, "documents")
-    groups = dd.exact_dedup(docs).select(
-        F.col("content_hash"), F.col("doc_id").alias("keeper")
-    )
+    w = Window.partitionBy("content_hash")
     return (
-        docs.withColumn("content_hash", F.md5("text"))
-        .join(groups, "content_hash")
+        docs.select("doc_id", "source", F.md5("text").alias("content_hash"))
+        .withColumn("keeper", F.min("doc_id").over(w))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

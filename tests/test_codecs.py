@@ -167,3 +167,30 @@ def test_spark_audio_frame_energy(spark):
             ((d * 13 + t * 7919) % 65536 - 32768) ** 2 for t in range(160)
         )
         assert f0["frame_sum_sq"] == expect
+
+
+def test_wav_rejects_truncated_and_short_fmt():
+    s = np.arange(100, dtype=np.int16)
+    enc = codecs.wav_encode(s)
+    # truncated data chunk: declared size overruns the buffer -> ValueError,
+    # never a silent short read
+    with pytest.raises(ValueError):
+        codecs.wav_decode(enc[:-10])
+    # fmt chunk declaring fewer than 16 bytes -> ValueError, not struct.error
+    bad = bytearray(enc)
+    struct.pack_into("<I", bad, 16, 8)  # fmt chunk size field
+    with pytest.raises(ValueError):
+        codecs.wav_decode(bytes(bad))
+
+
+def test_bmp_rejects_short_header():
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(b"BM" + b"\x00" * 20)
+
+
+def test_ngram_candidates_param_validated(spark):
+    from ecommerce_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, candidates="LSH")

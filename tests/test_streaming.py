@@ -45,9 +45,10 @@ def streamed_lake(spark, tmp_path_factory):
 
 
 def test_streaming_fact_equals_batch(spark, streamed_lake):
-    """The defining check: micro-batched ingest (4+ batches per stream via
-    maxFilesPerTrigger=2 over 8 files) ends at the same gold fact as the
-    single-shot batch pipeline / the oracle-verified registry query."""
+    """The defining check: micro-batched ingest (2 batches per stream —
+    maxFilesPerTrigger=2 over 4 staged files for bronze; silver sized to
+    exactly bootstrap + incremental MERGE) ends at the same gold fact as
+    the single-shot batch pipeline / the oracle-verified registry query."""
     streamed = {
         str(r["minute_bucket"]): (r["gmv"], r["paid_orders"])
         for r in streamed_lake.fct_sales_minute.read(spark).collect()
