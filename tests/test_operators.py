@@ -657,3 +657,40 @@ def test_dsir_importance_weights_tiny(spark):
         > out[3]["log_weight"] / out[3]["n_tokens"]
     )
     assert out[1]["n_tokens"] == 3
+
+
+def test_lsh_agrees_with_mllib_minhash(spark):
+    """External cross-check: our shingle->minhash->band plan, Spark MLlib's
+    own MinHashLSH (approxSimilarityJoin at jaccard distance 0.5), and the
+    exact prefix-filtered join all produce the SAME pair set on the
+    testdata corpus — two independent implementations plus ground truth."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from ecommerce_data_pipeline_spark.operators.dedup import char_shingles
+    from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = docs.select("doc_id", char_shingles(F.col("text"), 12).alias("sh"))
+    vec = (
+        CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+        .fit(sh)
+        .transform(sh)
+    )
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=16, seed=7
+    ).fit(vec)
+    mllib_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in mh.approxSimilarityJoin(vec, vec, 0.5, distCol="d")
+        .filter("datasetA.doc_id < datasetB.doc_id")
+        .collect()
+    }
+    ours = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(docs, candidates="prefix").collect()
+    }
+    assert ours == exact == mllib_pairs
+    assert len(exact) > 0
