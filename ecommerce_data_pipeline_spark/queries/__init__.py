@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_importance_weights",
     "pmi_top_pairs",
     "user_decayed_value",
+    "knn_label_accuracy",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -368,6 +368,81 @@ def q_decode_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_accuracy",
+    # kNN probe of embedding quality: 5-NN majority label per held-out
+    # query (vec_id % 50 — the same eval split every retrieval query
+    # uses), ranks on the ROUNDED cosine with neighbor-id tie-break so
+    # both engines rank identically; majority ties break to the smallest
+    # label.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS true_label
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv, label
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, label,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv))
+             * sqrt(list_inner_product(nv, nv))), 4) AS cs
+  FROM q, c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS v
+  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY v DESC, label) AS pr
+  FROM votes
+)
+SELECT query_id, true_label, label AS predicted_label,
+  true_label = label AS correct
+FROM pred WHERE pr = 1
+""",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval harness: 5-NN majority-vote label recovery
+    for the held-out query split — the standard kNN probe that turns a
+    retrieval stack into a measurable classifier. Reuses the exact
+    cosine_topk plan (WindowGroupLimit prereduce) + one vote window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    nb = sim.cosine_topk(corpus, queries_df, k=5)
+    votes = (
+        nb.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("nl"))
+    pred = votes.withColumn("pr", F.row_number().over(w)).filter(F.col("pr") == 1)
+    truth = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("nl").alias("predicted_label"),
+        (F.col("true_label") == F.col("nl")).alias("correct"),
+    )
+
+
+@register(
     "pmi_top_pairs",
     oracle=f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),

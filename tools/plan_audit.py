@@ -97,6 +97,7 @@ CARTESIAN_OK = {
     "kmeans_ivf_topk",
     "ivf_topk",
     "media_embedding_topk",
+    "knn_label_accuracy",
     "ccnet_quality_buckets",
     "token_budget_mixture",
     "forecast_revenue_change",
