@@ -204,3 +204,39 @@ def nearest_resize(img: np.ndarray, out: int) -> np.ndarray:
     rows = (np.arange(out) * h) // out
     cols = (np.arange(out) * w) // out
     return img[np.ix_(rows, cols)]
+
+
+# ---------------------------------------------------------------------------
+# PGM stream — a minimal real video container (concatenated P5 frames,
+# the same shape as raw MJPEG: independently-decodable frames back to back)
+# ---------------------------------------------------------------------------
+
+
+def pgm_stream_encode(frames: list[np.ndarray]) -> bytes:
+    """Encode a frame list as back-to-back binary PGMs."""
+    if not frames:
+        raise ValueError("empty frame list")
+    return b"".join(pgm_encode(f) for f in frames)
+
+
+def pgm_stream_decode(data: bytes) -> list[np.ndarray]:
+    """Decode a concatenated-PGM stream into its frame list by walking
+    the byte stream: parse each P5 header, slice its raster, continue at
+    the next frame boundary. Rejects trailing garbage and truncated
+    frames — every byte must belong to a well-formed frame."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"P5":
+            raise ValueError(f"frame {len(frames)}: not a P5 header at {pos}")
+        (w, h, maxval), off = _pgm_tokens(data, 3, pos + 2)
+        if maxval <= 0 or maxval > 255:
+            raise ValueError(f"frame {len(frames)}: bad maxval {maxval}")
+        raster = data[off : off + w * h]
+        if len(raster) != w * h:
+            raise ValueError(f"frame {len(frames)}: raster truncated")
+        frames.append(np.frombuffer(raster, dtype=np.uint8).reshape(h, w))
+        pos = off + w * h
+    if not frames:
+        raise ValueError("empty PGM stream")
+    return frames

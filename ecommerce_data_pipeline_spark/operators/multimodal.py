@@ -339,6 +339,77 @@ def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
     )
 
 
+def synth_video_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload binary, media_type): REAL multi-frame video bytes —
+    concatenated binary PGM frames (raw-MJPEG shape: independently
+    decodable frames back to back). n_frames = 2 + doc_id % 4, 8x8 frames,
+    pixel[f,i,j] = (doc_id*31 + f*17 + i*7 + j*13) % 256."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(8, dtype=np.int64)
+                frames = [
+                    (
+                        (d * 31 + f * 17 + i[:, None] * 7 + i[None, :] * 13) % 256
+                    ).astype(np.uint8)
+                    for f in range(2 + d % 4)
+                ]
+                payloads.append(codecs.pgm_stream_encode(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "video/pgm-stream",
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary, media_type string"
+    )
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the multi-frame container
+    (codecs.pgm_stream_decode walks the byte stream frame by frame), keep
+    frames 0, n, 2n, ..., emit each kept frame's integer pixel sum — the
+    production shape of a frame-subsample stage feeding a per-frame
+    vision encoder. One container parse per payload; blobs never shuffle.
+
+    Output: (doc_id, n_frames, frame_idx, frame_sum).
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = codecs.pgm_stream_decode(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(frames),
+                            f,
+                            int(frames[f].astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx", "frame_sum"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _sample, "doc_id long, n_frames int, frame_idx int, frame_sum long"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit (doc_id, frame_idx)
     rows for frames 0, n, 2n... based on a pseudo frame count (bytes/1000).

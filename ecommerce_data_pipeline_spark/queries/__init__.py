@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pmi_top_pairs",
     "user_decayed_value",
     "knn_label_accuracy",
+    "media_video_frame_sample",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -687,6 +687,41 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_video_frame_sample",
+    # REAL video tier: concatenated-PGM container (raw-MJPEG shape),
+    # parsed frame-by-frame; every 2nd frame kept. frame_sum is the
+    # closed-form sum of (d*31 + f*17 + i*7 + j*13) % 256 over the 8x8
+    # grid — container parse bugs (frame boundaries, header walk) shift it.
+    oracle="""
+WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+f AS (
+  SELECT doc_id, nf, unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+  FROM g
+)
+SELECT doc_id,
+  CAST(nf AS INTEGER) AS n_frames,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(list_aggregate(
+    [(doc_id*31 + frame_idx*17 + (p//8)*7 + (p%8)*13) % 256
+     for p in generate_series(0, 63)], 'sum') AS BIGINT) AS frame_sum
+FROM f
+""",
+)
+def q_media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: synthesize genuine multi-frame
+    concatenated-PGM containers, walk them with the stream parser, keep
+    every 2nd frame with its integer pixel sum — the frame-subsample
+    stage ahead of a per-frame vision encoder."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        synth_video_corpus,
+        video_frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_sample(synth_video_corpus(docs))
+
+
+@register(
     "frame_sample_plan",
     oracle="""
 SELECT doc_id,

@@ -194,3 +194,42 @@ def test_ngram_candidates_param_validated(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(docs, candidates="LSH")
+
+
+def test_pgm_stream_round_trip_and_rejects():
+    fs = [
+        RNG.integers(0, 256, (5, 7), dtype=np.uint8),
+        RNG.integers(0, 256, (3, 3), dtype=np.uint8),
+        RNG.integers(0, 256, (8, 8), dtype=np.uint8),
+    ]
+    enc = codecs.pgm_stream_encode(fs)
+    dec = codecs.pgm_stream_decode(enc)
+    assert len(dec) == 3 and all(np.array_equal(a, b) for a, b in zip(fs, dec))
+    with pytest.raises(ValueError):
+        codecs.pgm_stream_decode(enc[:-3])  # truncated last frame
+    with pytest.raises(ValueError):
+        codecs.pgm_stream_decode(enc + b"garbage")  # trailing bytes
+    with pytest.raises(ValueError):
+        codecs.pgm_stream_decode(b"")
+
+
+def test_spark_video_frame_sample(spark):
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        synth_video_corpus,
+        video_frame_sample,
+    )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    rows = video_frame_sample(synth_video_corpus(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        nf = 2 + d % 4
+        assert all(r["n_frames"] == nf for r in rs)
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, nf, 2))
+        r0 = next(r for r in rs if r["frame_idx"] == 0)
+        expect = sum(
+            (d * 31 + i * 7 + j * 13) % 256 for i in range(8) for j in range(8)
+        )
+        assert r0["frame_sum"] == expect

@@ -70,6 +70,7 @@ PANDAS_OK = {
     "media_audio_decode",
     "media_image_patches",
     "media_audio_frames",
+    "media_video_frame_sample",
 }
 
 # 1-row broadcast scalar joins, individually audited (PLANS.md header).
