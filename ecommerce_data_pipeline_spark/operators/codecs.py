@@ -67,17 +67,25 @@ def _pgm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
     return vals, i + 1  # exactly one whitespace byte separates header/raster
 
 
-def pgm_decode(data: bytes) -> np.ndarray:
-    """Decode a binary PGM (P5) into a 2-D uint8 array."""
-    if data[:2] != b"P5":
-        raise ValueError("not a P5 PGM")
-    (w, h, maxval), off = _pgm_tokens(data, 3, 2)
+def _pgm_frame_at(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one binary PGM (P5) frame starting at ``pos`` -> (frame,
+    offset after its raster). Single source of truth for the frame
+    grammar — pgm_decode and pgm_stream_decode both delegate here."""
+    if data[pos : pos + 2] != b"P5":
+        raise ValueError(f"not a P5 PGM at offset {pos}")
+    (w, h, maxval), off = _pgm_tokens(data, 3, pos + 2)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PGM maxval {maxval}")
     raster = data[off : off + w * h]
     if len(raster) != w * h:
         raise ValueError(f"PGM raster truncated: want {w * h}, got {len(raster)}")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w), off + w * h
+
+
+def pgm_decode(data: bytes) -> np.ndarray:
+    """Decode a binary PGM (P5) into a 2-D uint8 array."""
+    frame, _end = _pgm_frame_at(data, 0)
+    return frame
 
 
 # ---------------------------------------------------------------------------
@@ -227,16 +235,8 @@ def pgm_stream_decode(data: bytes) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
     pos = 0
     while pos < len(data):
-        if data[pos : pos + 2] != b"P5":
-            raise ValueError(f"frame {len(frames)}: not a P5 header at {pos}")
-        (w, h, maxval), off = _pgm_tokens(data, 3, pos + 2)
-        if maxval <= 0 or maxval > 255:
-            raise ValueError(f"frame {len(frames)}: bad maxval {maxval}")
-        raster = data[off : off + w * h]
-        if len(raster) != w * h:
-            raise ValueError(f"frame {len(frames)}: raster truncated")
-        frames.append(np.frombuffer(raster, dtype=np.uint8).reshape(h, w))
-        pos = off + w * h
+        frame, pos = _pgm_frame_at(data, pos)
+        frames.append(frame)
     if not frames:
         raise ValueError("empty PGM stream")
     return frames

@@ -679,9 +679,12 @@ def test_lsh_agrees_with_mllib_minhash(spark):
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=16, seed=7
     ).fit(vec)
+    # 0.5 + eps: approxSimilarityJoin keeps distance STRICTLY below the
+    # threshold, while our operators keep jaccard >= 0.5 (distance <= 0.5);
+    # the epsilon makes an exactly-0.5 pair land on the same side for both.
     mllib_pairs = {
         (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
-        for r in mh.approxSimilarityJoin(vec, vec, 0.5, distCol="d")
+        for r in mh.approxSimilarityJoin(vec, vec, 0.5 + 1e-6, distCol="d")
         .filter("datasetA.doc_id < datasetB.doc_id")
         .collect()
     }
