@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_decayed_value",
     "knn_label_accuracy",
     "media_video_frame_sample",
+    "schema_evolution_merge",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

@@ -853,3 +853,59 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "schema_evolution_merge",
+    # Delta mergeSchema parity on plain parquet: the update set carries a
+    # NEW quality_score column; the merge sync_all_columns path must
+    # null-backfill it for untouched rows and keep it for merged ones.
+    # quality = round((doc_id % 100)/100.0, 2) only on %3 docs.
+    oracle="""
+WITH cur AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 3 = 0 THEN round((doc_id % 100) / 100.0, 2) END AS q
+  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+)
+SELECT source,
+  count(*) AS n_docs,
+  count(q) AS n_with_quality,
+  round(coalesce(sum(q), 0), 2) AS quality_sum
+FROM cur GROUP BY source
+""",
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through MERGE (Delta mergeSchema parity,
+    lake.py:sync_all_columns): bootstrap without the column, MERGE an
+    update set that adds quality_score — pre-existing rows null-backfill,
+    merged rows keep their values — then summarize the evolved table per
+    source. The oracle derives the same summary from the mutation rule,
+    so a dropped column, a mis-backfill, or a lost update all break it."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        t = ParquetTable(f"{root}/docs")
+        t.merge(spark, docs.filter(F.col("doc_id") % 2 == 0), keys=["doc_id"])
+        updates = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "quality_score", F.round((F.col("doc_id") % 100) / 100.0, 2)
+        )
+        t.merge(spark, updates, keys=["doc_id"])
+        return (
+            t.read(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("quality_score").alias("n_with_quality"),
+                F.round(
+                    F.coalesce(F.sum("quality_score"), F.lit(0.0)), 2
+                ).alias("quality_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -39,6 +39,7 @@ SKIP_BUILD = {
     "notification_emails",
     "cdc_change_feed",
     "table_time_travel",
+    "schema_evolution_merge",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
