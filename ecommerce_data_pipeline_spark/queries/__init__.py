@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_label_accuracy",
     "media_video_frame_sample",
     "schema_evolution_merge",
+    "gdpr_delete_audit",
     # --- round-5 rows already certified in CORRECTNESS_r05.json ---
     "user_sessions",
     "session_overlap_pairs",

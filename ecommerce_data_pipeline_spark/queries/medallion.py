@@ -909,3 +909,65 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "gdpr_delete_audit",
+    # Keyed DELETE (right-to-be-forgotten) with its CDF pre-image feed:
+    # bootstrap all docs, delete doc_id % 7 == 0, summarize survivors AND
+    # the delete feed per source. Every deleted pre-image must carry
+    # _change_type='delete' and match the closed-form doomed set.
+    oracle="""
+SELECT source,
+  count(*) FILTER (WHERE doc_id % 7 <> 0) AS surviving_docs,
+  count(*) FILTER (WHERE doc_id % 7 = 0) AS deleted_docs,
+  CAST(coalesce(sum(doc_id) FILTER (WHERE doc_id % 7 = 0), 0) AS BIGINT)
+    AS deleted_id_sum
+FROM documents GROUP BY source
+""",
+)
+def q_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-by-key surface (Delta DELETE WHERE parity, the GDPR erasure
+    path) end-to-end: bootstrap, delete the doomed key set with change
+    capture, then join the surviving table's counts with the delete
+    feed's per-source pre-image counts — proving rows left the table AND
+    the CDF feed recorded exactly their pre-images."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="gdpr_del_")
+    try:
+        t = ParquetTable(f"{root}/docs")
+        t.merge(spark, docs, keys=["doc_id"])
+        doomed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        _removed, feed = t.delete_keys(
+            spark, doomed, keys=["doc_id"], capture_changes=True
+        )
+        survivors = (
+            t.read(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("surviving_docs"))
+        )
+        deleted = (
+            feed.filter(F.col("_change_type") == "delete")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("deleted_docs"),
+                F.sum("doc_id").alias("deleted_id_sum"),
+            )
+        )
+        return (
+            survivors.join(deleted, "source", "full")
+            .select(
+                "source",
+                F.coalesce("surviving_docs", F.lit(0)).alias("surviving_docs"),
+                F.coalesce("deleted_docs", F.lit(0)).alias("deleted_docs"),
+                F.coalesce("deleted_id_sum", F.lit(0)).alias("deleted_id_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

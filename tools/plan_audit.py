@@ -40,6 +40,7 @@ SKIP_BUILD = {
     "cdc_change_feed",
     "table_time_travel",
     "schema_evolution_merge",
+    "gdpr_delete_audit",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
