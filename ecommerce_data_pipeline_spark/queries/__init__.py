@@ -37,135 +37,139 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 )
 
 # ---------------------------------------------------------------------------
-# Driver-priority ordering.
+# Driver-priority ordering. POLICY (round 7+): oldest-certified-first.
 #
 # The correctness driver checks the FIRST ~50 registered queries per round
-# and the signal is cumulative across rounds. Round 6 rotates to the front
-# the seven queries the round-5 verdict flagged as lacking a post-change
-# driver row: five whose plans changed late in round 5 (shared shingle
-# profile / driver-side k-means fit) and two that were never inside a
-# driver window. New round-6 queries go right behind them; everything not
-# named keeps its registration order behind these.
+# and the signal is cumulative across rounds, so certifications age. Each
+# round we front-load, in order: (1) queries whose plan/runtime changed since
+# their last driver row (flagship first), (2) brand-new queries with no row
+# yet, (3) the cohort whose last green row is OLDEST (compute with
+# `python tools/cert_age.py`), oldest round first. Everything else keeps
+# registration order behind these; queries certified in the immediately
+# previous round go last.
+#
+# Round 7: streaming_fct_sales_minute's drain was restructured in round 6
+# after its only driver row (r02), and fct_sales_minute now runs under the
+# round-6 UTC/nanos runtime pin — both re-certify first. Then the round-7
+# additions, then the 29-query r02 cohort, then the r04 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # plans changed late in round 5 — re-certify under the new plans
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "simhash_pairs",
-    "ivf_topk",
-    # never inside a driver window before round 6
-    "part_triangles",
-    "token_budget_mixture",
-    # --- round-6 additions (never had a driver row) ---
-    "media_image_decode",
-    "media_audio_decode",
-    "bigram_logprob_score",
-    "matryoshka_audit",
-    "dedup_rate_by_source",
-    "media_image_patches",
-    "media_audio_frames",
-    "cdc_change_feed",
-    "table_time_travel",
-    "dsir_importance_weights",
-    "pmi_top_pairs",
-    "user_decayed_value",
-    "knn_label_accuracy",
-    "media_video_frame_sample",
-    "schema_evolution_merge",
-    "gdpr_delete_audit",
-    # --- round-5 rows already certified in CORRECTNESS_r05.json ---
-    "user_sessions",
-    "session_overlap_pairs",
-    "asof_view_before_purchase",
-    "ann_recall_report",
-    "ccnet_quality_buckets",
-    "bpe_pair_stats",
-    "streaming_session_windows",
-    "small_lot_revenue",
-    "scd2_point_in_time",
-    "variant_props_rollup",
-    "forecast_revenue_change",
-    "branded_shipment_revenue",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "nation_market_share",
-    "top_supplier_quarter",
-    "large_volume_orders",
-    "sequence_packing",
-    "document_chunks",
-    "dedup_incremental_assign",
-    "embedding_int8_audit",
-    "source_capped_sample",
-    "leakage_safe_split",
-    "semantic_dedup_keep",
-    "hybrid_rrf_search",
-    "streaming_replay_dedup",
-    "event_funnel",
-    "retention_cohorts",
-    "minute_anomalies",
-    "order_count_distribution",
-    "part_pagerank",
+    # (1) plan/runtime changed after last driver row — flagship first
+    "streaming_fct_sales_minute",  # last row r02; drain restructured in r6
+    "fct_sales_minute",  # last row r04; UTC/nanos runtime pin added in r6
+    "ngram_jaccard_pairs",  # r7: 64x4 banding hardening (ADVICE)
+    "user_decayed_value",  # r7: order-independent integer term sum (ADVICE)
+    "dedup_rate_by_source",  # r7: NULL-text coalesce on both sides (ADVICE)
+    # (2) round-7 additions (never had a driver row)
+    "asof_tolerance_attribution",
+    "image_phash_dedup",
+    "video_frame_topk",
+    "bpe_merge_vocab",
+    "knn_label_accuracy_ivf",
+    "text_minhash_topk_join",
+    "robust_scaled_anomaly",
+    # (3) oldest cohort: last green driver row = round 2
+    "cart_totals",
+    "catalog_search_page",
+    "cosine_topk",
+    "decode_media_features",
+    "embedding_near_dup_pairs",
+    "events_json_props",
+    "events_minute_users",
+    "events_value_quantiles",
+    "exact_dedup",
+    "fingerprint",
+    "frame_sample_plan",
+    "freshness_by_type",
+    "language_id",
+    "language_id_confusion",
+    "lineitem_pricing_summary",
+    "ngram_contamination",
+    "notification_emails",
+    "order_status_current",
+    "orders_kafka_encoded",
+    "quality_score",
+    "redact_pii",
+    "repetition_stats",
+    "revenue_by_nation",
+    "shard_assign",
+    "sql_recent_purchase_minutes",
+    "stratified_sample",
+    "token_stats",
+    "user_current_state",
+    # (4) next-oldest cohort: last green driver row = round 4
+    "silver_orders_clean",
+    "silver_payments_clean",
+    "order_payments_enriched",
+    "events_minute_fact",
+    "events_incremental_2h",
+    "events_last_hour",
+    "paid_orders_recent",
+    "recent_sales_top10",
+    "above_avg_orders",
+    "approx_distinct_users",
+    "approx_users_sketch_rollup",
+    "bm25_search",
+    "clean_purchase_days",
+    "corpus_stats_by_source",
+    "customer_spend_quartiles",
+    "customers_without_orders",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "doc_length_histogram",
+    "duplicate_ngram_spans",
+    "events_hourly_window",
+    "events_resampled_locf",
+    "events_value_quantiles_approx",
+    "inventory_counters",
+    "kmeans_ivf_topk",
+    "language_temperature_sample",
+    "local_supplier_revenue",
+    "media_embedding_topk",
+    "orders_status_pivot",
+    "parts_with_shipments",
+    "payment_reconciliation",
+    "purchase_and_error_users",
+    "quality_report",
+    "revenue_rollup",
+    "sales_cube",
+    "salted_user_enrich",
+    "session_window_fact",
+    "shipment_status_current",
+    "shipping_priority_top10",
+    "sliding_window_gmv",
+    "tfidf_top_terms",
+    "top_customers_per_nation",
+    "top_tokens",
+    "training_corpus_filter",
+    "unigram_logprob_score",
+    "user_value_moving_avg",
+    # (5) round-5 cohort
+    "contrastive_pairs",
     "conversion_lag",
     "copurchase_lift",
-    "user_trailing_hour_value",
     "curated_training_set",
-    "user_state_history",
-    "events_quarantine",
-    "token_freq_cms",
-    "stream_stream_attribution_join",
-    "order_items_revenue",
-    "pq_recall_report",
-    "contrastive_pairs",
     "customer_rfm_segments",
-    "winsorized_event_stats",
-    "media_resize_plan",
-    "nation_trade_flows",
     "event_path_trigrams",
     "event_transition_gaps",
-    "supplier_diversity",
+    "events_quarantine",
+    "media_resize_plan",
+    "minute_anomalies",
+    "nation_trade_flows",
+    "order_count_distribution",
+    "order_items_revenue",
+    "part_pagerank",
+    "pq_recall_report",
+    "retention_cohorts",
     "source_quality_drift",
-    # round-2 additions that never got a driver CORRECTNESS row
-    "dedup_clusters",
-    "revenue_rollup",
-    "orders_status_pivot",
-    "top_customers_per_nation",
-    "events_resampled_locf",
-    "customers_without_orders",
-    "parts_with_shipments",
-    "purchase_and_error_users",
-    "clean_purchase_days",
-    "user_value_moving_avg",
-    "session_window_fact",
-    "tfidf_top_terms",
-    "bm25_search",
-    "top_tokens",
-    "customer_spend_quartiles",
-    "events_hourly_window",
-    "approx_users_sketch_rollup",
-    "shipping_priority_top10",
-    "media_embedding_topk",
-    "shipment_status_current",
-    "quality_report",
-    "sales_cube",
-    "above_avg_orders",
-    "payment_reconciliation",
-    "inventory_counters",
-    # reformulated from rows-only to deterministic oracle contracts
-    "events_value_quantiles_approx",
-    "approx_distinct_users",
-    "kmeans_ivf_topk",
-    # round-3 additions
-    "language_temperature_sample",
-    "duplicate_ngram_spans",
-    "doc_length_histogram",
-    "dedup_canonical_docs",
-    "sliding_window_gmv",
-    "salted_user_enrich",
-    "local_supplier_revenue",
-    "unigram_logprob_score",
-    "corpus_stats_by_source",
-    "training_corpus_filter",
+    "stream_stream_attribution_join",
+    "supplier_diversity",
+    "token_freq_cms",
+    "user_state_history",
+    "user_trailing_hour_value",
+    "winsorized_event_stats",
+    # (6) round-6 cohort (freshest — driver-checked last round) follows in
+    # registration order automatically.
 ]
 
 

@@ -733,8 +733,11 @@ def q_event_transition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_decayed_value",
     # Exponential time-decay LTV: weight = exp(-(now - ts)/tau), tau = 7
     # days, "now" = the corpus max event second (deterministic anchor).
-    # Epoch math in whole seconds on both engines; one rounded division
-    # at the end absorbs exp() ulp drift.
+    # Epoch math in whole seconds on both engines. Each decayed term is
+    # rounded to integer 1e-4 units PER ROW and summed as BIGINT, so the
+    # group sum is exact and independent of partition/summation order on
+    # both engines; the only residual cross-engine risk is a per-row exp()
+    # ulp landing exactly on a .5 rounding boundary (~1e-14 relative).
     oracle="""
 WITH p AS (
   SELECT user_id, value, date_diff('second', TIMESTAMP '1970-01-01', ts) AS es
@@ -743,7 +746,8 @@ WITH p AS (
 now_s AS (SELECT max(es) AS now_es FROM p)
 SELECT user_id,
   count(*) AS n_purchases,
-  round(sum(value * exp(-(now_es - es) / 604800.0)), 4) AS decayed_value
+  CAST(sum(CAST(round(value * exp(-(now_es - es) / 604800.0) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS decayed_value
 FROM p CROSS JOIN now_s
 GROUP BY user_id
 """,
@@ -752,7 +756,9 @@ def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential time-decayed lifetime value per user (recency-weighted
     LTV, the retention-marketing twin of plain RFM): purchase values decay
     with a 7-day time constant against the corpus max event time. One
-    filter + one 1-row broadcast anchor + one groupBy."""
+    filter + one 1-row broadcast anchor + one groupBy. Terms are rounded
+    to integer 1e-4 units per row and summed as longs, making the group
+    sum exact and summation-order-independent (see oracle comment)."""
     from ecommerce_data_pipeline_spark.functions import epoch_micros
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -761,17 +767,18 @@ def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = F.floor(epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
     p = ev.select("user_id", "value", es.alias("es"))
     now_s = p.agg(F.max("es").alias("now_es"))
+    term = F.round(
+        F.col("value")
+        * F.exp(-(F.col("now_es") - F.col("es")) / F.lit(604800.0))
+        * F.lit(10000.0)
+    ).cast("long")
     return (
         p.crossJoin(F.broadcast(now_s))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(
-                F.sum(
-                    F.col("value")
-                    * F.exp(-(F.col("now_es") - F.col("es")) / F.lit(604800.0))
-                ),
-                4,
-            ).alias("decayed_value"),
+            (F.sum(term).cast("double") / F.lit(10000.0)).alias(
+                "decayed_value"
+            ),
         )
     )

@@ -87,13 +87,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     # Oracle = exact all-pairs char-10-gram Jaccard at 0.6. The registry
     # query generates candidates with LSH banding (the 100 TB plan) and
-    # exact-verifies them; on this corpus's bimodal similarity distribution
-    # LSH recall is ~1-1e-14 at j>=0.9, so the composition equals the exact
-    # answer (tests/test_operators.py asserts prefix == lsh on the fixture).
-    # FIXTURE-DEPENDENT EQUALITY: a regenerated corpus containing pairs in
-    # the LSH S-curve's soft band (~0.6-0.8 Jaccard, band-miss up to ~1%)
-    # could make LSH drop a row the exact oracle has — if the driver
-    # testdata ever changes, re-run test_lsh_recall_on_corpus first.
+    # exact-verifies them; precision is therefore exact and only recall is
+    # probabilistic. The registered entry runs a HARDENED 64x4-band scheme
+    # (256 minhashes): miss probability for a pair exactly at j=0.6 is
+    # (1-0.6^4)^64 ~= 1.4e-4 (vs ~1.2e-2 at the 32x4 default), and ~3e-8
+    # by j=0.7 — so oracle equality no longer leans on the fixture's
+    # bimodal similarity gap the way the 32-band default did. Rows-per-band
+    # stays 4, so background-candidate rates (and bucket sizes at 100 TB)
+    # are unchanged; shuffle width is 2x band rows, still fixed-width.
+    # If the driver testdata ever changes, re-run test_lsh_recall_on_corpus.
     oracle=(
         f"WITH {_jaccard_pairs_sql(k=10, threshold=0.6)} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM jac"
@@ -102,9 +104,14 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-10-gram Jaccard near-dup pairs at 0.6: LSH candidates, exact
     verify — the scale-safe composition, not the quadratic all-pairs form
-    (that form survives as candidates="prefix", used as the test oracle)."""
+    (that form survives as candidates="prefix", used as the test oracle).
+    64x4 banding hardens the oracle-equality soft band; see register()."""
     return dd.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.6, k=10
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        k=10,
+        n_hashes=256,
+        n_bands=64,
     )
 
 
@@ -501,9 +508,13 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_rate_by_source",
     # Composition metric: exact_dedup's content-hash groups rolled up per
     # source — the per-crawl duplication dashboard of a curation pipeline.
+    # NULL text is coalesced to '' on BOTH sides: Spark's window keeps a
+    # null-hash group while a raw md5(text) join key would drop those rows
+    # from the oracle — parity must not depend on the fixture containing
+    # no null text.
     oracle="""
 WITH g AS (
-  SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+  SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS keeper, count(*) AS n
   FROM documents GROUP BY 1
 )
 SELECT d.source,
@@ -513,7 +524,7 @@ SELECT d.source,
     AS n_dropped,
   round(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END) * 1.0
         / count(*), 4) AS drop_rate
-FROM documents d JOIN g ON md5(d.text) = g.h
+FROM documents d JOIN g ON md5(coalesce(d.text, '')) = g.h
 GROUP BY d.source
 """,
 )
@@ -527,7 +538,11 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("content_hash")
     return (
-        docs.select("doc_id", "source", F.md5("text").alias("content_hash"))
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.coalesce("text", F.lit(""))).alias("content_hash"),
+        )
         .withColumn("keeper", F.min("doc_id").over(w))
         .groupBy("source")
         .agg(

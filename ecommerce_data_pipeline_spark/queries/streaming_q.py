@@ -79,9 +79,11 @@ GROUP BY 1
 def q_streaming_fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST4 end-to-end: stage the event streams as files, ingest them as
     checkpointed micro-batches (availableNow; maxFilesPerTrigger=2 over 4
-    files → 2 batches/stream), run silver as foreachBatch MERGE, then
-    enrich+gold — and return the gold fact. Equality with the batch oracle
-    proves trigger-shape independence."""
+    files → 2 bronze batches/stream; silver drains in 1 batch — multi-batch
+    silver MERGE semantics live in tests/test_streaming.py's dedicated
+    silver_batches=2 run, not the bench path), run silver as foreachBatch
+    MERGE, then enrich+gold — and return the gold fact. Equality with the
+    batch oracle proves trigger-shape independence."""
     import tempfile
     import time
 

@@ -116,7 +116,8 @@ def run_streaming_pipeline(
     orders_schema: StructType,
     payments_schema: StructType,
     checkpoint_root: str,
-    files_per_trigger: int = 2,
+    bronze_files_per_trigger: int = 2,
+    silver_batches: int = 1,
     phases: dict | None = None,
 ) -> None:
     """End-to-end streaming medallion with availableNow semantics.
@@ -126,6 +127,16 @@ def run_streaming_pipeline(
     the silver tables (ST4: periodic batch as streaming; the MERGE keys make
     replays idempotent, ST3). Enrich + gold run once after the streams
     drain, exactly like the reference's dataset-triggered dbt run.
+
+    ``bronze_files_per_trigger`` sizes only the BRONZE micro-batches; the
+    silver streams size their own triggers internally (``_silver_fpt``) so
+    each drains in exactly ``silver_batches`` micro-batches regardless of
+    how many files bronze produced. Default 1: availableNow trigger
+    machinery is per-batch and dominated the bench query's wall time, and
+    MERGE idempotence across batches is covered by the dedicated
+    ``silver_batches=2`` test (tests/test_streaming.py), not the bench
+    path. At production scale the trigger is processingTime and this knob
+    is irrelevant.
 
     ``phases`` (optional dict) receives the wall-clock split — bronze /
     silver stream drains, enrich, gold — so benchmark numbers can separate
@@ -146,7 +157,7 @@ def run_streaming_pipeline(
         orders_schema,
         lake.bronze_orders.path,
         os.path.join(checkpoint_root, "bronze_orders"),
-        files_per_trigger=files_per_trigger,
+        files_per_trigger=bronze_files_per_trigger,
     )
     q2 = stream_bronze(
         spark,
@@ -154,7 +165,7 @@ def run_streaming_pipeline(
         payments_schema,
         lake.bronze_payments.path,
         os.path.join(checkpoint_root, "bronze_payments"),
-        files_per_trigger=files_per_trigger,
+        files_per_trigger=bronze_files_per_trigger,
     )
     q1.awaitTermination()
     q2.awaitTermination()
@@ -184,25 +195,25 @@ def run_streaming_pipeline(
     bronze_orders_schema = spark.read.parquet(lake.bronze_orders.path).schema
     bronze_payments_schema = spark.read.parquet(lake.bronze_payments.path).schema
 
-    def _two_batches(path: str) -> int:
-        # Drain each silver stream in exactly TWO micro-batches — bootstrap
-        # overwrite, then the incremental MERGE path — independent of how
-        # many physical files bronze's own micro-batches produced (Spark
-        # may split/recombine them by maxPartitionBytes). Both MERGE code
-        # paths get exercised without paying per-trigger machinery for
-        # every bronze file; at production scale the trigger is
-        # processingTime and this sizing knob is irrelevant.
+    def _silver_fpt(path: str) -> int:
+        # maxFilesPerTrigger that drains the stream in exactly
+        # ``silver_batches`` micro-batches, independent of how many
+        # physical files bronze's own micro-batches produced (Spark may
+        # split/recombine them by maxPartitionBytes). silver_batches=2
+        # exercises both MERGE code paths (bootstrap overwrite, then the
+        # incremental MERGE) — the dedicated test runs that; the default 1
+        # pays trigger machinery once.
         n = len(
             [f for f in os.listdir(path) if f.endswith(".parquet")]
         )
-        return max(1, -(-n // 2))  # ceil(n/2)
+        return max(1, -(-n // max(1, silver_batches)))  # ceil(n/batches)
 
     s1 = (
         _read_stream(
             spark,
             lake.bronze_orders.path,
             bronze_orders_schema,
-            _two_batches(lake.bronze_orders.path),
+            _silver_fpt(lake.bronze_orders.path),
         )
         .writeStream.foreachBatch(_silver_orders_batch)
         .option("checkpointLocation", os.path.join(checkpoint_root, "silver_orders"))
@@ -214,7 +225,7 @@ def run_streaming_pipeline(
             spark,
             lake.bronze_payments.path,
             bronze_payments_schema,
-            _two_batches(lake.bronze_payments.path),
+            _silver_fpt(lake.bronze_payments.path),
         )
         .writeStream.foreachBatch(_silver_payments_batch)
         .option("checkpointLocation", os.path.join(checkpoint_root, "silver_payments"))

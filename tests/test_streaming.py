@@ -40,6 +40,11 @@ def streamed_lake(spark, tmp_path_factory):
         o_schema,
         p_schema,
         checkpoint_root=str(root / "ckpt"),
+        # 2 silver micro-batches: this fixture is the DEDICATED coverage for
+        # multi-batch silver semantics (bootstrap overwrite then incremental
+        # MERGE, dedup split across batches); the bench path drains silver
+        # in 1 batch for speed and leans on this test for the 2-batch case.
+        silver_batches=2,
     )
     return lake
 
