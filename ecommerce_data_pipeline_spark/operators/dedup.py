@@ -493,24 +493,30 @@ def simhash(docs: DataFrame, k: int = 12, bits: int = 64, text_col: str = "text"
     return profile.select("doc_id", sim_udf("shingles").alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, k: int = 12, text_col: str = "text", id_col: str = "doc_id"
+def banded_hamming_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """(id_a < id_b) pairs whose 64-bit signatures are within
+    ``max_hamming`` — shared candidate machinery for every Hamming-space
+    dedup tier (text SimHash, image perceptual hashes).
 
-    Candidate generation by 4-way band blocking (pigeonhole: two hashes
-    within Hamming 3 of each other agree on ≥1 of 4 16-bit bands), then
-    exact popcount verification — the classic scalable SimHash plan.
-    Output: (doc_id_a, doc_id_b, hamming).
+    Candidate generation by 4-way band blocking: two hashes within Hamming
+    <= 3 of each other must agree on >= 1 of the 4 16-bit bands
+    (pigeonhole — lossless for max_hamming <= 3; larger thresholds trade
+    recall per the band S-curve), then exact popcount verification. The
+    shuffle is keyed on (band, bucket) fixed-width ints — never all-pairs.
+    Output: (doc_id_a, doc_id_b, hamming int).
     """
-    sig = simhash(docs, k=k, text_col=text_col, id_col=id_col)
     banded = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("__sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col(hash_col), b * 16).bitwiseAND(F.lit(0xFFFF))
                     for b in range(4)
                 ]
             )
@@ -528,8 +534,8 @@ def simhash_pairs(
         .select(
             F.col("x.doc_id").alias("doc_id_a"),
             F.col("y.doc_id").alias("doc_id_b"),
-            F.col("x.simhash").alias("h_a"),
-            F.col("y.simhash").alias("h_b"),
+            F.col("x.__sig").alias("h_a"),
+            F.col("y.__sig").alias("h_b"),
         )
         .distinct()
     )
@@ -537,6 +543,23 @@ def simhash_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, k: int = 12, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by 4-way band blocking (pigeonhole: two hashes
+    within Hamming 3 of each other agree on ≥1 of 4 16-bit bands), then
+    exact popcount verification — the classic scalable SimHash plan
+    (shared scaffold: banded_hamming_pairs).
+    Output: (doc_id_a, doc_id_b, hamming).
+    """
+    sig = simhash(docs, k=k, text_col=text_col, id_col=id_col)
+    return banded_hamming_pairs(
+        sig, "simhash", max_hamming=max_hamming, id_col=id_col
     )
 
 

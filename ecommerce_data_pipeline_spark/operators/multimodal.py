@@ -301,6 +301,48 @@ def image_patchify(media: DataFrame, patch: int = 4) -> DataFrame:
     )
 
 
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded pixels: decode the
+    payload (PGM/BMP magic dispatch), nearest-neighbor downsample to
+    ``grid`` x ``grid``, and set bit i*grid+j iff that cell is brighter
+    than the grid average. The mean comparison is integer-exact
+    (``grid²·pixel > Σpixels`` — no float mean), and only bits 0..62 are
+    used so the hash stays a non-negative signed int64 (same 63-bit
+    discipline as SimHash). Identical content at different encodings
+    (PGM vs BMP) or resolutions hashes identically — that's the point of
+    a perceptual hash, and what makes it a dedup key.
+
+    Blobs are dropped before the result leaves the kernel: the output is
+    one (doc_id, ahash) row per image, so nothing heavier than 16 bytes
+    per doc ever shuffles. Output: (doc_id, ahash long).
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    n_cells = grid * grid
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                img = codecs.pgm_decode(b) if b[:2] == b"P5" else codecs.bmp_decode(b)
+                g = codecs.nearest_resize(img, grid).astype(np.int64)
+                s = int(g.sum())
+                bits = (g.ravel() * n_cells > s).astype(np.int64)
+                h = 0
+                for idx in range(min(63, n_cells)):
+                    if bits[idx]:
+                        h |= 1 << idx
+                rows.append((int(doc_id), h))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _hash, "doc_id long, ahash long"
+    )
+
+
 def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
     """Frame-level energy over REAL decoded WAV audio: split the PCM16
     stream into non-overlapping ``frame``-sample windows (160 @ 16 kHz =
@@ -407,6 +449,39 @@ def video_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         _sample, "doc_id long, n_frames int, frame_idx int, frame_sum long"
+    )
+
+
+def video_frame_vectors(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sampled video frames as dense vectors: parse the multi-frame
+    container (codecs.pgm_stream_decode), keep frames 0, n, 2n, ..., and
+    emit each kept frame's raw pixel raster (row-major) as a float vector
+    — the hand-off shape from frame sampling into a retrieval index, where
+    a learned vision encoder would replace the identity featurizer. One
+    container parse per payload; blobs are dropped inside the kernel so
+    only (doc_id, frame_idx, 64-float vector) rows ever shuffle.
+
+    Output: (doc_id, frame_idx, embedding array<double>).
+    """
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _vecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = codecs.pgm_stream_decode(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            [float(x) for x in frames[f].ravel()],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "embedding"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _vecs, "doc_id long, frame_idx int, embedding array<double>"
     )
 
 

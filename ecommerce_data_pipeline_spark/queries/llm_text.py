@@ -603,6 +603,60 @@ def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_phash_dedup",
+    # Perceptual image dedup: aHash over the REAL decoded pixels (PGM/BMP
+    # parsers), then the shared 4x16-bit banded-Hamming blocking
+    # (operators/dedup.banded_hamming_pairs — same scaffold as SimHash).
+    # max_hamming=2 <= 3 keeps the banding pigeonhole-LOSSLESS, so the
+    # quadratic oracle equals the bucketed plan exactly — no S-curve soft
+    # band. Oracle recomputes the hash in closed form from the generative
+    # pixel formula (pixel=(d*31+i*7+j*13)%256, side=8+d%9; nearest 8x8
+    # grid samples (i*side)//8): any parser, raster-orientation, sampling
+    # or bit-packing bug shifts hashes and breaks the pair set. The
+    # fixture's images are all brightness-shifted/rescaled variants of one
+    # gradient family, so the pair set is dense — an honest property of
+    # the corpus, not of the operator; buckets stay bounded because the
+    # shuffle is keyed on (band, bucket), never all-pairs.
+    oracle="""
+WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS side FROM documents),
+px AS (
+  SELECT doc_id,
+    [ (doc_id*31 + (((i // 8) * side) // 8) * 7
+       + (((i % 8) * side) // 8) * 13) % 256
+      for i in generate_series(0, 63) ] AS p
+  FROM g
+),
+h AS (
+  SELECT doc_id,
+    CAST(list_sum([ CASE WHEN p[i+1] * 64 > list_sum(p)
+                    THEN (1::BIGINT << i) ELSE 0 END
+      for i in generate_series(0, 62) ]) AS BIGINT) AS ahash
+  FROM px
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+""",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: real PGM/BMP decode →
+    integer-exact 8x8 average-hash (operators/multimodal.image_ahash) →
+    banded Hamming blocking at distance <= 2 (lossless by pigeonhole).
+    Connects the codec tier to the dedup tier: the hash is computed from
+    decoded pixels, not payload bytes, so re-encoded copies dedup."""
+    from ecommerce_data_pipeline_spark.operators import dedup as _dd
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        synth_image_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = image_ahash(synth_image_corpus(docs))
+    return _dd.banded_hamming_pairs(sig, "ahash", max_hamming=2)
+
+
+@register(
     "media_audio_decode",
     # REAL RIFF/WAV round trip: s[t] = (doc_id*13 + t*7919) % 65536 - 32768,
     # n = 400 + (doc_id % 64)*8 samples @16kHz. Integer-exact features so

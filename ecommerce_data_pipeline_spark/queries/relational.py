@@ -92,6 +92,53 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_tolerance_attribution",
+    # Tolerance-bounded as-of: the attribution-window variant (credit a
+    # view only if it happened within 24 hours before the purchase) —
+    # the batch twin of the reference's TTL-bounded enrichment cache
+    # (services/notifications/app/kafka/consumer.py:13-16, a 24h-TTL
+    # order_id→email lookup = as-of join with the SAME 24h tolerance).
+    # Oracle: DuckDB
+    # native ASOF JOIN, then the identical tolerance predicate — both
+    # engines first pick the single greatest view_ts <= purchase ts, then
+    # drop matches older than the window (NOT re-match to an older view).
+    oracle="""
+WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type='purchase'),
+     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type='view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+  v.ts AS view_ts, v.event_id AS view_event_id,
+  date_diff('microsecond', v.ts, p.ts) AS gap_us
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+WHERE date_diff('microsecond', v.ts, p.ts) <= 86400000000
+""",
+)
+def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 24-hour tolerance (asof_join(
+    tolerance_seconds=86400), operators/asof.py): each purchase attributed
+    to the most recent prior view ONLY if that view is within the
+    attribution window. Same union-sort single-shuffle plan as the
+    unbounded as-of — the tolerance is a post-match filter, so cost is
+    identical and no non-equi join appears."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id"], prefix="view_",
+        tolerance_seconds=86400,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "view_ts", "view_event_id",
+        (epoch_micros("ts") - epoch_micros("view_ts")).alias("gap_us"),
+    )
+
+
 _SESSIONS_SQL = """
 flagged AS (
   SELECT user_id, ts,

@@ -417,6 +417,79 @@ def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_topk",
+    # Video → retrieval loop closed: REAL multi-frame containers
+    # (concatenated-PGM, every 10th doc), stream-parsed frame sampling
+    # (frames 0, 2, 4 of n_frames = 2 + doc_id % 4), each kept frame's
+    # 8x8 raster as a 64-dim vector, exact cosine top-3 against the
+    # embeddings corpus via the WindowGroupLimit rank shape. Query ids are
+    # mapped negative (-(doc_id*10+frame_idx+1)) so cosine_topk's
+    # self-match exclusion can never collide with corpus vec_ids. Oracle
+    # recomputes frame pixels in closed form (pixel[f,i,j] =
+    # (d*31+f*17+i*7+j*13) % 256) — container parse, frame sampling
+    # stride, raster order and ranking are all on the hook.
+    oracle="""
+WITH v AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+  FROM embeddings
+),
+f AS (
+  SELECT doc_id, fi.f AS frame_idx,
+    [ CAST((doc_id*31 + fi.f*17 + (p // 8)*7 + (p % 8)*13) % 256 AS DOUBLE)
+      for p in generate_series(0, 63) ] AS qv
+  FROM documents, (SELECT unnest(generate_series(0, 4)) AS f) fi
+  WHERE doc_id % 10 = 0 AND fi.f < 2 + doc_id % 4 AND fi.f % 2 = 0
+),
+scored AS (
+  SELECT doc_id, frame_idx, neighbor_id,
+    round(list_inner_product(qv, nv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 4)
+      AS cosine_sim
+  FROM f, v
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, frame_idx
+      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT doc_id, frame_idx, neighbor_id, cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_video_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled video frames as first-class retrieval citizens: real
+    container parse → every-2nd-frame sample → 64-dim frame vectors
+    (operators/multimodal.video_frame_vectors) → exact cosine top-3
+    against the embeddings corpus (WindowGroupLimit prereduce shape,
+    operators/similarity.cosine_topk). The broadcast side is the sampled
+    query frames (bounded: |docs|/10 x ~2 frames), never the corpus."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        synth_video_corpus,
+        video_frame_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    frames = video_frame_vectors(synth_video_corpus(docs))
+    queries_df = frames.select(
+        (-(F.col("doc_id") * 10 + F.col("frame_idx") + 1)).alias("vec_id"),
+        "embedding",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(emb, queries_df, k=3)
+    qabs = -F.col("query_id") - 1
+    return out.select(
+        F.floor(qabs / 10).cast("long").alias("doc_id"),
+        (qabs % 10).cast("int").alias("frame_idx"),
+        "neighbor_id",
+        "cosine_sim",
+        "rank",
+    )
+
+
+@register(
     "shipment_status_current",
     oracle=f"""
 WITH {PAY_SQL}
