@@ -299,6 +299,87 @@ def bpe_pair_counts(
     )
 
 
+def bpe_merge_vocab(
+    docs: DataFrame,
+    rounds: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the actual tokenizer-training kernel, not just the
+    round-0 statistic (bpe_pair_counts): ``rounds`` greedy merges, each
+    picking the corpus-wide most frequent adjacent symbol pair
+    (ties: count desc, then pair lexicographic) and re-segmenting the
+    vocabulary with leftmost-first non-overlapping replacement.
+
+    Scale shape: the corpus is compressed to its frequency-weighted
+    VOCABULARY once (one word groupBy; vocab is millions of rows where the
+    corpus is trillions of tokens), then each round is (a) one
+    map-side-combined groupBy over the vocab's adjacent pairs, (b) a
+    TakeOrdered(1) argmax — the only driver transfer, a single row —
+    and (c) a pure-projection re-segmentation. Per-round cost is
+    O(vocab x avg_word_len), independent of corpus size; an eager
+    localCheckpoint on the (tiny) vocab truncates the growing lineage so
+    round k never replans rounds 1..k-1.
+
+    Segmentations are delimited strings (",c1,,c2,," form — words are
+    [a-z]+ so ',' can never occur in a symbol) and a merge applies as one
+    literal ``replace(seg, ",a,,b,", ",ab,")``: both Spark and DuckDB
+    replace() scan left-to-right non-overlapping, which IS the BPE
+    replacement rule, so the oracle replays training exactly.
+
+    Output: (merge_round, sym_a, sym_b, merged, pair_count) — one row per
+    merge, in training order.
+    """
+    spark = docs.sparkSession
+    wf = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chars = F.filter(F.split("w", ""), lambda c: c != "")
+    vocab = wf.select(
+        F.concat(F.lit(","), F.array_join(chars, ",,"), F.lit(",")).alias("seg"),
+        "n",
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        s = F.expr("split(substring(seg, 2, length(seg) - 2), ',,')")
+        best = (
+            vocab.select(s.alias("s"), "n")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("s", 1, F.size("s") - 1).alias("a"),
+                        F.slice("s", 2, F.size("s") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((r, a, b, a + b, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seg"), F.lit(f",{a},,{b},"), F.lit(f",{a}{b},")
+            ).alias("seg"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_round int, sym_a string, sym_b string, "
+        "merged string, pair_count bigint",
+    )
+
+
 def _adjacent_pairs(
     docs: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:

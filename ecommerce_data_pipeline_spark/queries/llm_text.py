@@ -421,11 +421,27 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality eval harness: 5-NN majority-vote label recovery
     for the held-out query split — the standard kNN probe that turns a
     retrieval stack into a measurable classifier. Reuses the exact
-    cosine_topk plan (WindowGroupLimit prereduce) + one vote window."""
+    cosine_topk plan (WindowGroupLimit prereduce) + one vote window.
+
+    100x SCALE POLICY (SCALE.md §10): this exact query-x-corpus scan is
+    the eval harness for a BOUNDED probe set — the query side must stay a
+    fixed-size sample (cap it: ``.orderBy(hash).limit(Q)`` or a modulus
+    chosen so |Q| stays ~1e3-1e4), never a constant fraction of the
+    corpus; with both sides growing the scan is quadratic. Past that, keep
+    the same vote/report shape but route candidate generation through the
+    IVF path — that variant is knn_label_accuracy_ivf below, identical
+    output at nprobe=all, ~nprobe/k of the scoring work in production."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
     nb = sim.cosine_topk(corpus, queries_df, k=5)
+    return _knn_vote(nb, corpus, queries_df)
+
+
+def _knn_vote(nb: DataFrame, corpus: DataFrame, queries_df: DataFrame) -> DataFrame:
+    """Shared 5-NN majority-vote scaffold: neighbors (any candidate
+    generator) -> label votes -> deterministic argmax (votes desc, then
+    smallest label) -> per-query correctness row."""
     votes = (
         nb.join(
             corpus.select(
@@ -447,6 +463,40 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nl").alias("predicted_label"),
         (F.col("true_label") == F.col("nl")).alias("correct"),
     )
+
+
+def _register_knn_ivf() -> None:
+    # Deferred so the IVF variant can share knn_label_accuracy's oracle
+    # text verbatim: at nprobe = all cells the IVF route scores exactly
+    # the same candidate set as brute force, so the exact-kNN oracle IS
+    # the correct contract. Production sets nprobe < n_cells for
+    # ~nprobe/n_cells of the scoring work at measured recall
+    # (ann_recall_report quantifies that trade on this corpus).
+    from ecommerce_data_pipeline_spark.queries._registry import ORACLES
+
+    @register("knn_label_accuracy_ivf", oracle=ORACLES["knn_label_accuracy"])
+    def q_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The 100x form of the kNN label probe (SCALE.md §10): candidate
+        generation routed through the IVF path — deterministic k-means
+        coarse quantizer (8 cells, 3 Lloyd iterations; driver holds only
+        the k centroids) + multi-probe cell-bucketed scoring — then the
+        same 5-NN majority vote. nprobe=8/8 here so the result equals
+        exact brute force and the oracle stays deterministic; drop nprobe
+        at scale."""
+        from ecommerce_data_pipeline_spark.operators.quantize import (
+            kmeans_fit,
+            multiprobe_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        corpus = emb.filter(F.col("vec_id") % 50 != 0)
+        centroids = kmeans_fit(corpus, k=8, iters=3)
+        nb = multiprobe_topk(corpus, queries_df, centroids, k=5, nprobe=8)
+        return _knn_vote(nb, corpus, queries_df)
+
+
+_register_knn_ivf()
 
 
 @register(
@@ -984,3 +1034,58 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the raw token stream (operators/text.py:bpe_pair_counts) — the
     shuffle is O(vocab), not O(corpus)."""
     return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_merge_oracle(rounds: int) -> str:
+    """Unrolled k-round BPE training in pure SQL: each round is a CTE
+    triple (pair counts over the current segmentation → 1-row argmax →
+    re-segmented vocab via literal replace). Data-dependent iteration
+    without recursion — the merge picked in round r feeds round r+1's
+    segmentation through the CTE chain."""
+    parts = [
+        "WITH w AS (SELECT unnest(" + _WORDS_SQL + ") AS w FROM documents),",
+        "wf AS (SELECT w, count(*) AS n FROM w GROUP BY 1),",
+        "v0 AS (SELECT ',' || array_to_string("
+        "[w[i:i] for i in range(1, length(w)+1)], ',,') || ',' AS seg, n"
+        " FROM wf)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b, n
+    FROM (SELECT string_split(seg[2:length(seg)-1], ',,') AS s, n
+          FROM v{r-1})
+  ) GROUP BY 1, 2
+),
+m{r} AS (SELECT {r} AS merge_round, a, b, a||b AS merged, cnt
+         FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r} AS (SELECT replace(seg, ','||a||',,'||b||',', ','||a||b||',') AS seg, n
+         FROM v{r-1} CROSS JOIN m{r})"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    parts.append(
+        f"""
+SELECT merge_round, a AS sym_a, b AS sym_b, merged, cnt AS pair_count
+FROM ({union})
+ORDER BY merge_round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bpe_merge_vocab",
+    # The full iterative BPE trainer at k=10 merges: the oracle unrolls
+    # the same greedy loop as 10 chained CTE stages (argmax → literal
+    # replace re-segmentation), so the ENTIRE training trajectory —
+    # tie-breaks, leftmost-non-overlapping replacement, cross-round
+    # dependence — must match, not just round-0 counts.
+    oracle=_bpe_merge_oracle(10),
+)
+def q_bpe_merge_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training, 10 rounds (operators/text.py:
+    bpe_merge_vocab): per round one vocab-sized pair groupBy + a 1-row
+    TakeOrdered argmax + a projection re-segmentation; the driver only
+    ever holds the k merge rules."""
+    return tx.bpe_merge_vocab(load_table(spark, sf_dir, "documents"), rounds=10)
