@@ -73,6 +73,9 @@ PANDAS_OK = {
     "media_image_patches",
     "media_audio_frames",
     "media_video_frame_sample",
+    # r7: aHash decode kernel / video frame-vector kernel
+    "image_phash_dedup",
+    "video_frame_topk",
 }
 
 # 1-row broadcast scalar joins, individually audited (PLANS.md header).
@@ -101,6 +104,9 @@ CARTESIAN_OK = {
     "ivf_topk",
     "media_embedding_topk",
     "knn_label_accuracy",
+    # bounded sampled-frame queries broadcast against the corpus (same
+    # exact-top-k class as cosine_topk/media_embedding_topk)
+    "video_frame_topk",
     "ccnet_quality_buckets",
     "token_budget_mixture",
     "forecast_revenue_change",
