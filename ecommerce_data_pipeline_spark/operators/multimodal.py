@@ -343,6 +343,46 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def audio_fingerprint(media: DataFrame, n_frames: int = 64) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded WAV audio (the audio twin of
+    image_ahash): decode the RIFF/PCM16 payload, split the signal into
+    ``n_frames`` equal time frames, compute each frame's integer energy
+    (sum of squared samples — exact int64 arithmetic), and set bit i iff
+    energy rises from frame i to i+1. The energy-delta shape is what
+    audio-ID systems hash (loudness contour), it's robust to constant
+    gain-ish changes, and it's integer-exact so a SQL oracle can replay it
+    from the generative sample formula. Bits 0..62 only (signed-int64
+    discipline shared with SimHash / image_ahash).
+
+    Output: (doc_id, afp long) — feeds banded_hamming_pairs for dedup.
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = codecs.wav_decode(bytes(payload))
+                s = samples.astype(np.int64)
+                n = len(s)
+                h = 0
+                prev = None
+                for f in range(n_frames):
+                    lo, hi = f * n // n_frames, (f + 1) * n // n_frames
+                    e = int((s[lo:hi] ** 2).sum())
+                    if prev is not None and f - 1 < 63 and e > prev:
+                        h |= 1 << (f - 1)
+                    prev = e
+                rows.append((int(doc_id), h))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _fp, "doc_id long, afp long"
+    )
+
+
 def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
     """Frame-level energy over REAL decoded WAV audio: split the PCM16
     stream into non-overlapping ``frame``-sample windows (160 @ 16 kHz =

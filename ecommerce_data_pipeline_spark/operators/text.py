@@ -380,6 +380,52 @@ def bpe_merge_vocab(
     )
 
 
+def bpe_encode_tokens(
+    docs: DataFrame,
+    rounds: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a freshly trained BPE tokenizer to the corpus: train
+    ``rounds`` merges (bpe_merge_vocab — vocab-sized work), then encode
+    every word instance by replaying the merge rules in training order and
+    count the resulting tokens per document.
+
+    Scale shape: training cost is O(vocab) per round; application is a
+    PURE PROJECTION — the k merge rules come back to the executors as k
+    literal ``replace()`` expressions (a broadcast-join-free broadcast:
+    the rules are baked into the plan), so encoding the corpus is one
+    codegen'd map over the word stream plus one doc-keyed groupBy. This is
+    exactly how a production tokenizer-apply stage runs: train once,
+    ship the merge table, stream the corpus through it.
+
+    Output: (doc_id, n_words, bpe_tokens) — tokens after ``rounds`` merges.
+    """
+    merges = bpe_merge_vocab(
+        docs, rounds=rounds, text_col=text_col, id_col=id_col
+    ).collect()
+    chars = F.filter(F.split("w", ""), lambda c: c != "")
+    seg = F.concat(F.lit(","), F.array_join(chars, ",,"), F.lit(","))
+    toks = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    ).select(id_col, seg.alias("seg"))
+    col = F.col("seg")
+    for m in merges:
+        a, b = m["sym_a"], m["sym_b"]
+        col = F.replace(col, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+    n_sym = (
+        F.length(col) - F.length(F.replace(col, F.lit(",,"), F.lit(","))) + 1
+    )
+    return (
+        toks.select(id_col, n_sym.alias("n_sym"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+    )
+
+
 def _adjacent_pairs(
     docs: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:

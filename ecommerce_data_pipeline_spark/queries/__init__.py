@@ -65,9 +65,11 @@ _DRIVER_PRIORITY: list[str] = [
     "image_phash_dedup",
     "video_frame_topk",
     "bpe_merge_vocab",
+    "bpe_encode_tokens",
     "knn_label_accuracy_ivf",
     "text_minhash_topk_join",
-    "robust_scaled_anomaly",
+    "audio_fingerprint_dedup",
+    "value_drift_psi",
     # (3) oldest cohort: last green driver row = round 2
     "cart_totals",
     "catalog_search_page",

@@ -730,6 +730,106 @@ def q_event_transition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_drift_psi",
+    # Distribution-drift monitoring (Population Stability Index), the
+    # data-quality gate a training pipeline runs before accepting a new
+    # crawl/window: per event type, PSI between the chronologically first
+    # and second half of the stream over 10 fixed value buckets
+    # (width 25, capped). Laplace +1 smoothing keeps every bucket's
+    # probability nonzero, so the full 10-bucket grid (including
+    # zero-count buckets) enters the sum on both engines; all
+    # probabilities derive from integer counts, one rounded sum at the
+    # end. PSI >= 0.2 is the conventional "investigate" threshold.
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS es
+  FROM events
+),
+a AS (SELECT (min(es) + max(es)) // 2 AS mid FROM e),
+c AS (
+  SELECT event_type, least(9, CAST(floor(value / 25) AS INTEGER)) AS bucket,
+    sum(CASE WHEN es < mid THEN 1 ELSE 0 END) AS c_ref,
+    sum(CASE WHEN es >= mid THEN 1 ELSE 0 END) AS c_cur
+  FROM e CROSS JOIN a GROUP BY 1, 2
+),
+g AS (
+  SELECT t.event_type, b.bucket,
+         coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+  LEFT JOIN c ON c.event_type = t.event_type AND c.bucket = b.bucket
+),
+n AS (
+  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM g GROUP BY 1
+)
+SELECT g.event_type, n.n_ref, n.n_cur,
+  round(sum(((c_ref + 1.0) / (n_ref + 10) - (c_cur + 1.0) / (n_cur + 10))
+            * ln(((c_ref + 1.0) / (n_ref + 10))
+                 / ((c_cur + 1.0) / (n_cur + 10)))), 4) AS psi
+FROM g JOIN n ON n.event_type = g.event_type
+GROUP BY 1, 2, 3
+""",
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second chronological half
+    of the stream: one 1-row time-anchor broadcast, one (type, bucket)
+    groupBy with both halves' counts as conditional sums (no second scan),
+    the fixed 10-bucket grid joined in so zero-count buckets still
+    contribute their smoothed mass, one final per-type sum."""
+    from ecommerce_data_pipeline_spark.functions import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    es = epoch_micros(F.col("ts"))
+    e = ev.select("event_type", "value", es.alias("es"))
+    anchor = e.agg(
+        F.floor((F.min("es") + F.max("es")) / F.lit(2)).cast("long").alias("mid")
+    )
+    c = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "event_type",
+            F.least(F.lit(9), F.floor(F.col("value") / 25).cast("int")).alias(
+                "bucket"
+            ),
+        )
+        .agg(
+            F.sum(F.when(F.col("es") < F.col("mid"), 1).otherwise(0)).alias(
+                "c_ref"
+            ),
+            F.sum(F.when(F.col("es") >= F.col("mid"), 1).otherwise(0)).alias(
+                "c_cur"
+            ),
+        )
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+            )
+        )
+    )
+    g = (
+        grid.join(c, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["c_ref", "c_cur"])
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10)
+    return (
+        g.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"))
+    )
+
+
+@register(
     "user_decayed_value",
     # Exponential time-decay LTV: weight = exp(-(now - ts)/tau), tau = 7
     # days, "now" = the corpus max event second (deterministic anchor).

@@ -116,6 +116,64 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_minhash_topk_join",
+    # The "related documents" JOIN surface: per doc, its top-3 near-dup
+    # neighbors at Jaccard >= 0.6, ranked — the per-entity form of the
+    # pair list (what a dedup-review UI or canonical-doc chooser reads).
+    # Same hardened 64x4 LSH candidates ∘ exact verify as
+    # ngram_jaccard_pairs, then the pair set is mirrored (each pair feeds
+    # both endpoints' neighbor lists) and window-ranked per doc — the
+    # mirror is a projection+union, no second similarity pass.
+    oracle=(
+        f"WITH {_jaccard_pairs_sql(k=10, threshold=0.6)}, "
+        """
+m AS (
+  SELECT doc_id_a AS doc_id, doc_id_b AS neighbor_id, jaccard FROM jac
+  UNION ALL
+  SELECT doc_id_b AS doc_id, doc_id_a AS neighbor_id, jaccard FROM jac
+),
+r AS (
+  SELECT doc_id, neighbor_id, jaccard,
+    CAST(row_number() OVER (PARTITION BY doc_id
+         ORDER BY jaccard DESC, neighbor_id) AS INTEGER) AS rank
+  FROM m
+)
+SELECT doc_id, neighbor_id, jaccard, rank FROM r WHERE rank <= 3
+"""
+    ),
+)
+def q_text_minhash_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 near-dup neighbors (Jaccard >= 0.6): LSH-candidate ∘
+    exact-verify pairs mirrored to both endpoints, then one window rank
+    per doc. Cost = ngram_jaccard_pairs + a union + one small shuffle of
+    the (already tiny) verified pair set."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        k=10,
+        n_hashes=256,
+        n_bands=64,
+    )
+    m = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return m.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+
+
+@register(
     "minhash_lsh_pairs",
     # Oracle = exact Jaccard at the same threshold: the corpus similarity
     # distribution is bimodal (near-dups >=0.9, background <0.2), where
@@ -707,6 +765,58 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_fingerprint_dedup",
+    # Audio twin of image_phash_dedup: energy-contour fingerprint from the
+    # REAL WAV decode (64 frames, bit i = energy rises i→i+1), banded
+    # Hamming pairs at <= 3 (pigeonhole-lossless). Oracle replays the
+    # fingerprint in closed form from the generative sample formula
+    # s[t] = (d*13 + t*7919) % 65536 - 32768, n = 400 + (d%64)*8 — the
+    # RIFF parser, frame split and integer energy sums are all on the
+    # hook. Squares via x*x (DuckDB ** returns DOUBLE; sums must stay
+    # integer-exact).
+    oracle="""
+WITH g AS (SELECT doc_id, 400 + (doc_id % 64) * 8 AS n FROM documents),
+smp AS (
+  SELECT doc_id, n,
+    [ (doc_id*13 + t*7919) % 65536 - 32768 for t in range(0, n) ] AS s
+  FROM g
+),
+eng AS (
+  SELECT doc_id,
+    [ list_sum([ x*x for x in s[f*n//64 + 1 : (f+1)*n//64] ])
+      for f in range(0, 64) ] AS e
+  FROM smp
+),
+h AS (
+  SELECT doc_id,
+    CAST(list_sum([ CASE WHEN e[i+2] > e[i+1] THEN (1::BIGINT << i)
+                    ELSE 0 END for i in range(0, 63) ]) AS BIGINT) AS afp
+  FROM eng
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+""",
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs: real RIFF/PCM16 decode → integer-exact
+    64-frame energy-contour fingerprint (operators/multimodal.
+    audio_fingerprint) → shared banded Hamming blocking at distance <= 3.
+    Completes the perceptual-dedup tier across modalities (text SimHash,
+    image aHash, audio energy contour — one pair machinery)."""
+    from ecommerce_data_pipeline_spark.operators import dedup as _dd
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = audio_fingerprint(synth_audio_corpus(docs))
+    return _dd.banded_hamming_pairs(sig, "afp", max_hamming=3)
+
+
+@register(
     "media_audio_decode",
     # REAL RIFF/WAV round trip: s[t] = (doc_id*13 + t*7919) % 65536 - 32768,
     # n = 400 + (doc_id % 64)*8 samples @16kHz. Integer-exact features so
@@ -1036,12 +1146,12 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_merge_oracle(rounds: int) -> str:
-    """Unrolled k-round BPE training in pure SQL: each round is a CTE
-    triple (pair counts over the current segmentation → 1-row argmax →
-    re-segmented vocab via literal replace). Data-dependent iteration
-    without recursion — the merge picked in round r feeds round r+1's
-    segmentation through the CTE chain."""
+def _bpe_train_cte(rounds: int) -> str:
+    """Unrolled k-round BPE training as a CTE chain (shared by the trainer
+    and the encoder oracles): each round is a CTE triple (pair counts over
+    the current segmentation → 1-row argmax m{r} → re-segmented vocab v{r}
+    via literal replace). Data-dependent iteration without recursion — the
+    merge picked in round r feeds round r+1's segmentation."""
     parts = [
         "WITH w AS (SELECT unnest(" + _WORDS_SQL + ") AS w FROM documents),",
         "wf AS (SELECT w, count(*) AS n FROM w GROUP BY 1),",
@@ -1064,12 +1174,49 @@ m{r} AS (SELECT {r} AS merge_round, a, b, a||b AS merged, cnt
 v{r} AS (SELECT replace(seg, ','||a||',,'||b||',', ','||a||b||',') AS seg, n
          FROM v{r-1} CROSS JOIN m{r})"""
         )
+    return "".join(parts)
+
+
+def _bpe_merge_oracle(rounds: int) -> str:
     union = "\nUNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
-    parts.append(
-        f"""
+    return (
+        _bpe_train_cte(rounds)
+        + f"""
 SELECT merge_round, a AS sym_a, b AS sym_b, merged, cnt AS pair_count
 FROM ({union})
 ORDER BY merge_round"""
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Training CTEs + application: segment every word INSTANCE (keeping
+    doc_id), apply the k learned merges in order, count symbols as
+    ',,'-separator occurrences + 1, sum per doc."""
+    parts = [
+        _bpe_train_cte(rounds),
+        """,
+d0 AS (
+  SELECT doc_id,
+    ',' || array_to_string([w[i:i] for i in range(1, length(w)+1)], ',,')
+        || ',' AS seg
+  FROM (SELECT doc_id, unnest(""" + _WORDS_SQL + """) AS w FROM documents)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT doc_id,
+           replace(seg, ','||a||',,'||b||',', ','||a||b||',') AS seg
+         FROM d{r-1} CROSS JOIN m{r})"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(length(seg) - length(replace(seg, ',,', ',')) + 1) AS BIGINT)
+    AS bpe_tokens
+FROM d{rounds}
+GROUP BY doc_id"""
     )
     return "".join(parts)
 
@@ -1089,3 +1236,20 @@ def q_bpe_merge_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered argmax + a projection re-segmentation; the driver only
     ever holds the k merge rules."""
     return tx.bpe_merge_vocab(load_table(spark, sf_dir, "documents"), rounds=10)
+
+
+@register(
+    "bpe_encode_tokens",
+    # Train-then-apply: the encoder must replay the SAME 10-merge
+    # trajectory the trainer learns (the oracle re-derives it through the
+    # shared CTE chain), then per-doc token counts after the merges. A
+    # drifting tie-break, replacement rule or training round anywhere
+    # breaks every doc's count.
+    oracle=_bpe_encode_oracle(10),
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer applied to its own training corpus: 10 trained merges
+    come back as literal replace() expressions (rules baked into the plan
+    — no join), encoding is one codegen'd projection over the word stream
+    + a doc-keyed groupBy (operators/text.py:bpe_encode_tokens)."""
+    return tx.bpe_encode_tokens(load_table(spark, sf_dir, "documents"), rounds=10)

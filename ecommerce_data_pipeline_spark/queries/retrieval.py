@@ -419,7 +419,9 @@ def q_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "video_frame_topk",
     # Video → retrieval loop closed: REAL multi-frame containers
-    # (concatenated-PGM, every 10th doc), stream-parsed frame sampling
+    # (concatenated-PGM, every 40th doc — the probe set stays a bounded
+    # sample per the SCALE.md §10 policy, ~2 frames/video), stream-parsed
+    # frame sampling
     # (frames 0, 2, 4 of n_frames = 2 + doc_id % 4), each kept frame's
     # 8x8 raster as a 64-dim vector, exact cosine top-3 against the
     # embeddings corpus via the WindowGroupLimit rank shape. Query ids are
@@ -438,7 +440,7 @@ f AS (
     [ CAST((doc_id*31 + fi.f*17 + (p // 8)*7 + (p % 8)*13) % 256 AS DOUBLE)
       for p in generate_series(0, 63) ] AS qv
   FROM documents, (SELECT unnest(generate_series(0, 4)) AS f) fi
-  WHERE doc_id % 10 = 0 AND fi.f < 2 + doc_id % 4 AND fi.f % 2 = 0
+  WHERE doc_id % 40 = 0 AND fi.f < 2 + doc_id % 4 AND fi.f % 2 = 0
 ),
 scored AS (
   SELECT doc_id, frame_idx, neighbor_id,
@@ -463,14 +465,15 @@ def q_video_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.video_frame_vectors) → exact cosine top-3
     against the embeddings corpus (WindowGroupLimit prereduce shape,
     operators/similarity.cosine_topk). The broadcast side is the sampled
-    query frames (bounded: |docs|/10 x ~2 frames), never the corpus."""
+    query frames (a bounded probe set: |docs|/40 x ~2 frames — fixed-size
+    by policy, SCALE.md §10), never the corpus."""
     from ecommerce_data_pipeline_spark.operators.multimodal import (
         synth_video_corpus,
         video_frame_vectors,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 == 0
+        F.col("doc_id") % 40 == 0
     )
     frames = video_frame_vectors(synth_video_corpus(docs))
     queries_df = frames.select(

@@ -152,6 +152,52 @@ def test_bpe_merge_overlapping_runs(spark):
     assert (out[1]["sym_a"], out[1]["sym_b"], out[1]["merged"]) == ("aa", "aa", "aaaa")
 
 
+def test_audio_fingerprint_matches_reference(spark):
+    """Fingerprint from REAL WAV decode equals the numpy reference over
+    random PCM16 signals of varying length."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(5)
+    signals = {
+        i: rng.integers(-32768, 32768, 300 + 37 * i).astype(np.int16)
+        for i in range(5)
+    }
+    df = _media_df(
+        spark,
+        [(i, bytearray(codecs.wav_encode(s))) for i, s in signals.items()],
+    )
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+
+    def ref(sig):
+        s = sig.astype(np.int64)
+        n = len(s)
+        e = [int((s[f * n // 64 : (f + 1) * n // 64] ** 2).sum()) for f in range(64)]
+        return sum(1 << i for i in range(63) if e[i + 1] > e[i])
+
+    assert got == {i: ref(s) for i, s in signals.items()}
+
+
+def test_bpe_encode_tokens_compresses(spark):
+    """Encoding its own training corpus: after merges, every doc's token
+    count is <= its char count, >= its word count, and the corpus with the
+    most repetition compresses the most."""
+    from ecommerce_data_pipeline_spark.operators.text import bpe_encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "wxyz qrst")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_words"], r["bpe_tokens"]) for r in
+           bpe_encode_tokens(docs, rounds=2).collect()}
+    # merges learned on this corpus: (h,e)x? vocab: the(4), wxyz(1), qrst(1)
+    # round1 pairs: th=4, he=4 -> he wins (lex); round2: t-he=4 -> the
+    # doc1: 'the' -> 1 token x4 words = 4; doc2: untouched 4+4 chars = 8
+    assert out[1] == (4, 4)
+    assert out[2] == (2, 8)
+
+
 def test_bpe_merge_stops_when_dry(spark):
     """Single-char words have no pairs: trainer returns zero merges
     instead of looping."""

@@ -73,9 +73,12 @@ PANDAS_OK = {
     "media_image_patches",
     "media_audio_frames",
     "media_video_frame_sample",
-    # r7: aHash decode kernel / video frame-vector kernel
+    # r7: aHash decode kernel / video frame-vector kernel / WAV
+    # fingerprint kernel / LSH band fold inside the topk join
     "image_phash_dedup",
     "video_frame_topk",
+    "audio_fingerprint_dedup",
+    "text_minhash_topk_join",
 }
 
 # 1-row broadcast scalar joins, individually audited (PLANS.md header).
@@ -97,6 +100,8 @@ CARTESIAN_OK = {
     "pmi_top_pairs",
     # 1-row max-event-time anchor
     "user_decayed_value",
+    # 1-row time-midpoint anchor + broadcast 10-bucket grid
+    "value_drift_psi",
     "hybrid_rrf_search",
     "ann_recall_report",
     "pq_recall_report",
