@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_pairs",  # r7: 64x4 banding hardening (ADVICE)
     "user_decayed_value",  # r7: order-independent integer term sum (ADVICE)
     "dedup_rate_by_source",  # r7: NULL-text coalesce on both sides (ADVICE)
+    "simhash_pairs",  # r7: routed through the shared banded_hamming_pairs
     # (2) round-7 additions (never had a driver row)
     "asof_tolerance_attribution",
     "image_phash_dedup",

@@ -41,6 +41,13 @@ HEAVY = {
     "dedup_incremental_assign": "documents",
     "minhash_lsh_pairs": "documents",
     "hybrid_rrf_search": "documents",
+    # round-7 additions
+    "image_phash_dedup": "documents",
+    "audio_fingerprint_dedup": "documents",
+    "text_minhash_topk_join": "documents",
+    "bpe_encode_tokens": "documents",
+    "bpe_merge_vocab": "documents",
+    "video_frame_topk": "documents",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
