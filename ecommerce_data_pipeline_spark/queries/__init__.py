@@ -71,6 +71,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_minhash_topk_join",
     "audio_fingerprint_dedup",
     "value_drift_psi",
+    "streaming_media_decode",
+    "curriculum_interleave",
     # (3) oldest cohort: last green driver row = round 2
     "cart_totals",
     "catalog_search_page",

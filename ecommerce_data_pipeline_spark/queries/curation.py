@@ -768,3 +768,39 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution tables, one (doc,bucket) shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return cu.dsir_importance_weights(docs, target=F.col("lang") == "en")
+
+
+@register(
+    "curriculum_interleave",
+    # Curriculum data ordering: the training loader reads (band, source,
+    # doc_id) ascending — band k holds every source's k-th shortest doc,
+    # so consumption is easy-to-hard AND round-robin across sources (no
+    # source runs). NO global sort anywhere: the band is a per-source
+    # window rank (one shuffle keyed by source); the global order is a
+    # property of the sort the READER applies, exactly how curriculum
+    # shards are consumed at scale. Difficulty proxy = word count
+    # (shortest-first), tie-broken by doc_id.
+    oracle="""
+SELECT doc_id, source,
+  CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       w -> w <> '')) AS INTEGER) AS n_tokens,
+  CAST(row_number() OVER (PARTITION BY source
+       ORDER BY len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   w -> w <> '')), doc_id) AS INTEGER) AS band
+FROM documents
+""",
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering with source interleaving: per-doc
+    difficulty (word count) + per-source band rank in ONE window pass."""
+    from ecommerce_data_pipeline_spark.operators.text import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_words(F.col("text")))
+    w = Window.partitionBy("source").orderBy(n_tokens.asc(), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.row_number().over(w).alias("band"),
+    )

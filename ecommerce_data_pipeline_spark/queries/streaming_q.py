@@ -485,6 +485,61 @@ def q_streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _register_streaming_media_decode() -> None:
+    # Deferred so the streaming variant shares media_image_decode's
+    # closed-form pixel oracle verbatim: decode-on-ingest must land on
+    # exactly the batch decode's features — codec, raster orientation,
+    # thumb grid and Arrow plumbing all identical through the streaming
+    # engine's micro-batch execution of the same mapInPandas kernel.
+    from ecommerce_data_pipeline_spark.queries._registry import ORACLES
+
+    @register("streaming_media_decode", oracle=ORACLES["media_image_decode"])
+    def q_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multimodal decode-on-ingest: binary image payloads arrive as a
+        file stream (the Kafka-topic stand-in used across the streaming
+        tier) and are decoded INSIDE the stream — the same Arrow-batched
+        PGM/BMP kernel (decode_image_features) running under availableNow
+        micro-batches into a checkpointed append sink. This is the shape a
+        100 TB ingest pipeline runs (decode once on arrival, store
+        features), and the oracle proves the streaming execution is
+        feature-identical to the batch decode. Stateless: per-batch work
+        is pure projection, no state store."""
+        import shutil
+        import tempfile
+
+        from ecommerce_data_pipeline_spark.operators.multimodal import (
+            decode_image_features,
+            synth_image_corpus,
+        )
+
+        media = synth_image_corpus(load_table(spark, sf_dir, "documents"))
+        root = tempfile.mkdtemp(prefix="stream_media_")
+        try:
+            src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+            media.repartition(4).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                decode_image_features(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+_register_streaming_media_decode()
+
+
 @register(
     "stream_stream_attribution_join",
     # Deterministic because availableNow drains ALL staged files and the

@@ -41,6 +41,7 @@ SKIP_BUILD = {
     "table_time_travel",
     "schema_evolution_merge",
     "gdpr_delete_audit",
+    "streaming_media_decode",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
