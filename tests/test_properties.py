@@ -230,3 +230,94 @@ def test_nearest_resize_matches_grid_formula(px, out):
     for i in range(out):
         for j in range(out):
             assert th[i, j] == px[(i * h) // out, (j * w) // out]
+
+
+# ---------------------------------------------------------------------------
+# Round 7: BPE trainer vs pure-Python reference; banded Hamming vs brute force
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(words: list[str], rounds: int):
+    """Greedy BPE (Sennrich 2016) in plain Python: per round, the most
+    frequent adjacent symbol pair over the frequency-weighted vocab
+    (ties: count desc, then (a, b) lexicographic), applied leftmost-first
+    non-overlapping."""
+    from collections import Counter
+
+    vocab = Counter(words)
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+corpora = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora)
+def test_bpe_merge_vocab_matches_reference(spark, words):
+    """The distributed trainer's full merge trajectory equals greedy BPE
+    for arbitrary small corpora — tie-breaks, overlap handling and
+    cross-round dependence included."""
+    from ecommerce_data_pipeline_spark.operators.text import bpe_merge_vocab
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r["merge_round"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in bpe_merge_vocab(docs, rounds=4).collect()
+    ]
+    assert got == _bpe_reference(words, 4)
+
+
+sig_sets = st.lists(
+    st.integers(min_value=0, max_value=(1 << 63) - 1),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(sig_sets)
+def test_banded_hamming_pairs_matches_bruteforce(spark, sigs):
+    """Band-blocked pairs == exact all-pairs popcount filter for any
+    signatures at max_hamming=3 (pigeonhole losslessness, randomized)."""
+    from ecommerce_data_pipeline_spark.operators.dedup import banded_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, sig long"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in banded_hamming_pairs(df, "sig", max_hamming=3).collect()
+    }
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
