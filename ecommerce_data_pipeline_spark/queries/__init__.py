@@ -73,6 +73,9 @@ _DRIVER_PRIORITY: list[str] = [
     "value_drift_psi",
     "streaming_media_decode",
     "curriculum_interleave",
+    "priority_late_orders",
+    "late_sole_blame_suppliers",
+    "dormant_rich_customers",
     # (3) oldest cohort: last green driver row = round 2
     "cart_totals",
     "catalog_search_page",

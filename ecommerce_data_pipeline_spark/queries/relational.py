@@ -1383,3 +1383,169 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "priority_late_orders",
+    # TPC-H Q4 shape (order-priority checking) adapted to the fixture's
+    # columns: the commit/receipt pair doesn't exist here, so the "promise
+    # violated" predicate becomes "some lineitem shipped >60 days after
+    # the order date" — same EXISTS semi-join + priority rollup plan as
+    # the real Q4 (one quarter of orders, semi-joined against lineitem on
+    # key + the lateness non-equi predicate, grouped by priority).
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+)
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: one quarter's orders with at least one late-shipped
+    lineitem, counted per priority. LEFT SEMI join (EXISTS) with the
+    non-equi lateness predicate riding the equi key — Catalyst keeps the
+    key as the join condition and applies the date predicate as a
+    post-join filter, so the shuffle stays keyed on orderkey."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "late_sole_blame_suppliers",
+    # TPC-H Q21 shape (suppliers who kept orders waiting) adapted:
+    # "failed its commitment" becomes "shipped >45 days after the order
+    # date" on finished orders. The double correlated EXISTS / NOT EXISTS
+    # of the reference query is decorrelated into two aggregates — the
+    # idiomatic Spark plan: multi-supplier orders (countDistinct > 1) and
+    # sole-late orders (exactly one late supplier) are tiny keyed frames
+    # semi-joined back; no per-row subquery execution anywhere.
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1
+),
+sole AS (
+  SELECT l_orderkey FROM late GROUP BY 1 HAVING count(*) = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late
+JOIN multi USING (l_orderkey)
+JOIN sole USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = late.l_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q_late_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame for late multi-supplier
+    finished orders, top-10 by count. EXISTS/NOT EXISTS decorrelated into
+    countDistinct/count aggregates + semi joins (see register comment)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole, "l_orderkey", "left_semi")
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    # TPC-H Q22 shape (global sales opportunity) adapted: the phone
+    # country code becomes the market segment, and "never ordered"
+    # becomes "no order since 2000" (every fixture customer has SOME
+    # order, which would make the literal predicate vacuous — a 0-row
+    # result proves nothing); the positive-balance-average scalar
+    # subquery and the NOT EXISTS anti-join shape are verbatim.
+    oracle=f"""
+WITH pos AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+  {money_sum_sql('c_acctbal')} AS totacctbal
+FROM customer CROSS JOIN pos
+WHERE c_acctbal > pos.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    ordered since 2000, rolled up per segment. 1-row broadcast scalar
+    average + LEFT ANTI join (NOT EXISTS) + cents-exact balance totals;
+    the recency filter is pushed to the orders scan BEFORE the anti join
+    so the build side shrinks at the source."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

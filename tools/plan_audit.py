@@ -103,6 +103,8 @@ CARTESIAN_OK = {
     "user_decayed_value",
     # 1-row time-midpoint anchor + broadcast 10-bucket grid
     "value_drift_psi",
+    # 1-row positive-balance-average anchor (TPC-H Q22 shape)
+    "dormant_rich_customers",
     "hybrid_rrf_search",
     "ann_recall_report",
     "pq_recall_report",
