@@ -274,12 +274,19 @@ class ParquetTable:
         updates: DataFrame,
         keys: list[str],
         capture_changes: bool = False,
+        probe_insert_only: bool = True,
     ) -> DataFrame | None:
         """Upsert ``updates`` by ``keys`` (operators S6/S7/S9).
 
         Bootstrap if the table does not exist yet (the reference's
         first-run-overwrite path, silver_orders.py:81-85). For partitioned
         tables only the partitions present in ``updates`` are rewritten.
+
+        ``probe_insert_only=False`` skips the insert-only fast-path probe
+        (one extra job per merge): callers whose update set overlaps the
+        target BY CONSTRUCTION — an incremental gold merge always
+        re-merges the max bucket, since its lookback starts 2h BEFORE it —
+        pay the probe on every call and can never win it.
 
         With ``capture_changes`` (Delta Change Data Feed parity), returns
         the change set of this merge — the update rows tagged
@@ -329,7 +336,7 @@ class ParquetTable:
                 )
                 .localCheckpoint(eager=True)
             )
-        if not self.use_delta:
+        if not self.use_delta and probe_insert_only:
             # Insert-only fast path: if NO update key exists in the target,
             # MERGE degenerates to INSERT ALL — append files instead of
             # rewriting. This is the hot case for append-mostly streams

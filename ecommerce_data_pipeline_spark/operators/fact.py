@@ -75,11 +75,23 @@ def build_fct_sales_minute(
     fact: ParquetTable,
 ) -> None:
     """Incremental build: slice input to the 2-hour lookback, aggregate,
-    MERGE by minute_bucket (operator S9)."""
+    MERGE by minute_bucket (operator S9).
+
+    The update set is pinned with a lazy localCheckpoint before the MERGE:
+    merge() runs the updates lineage twice (the insert-only probe, then
+    the rewrite), and the lineage here is a fact scan + join + agg —
+    materializing the (minute-grain, tiny) aggregate once makes the
+    second pass a block-manager read. Same pattern as the streaming
+    silver batches (streaming/medallion.py)."""
     bound = incremental_bound(spark, fact)
     sliced = orders_clean.filter(F.col("event_ts") >= F.lit(bound))
-    updates = sales_minute_agg(sliced, enriched)
-    fact.merge(spark, updates, keys=["minute_bucket"])
+    updates = sales_minute_agg(sliced, enriched).localCheckpoint(eager=False)
+    # probe_insert_only=False: the lookback starts 2h BEFORE the current
+    # max bucket, so the update set always overlaps the target — the
+    # insert-only probe can never win here and just costs a job per build.
+    fact.merge(
+        spark, updates, keys=["minute_bucket"], probe_insert_only=False
+    )
 
 
 def vw_sales_last_n_minutes(fact_df: DataFrame, minutes: int = 60, anchor=None) -> DataFrame:
