@@ -118,6 +118,48 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document — the cheapest
+    gibberish/boilerplate detector in the quality-filter family
+    (low entropy = repeated padding, high entropy ~ natural text).
+
+    Cross-engine determinism: entropy is log2(N) - sum(c*log2(c))/N over
+    per-char counts c. The sum's terms are rounded to integer 1e-6 units
+    and accumulated as longs, so the result is independent of summation
+    order (the same discipline as user_decayed_value); the single final
+    subtraction/division/round is IEEE-deterministic. c = 2^k terms are
+    exact integers so the half-up/half-even rounding-mode difference
+    between engines can never bite.
+
+    Scale: explode-to-chars is a flatMap (linear, no driver state), one
+    (doc_id, ch) shuffle then one doc_id shuffle — both map-side combined.
+    Output: (doc_id, n_chars_used, char_entropy, ent_bucket).
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c") * F.lit(1000000.0)).cast("long")
+        ).alias("s_micro"),
+    )
+    ent = F.round(
+        F.log2("n") - (F.col("s_micro") / F.lit(1000000.0)) / F.col("n"), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_used"),
+        ent.alias("char_entropy"),
+        F.when(ent >= 4.2, F.lit("high"))
+        .when(ent >= 3.9, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("ent_bucket"),
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: full-content md5 plus a winnowing-style
     min-of-shingle-hashes signature (robust to local edits).

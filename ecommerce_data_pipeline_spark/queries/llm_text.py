@@ -1253,3 +1253,190 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no join), encoding is one codegen'd projection over the word stream
     + a doc-keyed groupBy (operators/text.py:bpe_encode_tokens)."""
     return tx.bpe_encode_tokens(load_table(spark, sf_dir, "documents"), rounds=10)
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators: corpus statistics (entropy / Heaps / Zipf)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy_quality",
+    # Integer-microunit term sum (order-independent) then one final
+    # log2/divide/round — the same cross-engine float discipline as
+    # user_decayed_value. c = 2^k terms are exact integers, so the
+    # HALF_UP vs ties-away rounding-mode difference can never trigger.
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+  FROM documents
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c * log2(c) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS s_micro
+  FROM cnt GROUP BY 1
+),
+e AS (
+  SELECT doc_id, n, round(log2(n) - (s_micro / 1000000.0) / n, 4) AS ent
+  FROM agg
+)
+SELECT doc_id, n AS n_chars_used, ent AS char_entropy,
+       CASE WHEN ent >= 4.2 THEN 'high'
+            WHEN ent >= 3.9 THEN 'mid'
+            ELSE 'low' END AS ent_bucket
+FROM e
+""",
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality score per document (operators/text.py:
+    char_entropy): explode-to-chars flatMap, one (doc,ch) groupBy, one
+    doc groupBy — both map-side combined, linear at any corpus size."""
+    return tx.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_growth_curve",
+    # Heaps'-law curve: cumulative token count vs cumulative distinct
+    # vocabulary in doc_id order. "New type" = token whose min(doc_id)
+    # is this doc — turns cumulative-distinct (not directly expressible
+    # as a distributive window) into two plain sums. Pure integers.
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+toks AS (SELECT doc_id, unnest(words) AS token FROM w),
+nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+f AS (SELECT token, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+nv AS (SELECT doc_id, count(*) AS new_types FROM f GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens,
+         coalesce(nv.new_types, 0) AS new_types
+  FROM documents d LEFT JOIN nt USING (doc_id) LEFT JOIN nv USING (doc_id)
+)
+SELECT doc_id,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
+FROM base
+""",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: per doc (in doc_id order) the running
+    token total and running distinct-vocabulary size.
+
+    Scale shape: cumulative-distinct is recast as min(doc_id)-per-token
+    (one token shuffle) + two running sums computed as a DISTRIBUTED
+    two-phase prefix sum — per-bucket running sums partitioned by
+    doc_id//50, plus bucket offsets from a #buckets-row window (tiny by
+    construction, broadcast back). No single-partition window ever sees
+    the doc-level rows, so the plan survives a billion-doc corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx._words(F.col("text"))).alias("token")
+    )
+    nt = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    nv = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_types"))
+    )
+    base = (
+        docs.select("doc_id")
+        .join(nt, "doc_id", "left")
+        .join(nv, "doc_id", "left")
+        .fillna(0, ["n_tokens", "new_types"])
+        .withColumn("bucket", F.floor(F.col("doc_id") / 50))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_run = base.withColumn("rt", F.sum("n_tokens").over(w_in)).withColumn(
+        "rv", F.sum("new_types").over(w_in)
+    )
+    btot = base.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bt"), F.sum("new_types").alias("bv")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        btot.withColumn("ot", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+        .withColumn("ov", F.coalesce(F.sum("bv").over(w_off), F.lit(0)))
+        .select("bucket", "ot", "ov")
+    )
+    return in_run.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        (F.col("ot") + F.col("rt")).alias("cum_tokens"),
+        (F.col("ov") + F.col("rv")).alias("cum_vocab"),
+    )
+
+
+@register(
+    "zipf_slope",
+    # Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over the
+    # top-500 tokens, computed ENTIRELY in int64 (ln terms rounded to 1e-5
+    # units) so the only float op is the final division+round — immune to
+    # cross-engine summation order. Bounds: x,y <= ln(500)*1e5 ~ 6.2e5,
+    # n <= 500 => n*sxy <= 500^2 * 4.8e11 ~ 1.2e17 << 2^63.
+    oracle=f"""
+WITH w AS (SELECT source, {_WORDS_SQL} AS words FROM documents),
+toks AS (SELECT source, unnest(words) AS token FROM w),
+cnt AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS r
+  FROM cnt
+),
+xy AS (
+  SELECT source,
+         CAST(round(ln(r) * 100000.0) AS BIGINT) AS x,
+         CAST(round(ln(c) * 100000.0) AS BIGINT) AS y
+  FROM ranked WHERE r <= 500
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+  HAVING count(*) >= 2  -- slope undefined for a 1-term vocabulary
+)
+SELECT source, CAST(n AS INTEGER) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM agg
+""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (token log-rank vs log-frequency OLS over the
+    top-500 terms): one token shuffle, one per-source window (top-500 kept
+    by WindowGroupLimit before the exchange), int64 moment sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx._words(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    xy = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 500)
+        .select(
+            "source",
+            F.round(F.log("r") * 100000.0).cast("long").alias("x"),
+            F.round(F.log("c") * 100000.0).cast("long").alias("y"),
+        )
+    )
+    agg = xy.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n") >= 2)  # slope undefined for a 1-term vocabulary
+    return agg.select(
+        "source",
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -26,6 +26,29 @@ def ts(s: str) -> dt.datetime:
 
 
 @pytest.fixture()
+def sf_dir_factory(spark, tmp_path):
+    """Build a throwaway sf_dir with the given tables (documents rows are
+    (doc_id, text, lang, source, n_chars) tuples) so registry query
+    callables can run on toy fixtures."""
+
+    def make(**tables):
+        schemas = {
+            "documents": (
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long"
+            ),
+            "embeddings": "vec_id long, embedding array<float>, label int",
+        }
+        for name, rows in tables.items():
+            spark.createDataFrame(rows, schemas[name]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp_path}/{name}.parquet")
+        return str(tmp_path)
+
+    return make
+
+
+@pytest.fixture()
 def kafka_rows(spark):
     """Literal bronze-shaped rows: builder for operator goldens."""
 
