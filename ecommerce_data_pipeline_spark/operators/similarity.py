@@ -300,3 +300,115 @@ def embedding_near_dup_pairs_blocked(
             _block_pairs, "vec_id_a long, vec_id_b long, cosine_sim double"
         )
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank: exact top-k_candidates cosine
+    retrieval per query, then the greedy MMR selection
+    ``argmax lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` unrolled as
+    k_select DataFrame iterations — 100% JVM-side, no UDF.
+
+    Scale: the retrieval stage is cosine_topk (WindowGroupLimit
+    prereduce); everything after operates on |Q|*k_candidates candidate
+    rows and |Q|*k_candidates^2 pairwise-sim rows — linear in the query
+    count, independent of corpus size. Both intermediates are
+    localCheckpointed once so the k_select-step loop reuses them without
+    recomputing retrieval (and the composed plan stays linear in
+    k_select).
+
+    Cross-engine determinism: rel and pairwise sims are rounded to 4dp
+    (cosine discipline), the per-step score is two IEEE multiplies and a
+    subtract on those rounded doubles, argmax ties break on candidate id.
+    Output: (query_id, neighbor_id, sel_rank, relevance).
+    """
+    cand = (
+        cosine_topk(vectors, queries, k=k_candidates, id_col=id_col, vec_col=vec_col)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("cosine_sim").alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    ca = cand.join(v, cand.cand_id == v.vid).select("query_id", "cand_id", "vec", "nrm")
+    a = ca.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = ca.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .select("query_id", "a", "b", "sim")
+        .localCheckpoint()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "rel", F.lit(1).alias("sel_rank"))
+    )
+    for step in range(2, k_select + 1):
+        rem = cand.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        scored = (
+            rem.alias("c")
+            .join(
+                pair.alias("p"),
+                (F.col("c.query_id") == F.col("p.query_id"))
+                & (F.col("c.cand_id") == F.col("p.a")),
+            )
+            .join(
+                sel.select(
+                    F.col("query_id").alias("sq"), F.col("cand_id").alias("sb")
+                ),
+                (F.col("p.query_id") == F.col("sq")) & (F.col("p.b") == F.col("sb")),
+            )
+            .groupBy(
+                F.col("c.query_id").alias("query_id"),
+                F.col("c.cand_id").alias("cand_id"),
+            )
+            .agg(F.max("c.rel").alias("rel"), F.max("p.sim").alias("maxsim"))
+            .withColumn(
+                "score",
+                F.col("rel") * F.lit(lam) - F.col("maxsim") * F.lit(1.0 - lam),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id")
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "rel", F.lit(step).alias("sel_rank"))
+        )
+        sel = sel.unionByName(nxt).localCheckpoint()
+    return sel.select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        "sel_rank",
+        F.col("rel").alias("relevance"),
+    )

@@ -1440,3 +1440,54 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "edit_distance_near_dup",
+    # LSH-blocked exact edit-distance verify: candidates are the
+    # (bimodal-corpus-exact) MinHash pair set, the verdict is exact
+    # Levenshtein similarity — int/int division + one round, both engines
+    # implement classic ins/del/sub distance. The 0.97 cut drops 3 of the
+    # fixture's 25 candidates, so the threshold is load-bearing.
+    oracle=f"""
+WITH {{jac}}
+SELECT j.doc_id_a, j.doc_id_b, j.jaccard,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+       round(1.0 - levenshtein(da.text, db.text)
+             / greatest(length(da.text), length(db.text)), 4) AS edit_sim
+FROM jac j
+JOIN documents da ON da.doc_id = j.doc_id_a
+JOIN documents db ON db.doc_id = j.doc_id_b
+WHERE 1.0 - levenshtein(da.text, db.text)
+      / greatest(length(da.text), length(db.text)) >= 0.97
+""".replace("{jac}", _jaccard_pairs_sql()),
+)
+def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification at the character level: MinHash-LSH candidate
+    pairs (operators/dedup.py:minhash_lsh_pairs) re-scored with EXACT
+    Levenshtein similarity, kept at >= 0.97. Quadratic edit-distance work
+    touches only LSH-colliding pairs — never the corpus cross product —
+    so cost scales with the duplicate rate, not corpus^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")
+    )
+    sim_expr = F.lit(1.0) - F.levenshtein("text_a", "text_b") / F.greatest(
+        F.length("text_a"), F.length("text_b")
+    )
+    return (
+        pairs.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .filter(sim_expr >= 0.97)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            F.levenshtein("text_a", "text_b").alias("lev"),
+            F.round(sim_expr, 4).alias("edit_sim"),
+        )
+    )

@@ -1550,3 +1550,84 @@ def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity-aware retrieval: Maximal Marginal Relevance rerank
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle_sql(kc: int = 20, ks: int = 5) -> str:
+    """Unrolled greedy MMR as chained CTEs: candidate top-kc by rounded
+    cosine, pairwise candidate sims, then ks argmax-selection stages (the
+    same trajectory-unrolling device as the BPE trainer oracle)."""
+    parts = [
+        f"""
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings),
+scored0 AS (
+  SELECT query_id, cand_id,
+         round(list_inner_product(qv, nv)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(nv, nv))), 4) AS rel
+  FROM q, v WHERE query_id <> cand_id),
+cand AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, cand_id) AS rn
+    FROM scored0) WHERE rn <= {kc}),
+pair AS (
+  SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
+         round(list_inner_product(va.nv, vb.nv)
+               / (sqrt(list_inner_product(va.nv, va.nv))
+                  * sqrt(list_inner_product(vb.nv, vb.nv))), 4) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.cand_id <> c2.cand_id
+  JOIN v va ON va.cand_id = c1.cand_id
+  JOIN v vb ON vb.cand_id = c2.cand_id),
+sel1 AS (
+  SELECT query_id, cand_id, rel, 1 AS sel_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, cand_id) AS rn
+    FROM cand) WHERE rn = 1)"""
+    ]
+    for i in range(2, ks + 1):
+        p = i - 1
+        parts.append(f"""
+scored{i} AS (
+  SELECT c.query_id, c.cand_id, max(c.rel) AS rel,
+         max(c.rel) * 0.5 - max(p.sim) * 0.5 AS score
+  FROM cand c
+  JOIN pair p ON p.query_id = c.query_id AND p.a = c.cand_id
+  JOIN sel{p} s ON s.query_id = p.query_id AND s.cand_id = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
+                    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+  GROUP BY c.query_id, c.cand_id),
+sel{i} AS (
+  SELECT query_id, cand_id, rel, sel_rank FROM sel{p}
+  UNION ALL
+  SELECT query_id, cand_id, rel, {i} AS sel_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, cand_id) AS rn
+    FROM scored{i}) WHERE rn = 1)"""
+        )
+    body = ",".join(parts)
+    return (
+        f"WITH {body} "
+        f"SELECT query_id, cand_id AS neighbor_id, "
+        f"CAST(sel_rank AS INTEGER) AS sel_rank, rel AS relevance FROM sel{ks}"
+    )
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle_sql(20, 5))
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (lambda=0.5) from exact top-20 candidates,
+    every 50th vector as query (operators/similarity.py:mmr_rerank). The
+    greedy loop runs on |Q|*20 candidate rows only — corpus-independent
+    after retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k_candidates=20, k_select=5
+    )

@@ -80,6 +80,9 @@ PANDAS_OK = {
     "video_frame_topk",
     "audio_fingerprint_dedup",
     "text_minhash_topk_join",
+    # LSH-candidate generation (same MinHash pandas fold) feeding the
+    # exact Levenshtein verify
+    "edit_distance_near_dup",
 }
 
 # 1-row broadcast scalar joins, individually audited (PLANS.md header).
@@ -115,6 +118,9 @@ CARTESIAN_OK = {
     # bounded sampled-frame queries broadcast against the corpus (same
     # exact-top-k class as cosine_topk/media_embedding_topk)
     "video_frame_topk",
+    # MMR retrieval stage = cosine_topk's broadcast exact top-k; the
+    # greedy loop after it is all equi-joins on candidate rows
+    "mmr_diverse_topk",
     "ccnet_quality_buckets",
     "token_budget_mixture",
     "forecast_revenue_change",
