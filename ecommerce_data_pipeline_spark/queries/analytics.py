@@ -882,3 +882,180 @@ def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral: U-shaped multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multitouch_attribution",
+    # Position-based (U-shaped) credit: 40/20/40 across first/middles/last
+    # view in the 24-hour pre-purchase window. Credits are integer cents via
+    # exact rationals — round(cents*2/5.0) has fractional parts in
+    # {0,.4,.8} (even numerator) so rounding-mode ties can never trigger;
+    # the middle split's single divide+round is IEEE-identical per row and
+    # the per-user sums are integer (order-independent).
+    oracle="""
+WITH p AS (SELECT user_id, event_id AS pid, ts AS pts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id AS vid, ts AS vts
+      FROM events WHERE event_type = 'view'),
+j AS (SELECT p.user_id, pid, cents, vid, vts
+      FROM p JOIN v ON v.user_id = p.user_id
+       AND v.vts < p.pts AND v.vts >= p.pts - INTERVAL 24 HOUR),
+t AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n,
+             row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS rn
+      FROM j),
+c AS (SELECT user_id, pid,
+        CASE WHEN n = 1 THEN 'single' WHEN rn = 1 THEN 'first'
+             WHEN rn = n THEN 'last' ELSE 'middle' END AS pos,
+        CASE WHEN n = 1 THEN cents
+             WHEN rn = 1 OR rn = n THEN CAST(round(cents * 2 / 5.0) AS BIGINT)
+             ELSE CAST(round(cents / (5.0 * (n - 2))) AS BIGINT) END AS credit
+      FROM t)
+SELECT user_id,
+       CAST(count(DISTINCT pid) AS BIGINT) AS attributed_purchases,
+       count(*) AS touches,
+       CAST(sum(CASE WHEN pos = 'single' THEN credit ELSE 0 END) AS BIGINT)
+         AS single_cents,
+       CAST(sum(CASE WHEN pos = 'first' THEN credit ELSE 0 END) AS BIGINT)
+         AS first_cents,
+       CAST(sum(CASE WHEN pos = 'middle' THEN credit ELSE 0 END) AS BIGINT)
+         AS middle_cents,
+       CAST(sum(CASE WHEN pos = 'last' THEN credit ELSE 0 END) AS BIGINT)
+         AS last_cents,
+       CAST(sum(credit) AS BIGINT) AS total_cents
+FROM c GROUP BY 1
+""",
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: each purchase's value is split
+    40% first / 40% last / 20% across middle views in the 24 hours
+    before it (the reference's notification-cache TTL horizon). The
+    purchase-view pairing is a user_id equi-join with a time-range
+    residual (at 100 TB: co-bucket both sides on
+    (user_id, day bucket) so the residual never widens the
+    shuffle); per-purchase windows are purchase-keyed, per-user sums are
+    integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuser"),
+        F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    j = p.join(
+        v,
+        (F.col("vuser") == F.col("user_id"))
+        & (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.timestamp_add("HOUR", F.lit(-24), F.col("pts"))),
+    )
+    wp = Window.partitionBy("pid")
+    wo = Window.partitionBy("pid").orderBy("vts", "vid")
+    t = j.withColumn("n", F.count("*").over(wp)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    n, rn, cents = F.col("n"), F.col("rn"), F.col("cents")
+    pos = (
+        F.when(n == 1, "single")
+        .when(rn == 1, "first")
+        .when(rn == n, "last")
+        .otherwise("middle")
+    )
+    credit = (
+        F.when(n == 1, cents)
+        .when(
+            (rn == 1) | (rn == n), F.round(cents * 2 / F.lit(5.0)).cast("long")
+        )
+        .otherwise(F.round(cents / (F.lit(5.0) * (n - 2))).cast("long"))
+    )
+    c = t.select("user_id", "pid", pos.alias("pos"), credit.alias("credit"))
+    return c.groupBy("user_id").agg(
+        F.countDistinct("pid").alias("attributed_purchases"),
+        F.count("*").alias("touches"),
+        F.sum(F.when(F.col("pos") == "single", F.col("credit")).otherwise(0)).alias(
+            "single_cents"
+        ),
+        F.sum(F.when(F.col("pos") == "first", F.col("credit")).otherwise(0)).alias(
+            "first_cents"
+        ),
+        F.sum(F.when(F.col("pos") == "middle", F.col("credit")).otherwise(0)).alias(
+            "middle_cents"
+        ),
+        F.sum(F.when(F.col("pos") == "last", F.col("credit")).otherwise(0)).alias(
+            "last_cents"
+        ),
+        F.sum("credit").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale diagnostics: key-distribution skew report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    # The report every salting/AQE decision starts from: per event_type,
+    # how concentrated is the user_id key distribution. Gini comes out of
+    # the closed form (2*sum(rank*c) - (n+1)*total) / (n*total) — an
+    # integer numerator and denominator with ONE final divide+round, so
+    # no cross-engine float accumulation anywhere.
+    oracle="""
+WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c ASC, user_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nk
+      FROM c)
+SELECT event_type,
+       CAST(max(nk) AS INTEGER) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       CAST(max(c) AS BIGINT) AS max_count,
+       round(max(c) / sum(c), 4) AS max_share,
+       round(sum(CASE WHEN rn > nk - 10 THEN c ELSE 0 END) / sum(c), 4)
+         AS top10_share,
+       round((2 * sum(rn * c) - (max(nk) + 1) * sum(c))
+             / (max(nk) * sum(c)), 4) AS gini
+FROM r GROUP BY 1
+""",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics per event_type over user_id: key count, hot-key
+    and top-10 share, and the Gini coefficient of the per-key count
+    distribution. One (type,user) groupBy (map-side combined) then one
+    per-type window over the already-aggregated key rows — the window
+    sees |keys| rows, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("event_type").orderBy(F.col("c").asc(), "user_id")
+    wn = Window.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nk", F.count("*").over(wn)
+    )
+    total = F.sum("c")
+    nk = F.max("nk")
+    return r.groupBy("event_type").agg(
+        nk.cast("int").alias("n_keys"),
+        total.alias("total_events"),
+        F.max("c").alias("max_count"),
+        F.round(F.max("c") / total, 4).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("rn") > F.col("nk") - 10, F.col("c")).otherwise(0))
+            / total,
+            4,
+        ).alias("top10_share"),
+        F.round(
+            (2 * F.sum(F.col("rn") * F.col("c")) - (nk + 1) * total)
+            / (nk * total),
+            4,
+        ).alias("gini"),
+    )

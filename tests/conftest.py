@@ -38,6 +38,10 @@ def sf_dir_factory(spark, tmp_path):
                 "n_chars long"
             ),
             "embeddings": "vec_id long, embedding array<float>, label int",
+            "events": (
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
         }
         for name, rows in tables.items():
             spark.createDataFrame(rows, schemas[name]).coalesce(1).write.mode(
