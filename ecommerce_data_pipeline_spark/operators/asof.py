@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecommerce_data_pipeline_spark.functions import epoch_seconds
+from ecommerce_data_pipeline_spark.functions import epoch_micros, epoch_seconds
 
 
 def asof_join(
@@ -93,9 +93,13 @@ def asof_join(
         .filter((F.col("__tag") == 1) & F.col("__m").isNotNull())
     )
     if tolerance_seconds is not None:
+        # Integer-microsecond comparison: the oracles apply the cutoff as
+        # exact integer micros (gap_us <= tol*1e6); fractional-second
+        # doubles carry ~5e-7 s rounding at 2026-era epochs, enough to
+        # flip a boundary-exact match between engines.
         matched = matched.filter(
-            epoch_seconds(F.col("__ats")) - epoch_seconds(F.col("__m")[right_ts])
-            <= float(tolerance_seconds)
+            epoch_micros(F.col("__ats")) - epoch_micros(F.col("__m")[right_ts])
+            <= int(tolerance_seconds) * 1_000_000
         )
     out_cols = (
         [F.col(c) for c in on]

@@ -390,3 +390,68 @@ def dsir_importance_weights(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup-to-text extraction (boilerplate stripping before quality scoring)
+# ---------------------------------------------------------------------------
+
+# Extraction regexes, Java-regex + RE2 portable (non-greedy .*? has the
+# same leftmost-shortest semantics in both; no lookaround/backrefs, which
+# RE2 lacks). '.' excludes newlines in both engines — script/style blocks
+# that span lines must be pre-normalized by the caller (the corpus texts
+# are single-line).
+SCRIPT_RE = "<script[^>]*>.*?</script>"
+STYLE_RE = "<style[^>]*>.*?</style>"
+TAG_RE = "<[^>]+>"
+
+# Entity decode table. Order matters: '&amp;' decodes LAST so that the
+# decode never manufactures new entities ('&amp;lt;' is the ESCAPED
+# rendering of the literal text '&lt;' and must become '&lt;', not '<').
+ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def markup_extract(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML-ish markup → clean text, with per-rule removal counts.
+
+    The pre-quality-scoring extraction step every pretraining pipeline
+    runs (trafilatura/jusText's core loop, reduced to its portable
+    deterministic skeleton): drop <script>/<style> blocks wholesale,
+    strip remaining tags (replaced by a space so adjacent words don't
+    fuse), decode the six standard entities, collapse runs of spaces,
+    trim. Counts are taken per rule BEFORE that rule rewrites the
+    string, so the output doubles as an audit record (how much chrome
+    each rule removed) that a SQL oracle can recompute exactly.
+
+    Output: (doc_id, n_script, n_style, n_tags, n_entities, text).
+    Pure map stage — chained regexp_count/regexp_replace/replace are
+    all codegen expressions; no shuffle, scales with input splits.
+    """
+    raw = F.col(text_col)
+    no_script = F.regexp_replace(raw, SCRIPT_RE, "")
+    no_style = F.regexp_replace(no_script, STYLE_RE, "")
+    no_tags = F.regexp_replace(no_style, TAG_RE, " ")
+    n_entities = None
+    decoded = no_tags
+    for ent, repl in ENTITIES:
+        cnt = F.regexp_count(no_tags, F.lit(re.escape(ent)))
+        n_entities = cnt if n_entities is None else n_entities + cnt
+        decoded = F.replace(decoded, F.lit(ent), F.lit(repl))
+    clean = F.trim(F.regexp_replace(decoded, "[ ]+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(raw, F.lit(SCRIPT_RE)).alias("n_script"),
+        F.regexp_count(no_script, F.lit(STYLE_RE)).alias("n_style"),
+        F.regexp_count(no_style, F.lit(TAG_RE)).alias("n_tags"),
+        n_entities.cast("int").alias("n_entities"),
+        clean.alias("text"),
+    )

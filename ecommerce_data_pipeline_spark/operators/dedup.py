@@ -656,8 +656,39 @@ def incremental_dedup(
     Output: (doc_id, canonical_id, match_kind, jaccard); jaccard is null
     for 'new' rows.
     """
-    new_ids = new.select(F.col(id_col).alias("doc_id"))
-    # Exact tier: one hash join on the 16-byte digest.
+    old_hash, banded_old, prof_old = signature_artifact(
+        existing, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        text_col=text_col, id_col=id_col,
+    )
+    return assign_against_artifact(
+        new, old_hash, banded_old, prof_old,
+        threshold=threshold, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def signature_artifact(
+    existing: DataFrame,
+    k: int = 12,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The persistable dedup state of a corpus, as three tables:
+
+    - exact:    (__h md5-digest, exact_canonical) — one row per distinct
+                content hash, canonical = smallest matching id;
+    - buckets:  (doc_id, band, bucket) — the LSH probe table;
+    - shingles: (doc_id, shingles array<long>) — verification arrays.
+
+    A production pipeline writes these to the lake ONCE, then every
+    ingest batch (streaming or daily) probes them via
+    ``assign_against_artifact`` and appends the rows for docs assigned
+    'new' — corpus text is never re-scanned. Size: O(corpus) fixed-width
+    rows (16 B/doc exact, bands x 12 B/doc buckets, ~2/3 text volume
+    shingles), all spillable parquet.
+    """
     old_hash = (
         existing.select(
             F.md5(F.col(text_col)).alias("__h"), F.col(id_col).alias("doc_id")
@@ -665,6 +696,29 @@ def incremental_dedup(
         .groupBy("__h")
         .agg(F.min("doc_id").alias("exact_canonical"))
     )
+    prof_old = _minhash_profile(existing, k, text_col, id_col)
+    banded_old = _profile_buckets(prof_old, n_hashes, n_bands)
+    return old_hash, banded_old, prof_old
+
+
+def assign_against_artifact(
+    new: DataFrame,
+    old_hash: DataFrame,
+    banded_old: DataFrame,
+    prof_old: DataFrame,
+    threshold: float = 0.5,
+    k: int = 12,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign a batch of new docs against a prebuilt signature artifact
+    (see ``signature_artifact`` for the three tables). Work is
+    O(|new| x bands) bucket probes + verification of colliding pairs —
+    the artifact contributes equi-join lookups only."""
+    new_ids = new.select(F.col(id_col).alias("doc_id"))
+    # Exact tier: one hash join on the 16-byte digest.
     exact = (
         new.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__h"))
         .join(old_hash, "__h")
@@ -673,9 +727,7 @@ def incremental_dedup(
     # Near tier: bucket-probe the existing LSH table with the new batch's
     # buckets — an equi-join keyed on (band, bucket), never all-pairs.
     prof_new = _minhash_profile(new, k, text_col, id_col)
-    prof_old = _minhash_profile(existing, k, text_col, id_col)
     banded_new = _profile_buckets(prof_new, n_hashes, n_bands)
-    banded_old = _profile_buckets(prof_old, n_hashes, n_bands)
     candidates = (
         banded_new.alias("x")
         .join(

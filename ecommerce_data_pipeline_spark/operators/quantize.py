@@ -64,7 +64,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fit_sample: int | None = None,
+    fit_sample: int | None = 100_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means; returns the centroid list.
 
@@ -73,8 +73,12 @@ def kmeans_fit(
     (faiss, sklearn, every IVF build) is sample → in-memory Lloyd's →
     distributed assign. ``fit_sample`` caps the collect (smallest-md5(id)
     rows — the same deterministic pseudo-sample as before, now computed in
-    the driver with hashlib, which matches Spark's md5 byte-for-byte); at
-    production scale ALWAYS pass it. Iterating Lloyd's as per-round Spark
+    the driver with hashlib, which matches Spark's md5 byte-for-byte). The
+    DEFAULT is a 100k cap so the collect is bounded at any corpus size;
+    pass ``fit_sample=None`` only as an explicit small-data escape hatch
+    (it collects the FULL vector table — never do that at 1B-vector
+    scale). When the corpus is smaller than the cap the sampled and full
+    paths see the same rows, so fitted centroids are identical. Iterating Lloyd's as per-round Spark
     jobs was 5 plan-compiles + 5 cluster barriers to average ~1 MB of
     vectors — two orders of magnitude slower than this on the test corpus
     and no more scalable, since the per-iteration reduce was already

@@ -48,71 +48,42 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# Round 7: streaming_fct_sales_minute's drain was restructured in round 6
-# after its only driver row (r02), and fct_sales_minute now runs under the
-# round-6 UTC/nanos runtime pin — both re-certify first. Then the round-7
-# additions, then the 29-query r02 cohort, then the r04 cohort.
+# Round 8 (policy applied): (1) the SEVEN late-round-7 queries that have
+# never had a driver row in ANY round, at the very front (r7 verdict ask #1
+# verbatim); (2) the round-8 additions; (3) queries whose plan/code path
+# changed this round (asof tolerance now integer-micros, curriculum NULL
+# coalesce, incremental-dedup artifact refactor, kmeans fit_sample default);
+# (4) the 44-query r04 cohort (SURVEY-mapped rows J1/P6/W-graph/O1 first);
+# (5) the r05 cohort. r06/r07-certified queries follow in registration
+# order. ~50 fit the window, so the r04 tail + r05 land in round 9.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (1) plan/runtime changed after last driver row — flagship first
-    "streaming_fct_sales_minute",  # last row r02; drain restructured in r6
-    "fct_sales_minute",  # last row r04; UTC/nanos runtime pin added in r6
-    "ngram_jaccard_pairs",  # r7: 64x4 banding hardening (ADVICE)
-    "user_decayed_value",  # r7: order-independent integer term sum (ADVICE)
-    "dedup_rate_by_source",  # r7: NULL-text coalesce on both sides (ADVICE)
-    "simhash_pairs",  # r7: routed through the shared banded_hamming_pairs
-    # (2) round-7 additions (never had a driver row)
-    "asof_tolerance_attribution",
-    "image_phash_dedup",
-    "video_frame_topk",
-    "bpe_merge_vocab",
-    "bpe_encode_tokens",
+    # (1) never driver-certified, added late round 7
+    "mmr_diverse_topk",
+    "edit_distance_near_dup",
+    "multitouch_attribution",  # + bucketed range join this round
+    "key_skew_report",
+    "char_entropy_quality",
+    "vocab_growth_curve",
+    "zipf_slope",
+    # (2) round-8 additions
+    "markup_extract_text",
+    "streaming_incremental_dedup",
+    "min_cost_part_supplier",
+    "important_parts_by_nation",
+    "returnflag_priority_lateness",
+    "dominant_promo_part_shippers",
+    # (3) plan/code path changed this round
+    "asof_tolerance_attribution",  # tolerance filter now integer micros
+    "curriculum_interleave",  # NULL-text coalesce both sides (ADVICE)
+    "dedup_incremental_assign",  # routed through signature_artifact split
+    "pq_recall_report",  # kmeans_fit fit_sample default change
+    "kmeans_ivf_topk",
     "knn_label_accuracy_ivf",
-    "text_minhash_topk_join",
-    "audio_fingerprint_dedup",
-    "value_drift_psi",
-    "streaming_media_decode",
-    "curriculum_interleave",
-    "priority_late_orders",
-    "late_sole_blame_suppliers",
-    "dormant_rich_customers",
-    # (3) oldest cohort: last green driver row = round 2
-    "cart_totals",
-    "catalog_search_page",
-    "cosine_topk",
-    "decode_media_features",
-    "embedding_near_dup_pairs",
-    "events_json_props",
-    "events_minute_users",
-    "events_value_quantiles",
-    "exact_dedup",
-    "fingerprint",
-    "frame_sample_plan",
-    "freshness_by_type",
-    "language_id",
-    "language_id_confusion",
-    "lineitem_pricing_summary",
-    "ngram_contamination",
-    "notification_emails",
-    "order_status_current",
-    "orders_kafka_encoded",
-    "quality_score",
-    "redact_pii",
-    "repetition_stats",
-    "revenue_by_nation",
-    "shard_assign",
-    "sql_recent_purchase_minutes",
-    "stratified_sample",
-    "token_stats",
-    "user_current_state",
-    # (4) next-oldest cohort: last green driver row = round 4
-    "silver_orders_clean",
-    "silver_payments_clean",
+    # (4) oldest cohort: last green driver row = round 4 (SURVEY rows first)
     "order_payments_enriched",
-    "events_minute_fact",
     "events_incremental_2h",
-    "events_last_hour",
-    "paid_orders_recent",
+    "dedup_clusters",
     "recent_sales_top10",
     "above_avg_orders",
     "approx_distinct_users",
@@ -123,18 +94,19 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_spend_quartiles",
     "customers_without_orders",
     "dedup_canonical_docs",
-    "dedup_clusters",
     "doc_length_histogram",
     "duplicate_ngram_spans",
     "events_hourly_window",
+    "events_last_hour",
+    "events_minute_fact",
     "events_resampled_locf",
     "events_value_quantiles_approx",
     "inventory_counters",
-    "kmeans_ivf_topk",
     "language_temperature_sample",
     "local_supplier_revenue",
     "media_embedding_topk",
     "orders_status_pivot",
+    "paid_orders_recent",
     "parts_with_shipments",
     "payment_reconciliation",
     "purchase_and_error_users",
@@ -167,7 +139,6 @@ _DRIVER_PRIORITY: list[str] = [
     "order_count_distribution",
     "order_items_revenue",
     "part_pagerank",
-    "pq_recall_report",
     "retention_cohorts",
     "source_quality_drift",
     "stream_stream_attribution_join",
@@ -176,8 +147,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_state_history",
     "user_trailing_hour_value",
     "winsorized_event_stats",
-    # (6) round-6 cohort (freshest — driver-checked last round) follows in
-    # registration order automatically.
+    # (6) r06/r07-certified cohorts follow in registration order.
 ]
 
 

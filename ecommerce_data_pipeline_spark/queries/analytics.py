@@ -7,7 +7,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
+from ecommerce_data_pipeline_spark.functions import (
+    epoch_micros,
+    money_sum,
+    money_sum_sql,
+)
 from ecommerce_data_pipeline_spark.operators import curate as cu
 from ecommerce_data_pipeline_spark.operators import dedup as dd
 from ecommerce_data_pipeline_spark.operators import similarity as sim
@@ -935,29 +939,44 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped multi-touch attribution: each purchase's value is split
     40% first / 40% last / 20% across middle views in the 24 hours
     before it (the reference's notification-cache TTL horizon). The
-    purchase-view pairing is a user_id equi-join with a time-range
-    residual (at 100 TB: co-bucket both sides on
-    (user_id, day bucket) so the residual never widens the
-    shuffle); per-purchase windows are purchase-keyed, per-user sums are
-    integer cents."""
+    purchase-view pairing is a BUCKETED range join: both sides carry a
+    24 h-aligned day bucket (purchases one, views exploded to the <= 2
+    buckets a match can land in, since a view only attaches to purchases
+    in (vts, vts+24h]), the join is a plain equi-join on
+    (user_id, bucket), and the exact time predicate runs as a residual
+    AFTER the equi-match. A hot user's history therefore never meets
+    itself whole — each joined partition holds one user-day, the same
+    single-shuffle discipline as operators/asof.py — and each (purchase,
+    view) pair survives in exactly one bucket because bucket(pts) equals
+    only one of the view's two exploded values. Per-purchase windows are
+    purchase-keyed, per-user sums are integer cents."""
+    day_us = 86_400_000_000  # 24 h in microseconds, bucket width = window
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("pid"),
         F.col("ts").alias("pts"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(epoch_micros(F.col("ts")) / day_us).alias("bkt"),
     )
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("vuser"),
-        F.col("event_id").alias("vid"),
-        F.col("ts").alias("vts"),
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("vuser"),
+            F.col("event_id").alias("vid"),
+            F.col("ts").alias("vts"),
+            F.floor(epoch_micros(F.col("ts")) / day_us).alias("vbkt"),
+        )
+        .withColumn("bkt", F.explode(F.array(F.col("vbkt"), F.col("vbkt") + 1)))
+        .drop("vbkt")
     )
     j = p.join(
         v,
         (F.col("vuser") == F.col("user_id"))
+        & (v["bkt"] == p["bkt"])
         & (F.col("vts") < F.col("pts"))
         & (F.col("vts") >= F.timestamp_add("HOUR", F.lit(-24), F.col("pts"))),
-    )
+    ).drop("bkt")
     wp = Window.partitionBy("pid")
     wo = Window.partitionBy("pid").orderBy("vts", "vid")
     t = j.withColumn("n", F.count("*").over(wp)).withColumn(

@@ -780,12 +780,16 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # property of the sort the READER applies, exactly how curriculum
     # shards are consumed at scale. Difficulty proxy = word count
     # (shortest-first), tie-broken by doc_id.
+    # NULL text is coalesced to '' on BOTH sides (same hardening as
+    # dedup_rate_by_source): size(_words(NULL)) is NULL and Spark sorts
+    # NULLS FIRST on ASC while DuckDB defaults NULLS LAST, which would
+    # shift every band rank in that source.
     oracle="""
 SELECT doc_id, source,
-  CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+  CAST(len(list_filter(string_split(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), ' '),
        w -> w <> '')) AS INTEGER) AS n_tokens,
   CAST(row_number() OVER (PARTITION BY source
-       ORDER BY len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       ORDER BY len(list_filter(string_split(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), ' '),
                    w -> w <> '')), doc_id) AS INTEGER) AS band
 FROM documents
 """,
@@ -796,11 +800,112 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_data_pipeline_spark.operators.text import _words
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(_words(F.col("text")))
+    n_tokens = F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
     w = Window.partitionBy("source").orderBy(n_tokens.asc(), F.col("doc_id"))
     return docs.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
         F.row_number().over(w).alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markup-to-text extraction (the pre-quality-scoring boilerplate strip)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markup_extract_text",
+    # The corpus texts are plain single-line prose, so (same pattern as
+    # the media codecs: synthetic container -> REAL decode) each doc is
+    # first rendered into a deterministic HTML-ish page — title, style
+    # block, nav chrome, heading with entities, script block, body with
+    # inline <em> tags, footer — and the REAL extractor then strips it
+    # back: script/style blocks wholesale, tags -> space, six-entity
+    # decode, whitespace collapse. Per-rule removal counts are taken
+    # before each rule rewrites the string, so the oracle can replay the
+    # exact pipeline stage by stage (entity counts via the length-diff
+    # trick; the regexes are Java+RE2 portable, non-greedy included).
+    oracle="""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' :: ' || source || '</title>'
+    || '<style type="text/css">body{margin:0} p{color:#222}</style></head><body>'
+    || '<nav><a href="/">Home</a> | <a href="/s/' || source || '">' || source
+    || '</a> | <a href="/about">About</a></nav>'
+    || '<h1>' || source || ' &#39;' || lang || '&#39; &amp; co</h1>'
+    || '<script type="text/javascript">var d=' || CAST(doc_id AS VARCHAR) || ';track(d);</script>'
+    || '<p>' || replace(coalesce(text, ''), ' the ', ' <em>the</em> ') || '</p>'
+    || '<footer>&quot;' || source || '&quot; &lt;2026&gt;&nbsp;all rights</footer></body></html>'
+    AS raw
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(raw, '<script[^>]*>.*?</script>')) AS n_script,
+         regexp_replace(raw, '<script[^>]*>.*?</script>', '', 'g') AS t1 FROM page),
+s2 AS (SELECT doc_id, n_script,
+         len(regexp_extract_all(t1, '<style[^>]*>.*?</style>')) AS n_style,
+         regexp_replace(t1, '<style[^>]*>.*?</style>', '', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_script, n_style,
+         len(regexp_extract_all(t2, '<[^>]+>')) AS n_tags,
+         regexp_replace(t2, '<[^>]+>', ' ', 'g') AS t3 FROM s2),
+s4 AS (SELECT doc_id, n_script, n_style, n_tags,
+         (len(t3) - len(replace(t3, '&lt;', ''))) // 4
+       + (len(t3) - len(replace(t3, '&gt;', ''))) // 4
+       + (len(t3) - len(replace(t3, '&quot;', ''))) // 6
+       + (len(t3) - len(replace(t3, '&#39;', ''))) // 5
+       + (len(t3) - len(replace(t3, '&nbsp;', ''))) // 6
+       + (len(t3) - len(replace(t3, '&amp;', ''))) // 5 AS n_entities,
+         replace(replace(replace(replace(replace(replace(t3,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t4
+       FROM s3),
+s5 AS (SELECT doc_id, n_script, n_style, n_tags, n_entities,
+         trim(regexp_replace(t4, '[ ]+', ' ', 'g')) AS clean FROM s4)
+SELECT doc_id,
+       CAST(n_script AS INTEGER) AS n_script,
+       CAST(n_style AS INTEGER) AS n_style,
+       CAST(n_tags AS INTEGER) AS n_tags,
+       CAST(n_entities AS INTEGER) AS n_entities,
+       CAST(len(clean) AS INTEGER) AS out_len,
+       sha256(clean) AS out_sha
+FROM s5
+""",
+)
+def q_markup_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/markup-to-text extraction with a per-rule audit:
+    render each doc into a deterministic HTML-ish page, then strip it
+    with operators.curate.markup_extract (script/style removal, tag ->
+    space, entity decode, whitespace collapse — all chained codegen
+    expressions, zero Python in the hot path). Output keeps the clean
+    text as (length, sha256) so the value hash pins the exact bytes
+    without shipping the full text through the compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    src, lang = F.col("source"), F.col("lang")
+    body = F.replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" the "),
+        F.lit(" <em>the</em> "),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit(" :: "), src,
+        F.lit("</title>"),
+        F.lit('<style type="text/css">body{margin:0} p{color:#222}</style></head><body>'),
+        F.lit('<nav><a href="/">Home</a> | <a href="/s/'), src, F.lit('">'),
+        src, F.lit('</a> | <a href="/about">About</a></nav>'),
+        F.lit("<h1>"), src, F.lit(" &#39;"), lang, F.lit("&#39; &amp; co</h1>"),
+        F.lit('<script type="text/javascript">var d='), did,
+        F.lit(";track(d);</script>"),
+        F.lit("<p>"), body, F.lit("</p>"),
+        F.lit("<footer>&quot;"), src,
+        F.lit("&quot; &lt;2026&gt;&nbsp;all rights</footer></body></html>"),
+    )
+    staged = docs.select("doc_id", page.alias("text"))
+    out = cu.markup_extract(staged)
+    return out.select(
+        "doc_id", "n_script", "n_style", "n_tags", "n_entities",
+        F.length("text").cast("int").alias("out_len"),
+        F.sha2(F.col("text"), 256).alias("out_sha"),
     )

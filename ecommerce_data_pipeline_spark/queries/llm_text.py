@@ -124,6 +124,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ngram_jaccard_pairs, then the pair set is mirrored (each pair feeds
     # both endpoints' neighbor lists) and window-ranked per doc — the
     # mirror is a projection+union, no second similarity pass.
+    #
+    # RANK-SHIFT AMPLIFICATION (why this query's LSH-recall exposure is
+    # bigger than the pair list's): one missed candidate pair doesn't
+    # just drop two output rows — it shifts the window ranks of every
+    # lower-ranked neighbor for BOTH endpoint docs, so a single band
+    # miss can flip several rows against the exact all-pairs oracle.
+    # tests/test_operators.py::test_lsh_recall_on_corpus is therefore
+    # MANDATORY before accepting any regenerated documents fixture: it
+    # proves 64x4 banding recovers 100% of >=0.6 pairs on the corpus.
     oracle=(
         f"WITH {_jaccard_pairs_sql(k=10, threshold=0.6)}, "
         """

@@ -1549,3 +1549,281 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes round 8: the four previously marked "inexpressible" (Q2/Q11/
+# Q12/Q20), re-audited against the fixture columns. The fixture has no
+# partsupp table and no l_shipmode/l_commitdate/l_receiptdate columns, so
+# each adaptation substitutes a lineitem-derived stand-in and KEEPS the
+# reference query's join/agg skeleton (reference Trino catalog:
+# analytics/trino/catalog/tpch.properties:1):
+#   ps_supplycost  -> min observed unit price per (part, supplier)
+#   ps_availqty    -> shipped quantity per (part, supplier) in a year
+#   l_shipmode     -> l_returnflag as the line class
+#   commit/receipt -> "shipped > N days after the order date"
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_part_supplier",
+    # TPC-H Q2 shape (minimum-cost supplier): for PROMO small parts, the
+    # EUROPE supplier(s) whose lineitem-derived unit cost equals the
+    # per-part regional minimum — the correlated MIN subquery of the real
+    # Q2, decorrelated into agg + join-back exactly as Catalyst/Trino
+    # plan it. Unit cost rounds to 2 dp BEFORE the min so the min and the
+    # equality join-back compare identical grids on both engines.
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS p_k, l_suppkey AS s_k,
+         min(round(l_extendedprice * (1 - l_discount) / l_quantity, 2))
+           AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT ps.p_k, ps.s_k, ps.unit_cost
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.s_k
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+m AS (SELECT p_k, min(unit_cost) AS min_cost FROM eligible GROUP BY 1)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       round(s.s_acctbal, 2) AS s_acctbal, e.unit_cost
+FROM eligible e
+JOIN m ON m.p_k = e.p_k AND e.unit_cost = m.min_cost
+JOIN part p ON p.p_partkey = e.p_k
+JOIN supplier s ON s.s_suppkey = e.s_k
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'PROMO' AND p.p_size <= 10
+""",
+)
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape with ps_supplycost derived from lineitem (min
+    observed round-2dp unit price per part-supplier). Plan: part filter
+    broadcast-pruned into the lineitem scan, supplier/nation/region all
+    broadcast, one (part,supp) agg shuffle, then the per-part min as a
+    second small agg broadcast-joined back — no window over the big side,
+    no correlated execution."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup_eur = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        l.groupBy(
+            F.col("l_partkey").alias("p_k"), F.col("l_suppkey").alias("s_k")
+        )
+        .agg(
+            F.min(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    / F.col("l_quantity"),
+                    2,
+                )
+            ).alias("unit_cost")
+        )
+    )
+    eligible = ps.join(
+        F.broadcast(sup_eur), F.col("s_k") == F.col("s_suppkey")
+    )
+    m = eligible.groupBy("p_k").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        eligible.join(
+            F.broadcast(m),
+            (eligible["p_k"] == m["p_k"])
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop(m["p_k"])
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("p_k"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "important_parts_by_nation",
+    # TPC-H Q11 shape (important stock identification): per-part value of
+    # NATION_7-supplied lineitem revenue, kept where the part's share
+    # exceeds 0.1% of the nation total. The threshold compare is pure
+    # int64 (val_cents * 1000 > total_cents) — no float boundary can
+    # flip a row between engines. Same global-scalar-subquery × group
+    # agg skeleton as the reference Q11.
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS val_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+t AS (SELECT sum(val_cents) AS total FROM v)
+SELECT p_partkey, round(val_cents / 100.0, 2) AS value
+FROM v, t
+WHERE val_cents * 1000 > total
+""",
+)
+def q_important_parts_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: part value concentration for one nation's
+    suppliers. Supplier×nation prune is a broadcast into the lineitem
+    scan; one (part) agg shuffle; the nation total is a 1-row broadcast
+    crossJoin; the share test is integer-exact cents arithmetic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    sup = s.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey")
+    v = (
+        l.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("val_cents")
+        )
+    )
+    t = v.agg(F.sum("val_cents").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val_cents") * 1000 > F.col("total"))
+        .select(
+            "p_partkey", F.round(F.col("val_cents") / 100.0, 2).alias("value")
+        )
+    )
+
+
+@register(
+    "returnflag_priority_lateness",
+    # TPC-H Q12 shape (shipping modes and order priority): l_returnflag
+    # is the line class (no l_shipmode in the fixture), "late" is
+    # shipped >45 days after the order date (no commit/receipt dates),
+    # the window is one ship-year, and the output is the classic
+    # high/low priority line counts per class.
+    oracle="""
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('R', 'A')
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+GROUP BY 1
+""",
+)
+def q_returnflag_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipped lines in one year, classed by
+    l_returnflag, split into high/low priority counts. The year + class
+    filters push into the lineitem scan; the join shuffles on orderkey
+    with the lateness non-equi predicate as a post-join residual."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "dominant_promo_part_shippers",
+    # TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    # MORE THAN HALF of a red part's total 1997 volume (ps_availqty >
+    # 0.5 * shipped-qty becomes per-supplier share > 0.5 of the part's
+    # year volume — the same part-name LIKE prefilter, per-(supp,part)
+    # quantity agg, scalar-threshold semi-join chain). Quantity compare
+    # is integer (qty * 2 > part total), exact on both engines.
+    oracle="""
+WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+sq AS (
+  SELECT l_suppkey AS s_k, l_partkey AS p_k,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem JOIN pp ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT p_k, sum(qty) AS pq FROM sq GROUP BY 1)
+SELECT DISTINCT s.s_name, n.n_name
+FROM sq
+JOIN tot USING (p_k)
+JOIN supplier s ON s.s_suppkey = sq.s_k
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sq.qty * 2 > tot.pq
+""",
+)
+def q_dominant_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: distinct suppliers dominating a red part's 1997
+    shipped volume. Name-filtered parts broadcast into the lineitem
+    scan; one (supp,part) agg; per-part totals re-agg and broadcast
+    back; supplier/nation decoration broadcast; final DISTINCT is over
+    the tiny qualifying set."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sq = (
+        l.join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("l_suppkey").alias("s_k"), F.col("l_partkey").alias("p_k")
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = sq.groupBy("p_k").agg(F.sum("qty").alias("pq"))
+    return (
+        sq.join(F.broadcast(tot), "p_k")
+        .filter(F.col("qty") * 2 > F.col("pq"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("s_k"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )

@@ -761,3 +761,82 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _register_streaming_incremental_dedup() -> None:
+    # Deferred so the streaming variant shares dedup_incremental_assign's
+    # oracle verbatim (same pattern as streaming_media_decode): each new
+    # doc is assigned against the STATIC persisted signature artifact, so
+    # micro-batch boundaries cannot change any assignment and streaming
+    # output == batch output by construction.
+    from ecommerce_data_pipeline_spark.queries._registry import ORACLES
+
+    @register(
+        "streaming_incremental_dedup",
+        oracle=ORACLES["dedup_incremental_assign"],
+    )
+    def q_streaming_incremental_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming dedup-on-ingest against the artifact store: the
+        corpus's signature artifact (exact-hash table, LSH bucket table,
+        shingle arrays — operators/dedup.py:signature_artifact) is
+        persisted to parquet ONCE; new docs then arrive as a file stream
+        (the Kafka stand-in) and every micro-batch probes the artifact
+        inside foreachBatch via assign_against_artifact. State is bounded
+        by the ARTIFACT, not the stream history — the stream itself is
+        stateless (no state store; the artifact plays the role RocksDB
+        state plays in dropDuplicates), which is exactly how a 100 TB
+        ingest dedups: signatures live in the lake, batches probe them,
+        'new' assignments append their signatures back (append elided
+        here to keep assignment independent of batch partitioning — the
+        batch twin defines one deterministic answer).
+
+        Reference analogue: the consumers' upsert-by-key idempotent
+        ingest contract (docs/events.md:145-150), lifted from single-row
+        keys to content identity."""
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        existing = docs.filter(F.col("doc_id") % 5 != 0)
+        root = tempfile.mkdtemp(prefix="stream_incdedup_")
+        try:
+            art = f"{root}/artifact"
+            exact_t, banded_t, prof_t = dd.signature_artifact(existing)
+            exact_t.write.mode("overwrite").parquet(f"{art}/exact")
+            banded_t.write.mode("overwrite").parquet(f"{art}/buckets")
+            prof_t.write.mode("overwrite").parquet(f"{art}/shingles")
+
+            src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+            new.repartition(4).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+
+            def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
+                assigned = dd.assign_against_artifact(
+                    batch_df,
+                    spark.read.parquet(f"{art}/exact"),
+                    spark.read.parquet(f"{art}/buckets"),
+                    spark.read.parquet(f"{art}/shingles"),
+                )
+                assigned.write.mode("append").parquet(out)
+
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(assign_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+_register_streaming_incremental_dedup()

@@ -48,6 +48,11 @@ HEAVY = {
     "bpe_encode_tokens": "documents",
     "bpe_merge_vocab": "documents",
     "video_frame_topk": "documents",
+    # round-8 additions (r7 verdict: the >2.5 s heavy tier must carry a
+    # measured alpha row; multitouch per ask #3's bucketed-join rework)
+    "edit_distance_near_dup": "documents",
+    "mmr_diverse_topk": "embeddings",
+    "multitouch_attribution": "events",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
