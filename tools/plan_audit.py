@@ -42,6 +42,8 @@ SKIP_BUILD = {
     "schema_evolution_merge",
     "gdpr_delete_audit",
     "streaming_media_decode",
+    # r8: artifact-probe dedup drain (foreachBatch over the file stream)
+    "streaming_incremental_dedup",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
@@ -108,6 +110,8 @@ CARTESIAN_OK = {
     "value_drift_psi",
     # 1-row positive-balance-average anchor (TPC-H Q22 shape)
     "dormant_rich_customers",
+    # 1-row nation-total denominator (TPC-H Q11 shape, integer-cents)
+    "important_parts_by_nation",
     "hybrid_rrf_search",
     "ann_recall_report",
     "pq_recall_report",
