@@ -455,3 +455,73 @@ def markup_extract(
         n_entities.cast("int").alias("n_entities"),
         clean.alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line/segment-level boilerplate dedup (the CCNet/RefinedWeb per-line hash
+# dedup, on fixed word segments since the corpus texts are single-line)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_segment_report(
+    docs: DataFrame,
+    seg_words: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-doc boilerplate audit via cross-document segment frequency:
+    split each doc into fixed ``seg_words``-word segments, count how many
+    DISTINCT docs of the same ``group_col`` each segment appears in, and
+    flag segments shared by >= ``min_docs`` docs as boilerplate (nav
+    chrome / licence footers / template text in a real crawl; here the
+    shared runs of the corpus's near-duplicate docs).
+
+    Plan: one tokenize+posexplode map stage, one (group, segment) count
+    shuffle (map-side combined; segment strings are bounded at
+    seg_words words), one join back keyed on the same (group, segment),
+    one per-doc agg. No window over the corpus, nothing quadratic — the
+    same shape CCNet runs per shard at crawl scale.
+
+    Output: (doc_id, n_segments, n_boilerplate, boiler_ratio).
+    """
+    from ecommerce_data_pipeline_spark.operators.text import _words
+
+    words = _words(F.coalesce(F.col(text_col), F.lit("")))
+    n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg"),
+    )
+    freq = (
+        segs.filter(F.col("seg").isNotNull())
+        .groupBy("grp", "seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    flagged = segs.join(freq, ["grp", "seg"], "left").select(
+        "doc_id",
+        F.when(F.col("seg").isNotNull(), 1).otherwise(0).alias("is_seg"),
+        F.when(
+            F.col("seg").isNotNull() & (F.col("nd") >= min_docs), 1
+        ).otherwise(0).alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("is_seg").cast("int").alias("n_segments"),
+        F.sum("is_boiler").cast("int").alias("n_boilerplate"),
+        F.coalesce(
+            F.round(F.sum("is_boiler") / F.nullif(F.sum("is_seg"), F.lit(0)), 4),
+            F.lit(0.0),
+        ).alias("boiler_ratio"),
+    )

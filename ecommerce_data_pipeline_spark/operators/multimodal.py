@@ -525,6 +525,49 @@ def video_frame_vectors(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def video_scene_cuts(media: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """REAL scene-change detection over the multi-frame container: decode
+    every frame (codecs.pgm_stream_decode), compute the mean absolute
+    pixel difference between each adjacent frame pair, and flag pairs
+    above ``threshold`` as cuts — the shot-boundary pre-pass every video
+    training pipeline runs before frame sampling (sample densely inside
+    shots, always keep boundary frames). One container parse per
+    payload; only (doc_id, frame_idx, diff, flag) rows ever shuffle,
+    never pixels.
+
+    Output: (doc_id, frame_idx of the LATTER frame, mean_abs_diff,
+    is_cut).
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import codecs
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = codecs.pgm_stream_decode(bytes(payload))
+                for f in range(1, len(frames)):
+                    d = np.abs(
+                        frames[f].astype(np.int64)
+                        - frames[f - 1].astype(np.int64)
+                    )
+                    # sum/64 is a dyadic rational — exactly representable
+                    # as a double, so NO rounding: both engines land on
+                    # the identical bits (round(x, 4) would split on
+                    # banker's-vs-half-away at .00005 boundaries).
+                    mean = int(d.sum()) / d.size
+                    rows.append((int(doc_id), f, mean, mean > threshold))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "mean_abs_diff", "is_cut"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _cuts, "doc_id long, frame_idx int, mean_abs_diff double, is_cut boolean"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit (doc_id, frame_idx)
     rows for frames 0, n, 2n... based on a pseudo frame count (bytes/1000).

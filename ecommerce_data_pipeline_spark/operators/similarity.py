@@ -412,3 +412,91 @@ def mmr_rerank(
         "sel_rank",
         F.col("rel").alias("relevance"),
     )
+
+
+def margin_mined_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix criterion): for each source vector, its best target
+    neighbor scored by cos(x,y) normalized by the mean of both
+    directions' top-k neighborhoods —
+
+        margin(x, y) = cos(x, y) /
+            (0.5 * mean_topk_t cos(x, t) + 0.5 * mean_topk_s cos(s, y))
+
+    which suppresses hub vectors that are near everything. ``src`` is
+    the bounded probe side (broadcast, same policy as cosine_topk /
+    video_frame_topk — at production scale the caller routes candidates
+    through IVF cells first, SCALE.md §10); ``tgt`` streams. The
+    backward mean is computed within the probe block (the standard
+    mined-margin-in-candidate-block practice).
+
+    One broadcast join builds the scored block; both directional top-k
+    means are rank<=k aggregates off that SAME frame (two small keyed
+    aggs, broadcast back); the final frame keeps each source's argmax
+    pair with margin >= threshold. All JVM expressions.
+
+    Output: (src_id, tgt_id, cosine_sim, margin).
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), _as_double(F.col(vec_col)).alias("s_vec")
+    ).withColumn("sn", _norm(F.col("s_vec")))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), _as_double(F.col(vec_col)).alias("t_vec")
+    ).withColumn("tn", _norm(F.col("t_vec")))
+    scored = (
+        t.join(F.broadcast(s))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("s_vec"), F.col("t_vec"))
+                / (F.col("sn") * F.col("tn")),
+                4,
+            ),
+        )
+        .select("src_id", "tgt_id", "cosine_sim")
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("src_id")
+    )
+    fwd = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cosine_sim").alias("fwd_mean"))
+    )
+    bwd = (
+        scored.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cosine_sim").alias("bwd_mean"))
+    )
+    best = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") == 1)
+        .drop("rf")
+    )
+    return (
+        best.join(F.broadcast(fwd), "src_id")
+        .join(F.broadcast(bwd), "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine_sim")
+                / (0.5 * F.col("fwd_mean") + 0.5 * F.col("bwd_mean")),
+                4,
+            ),
+        )
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "tgt_id", "cosine_sim", "margin")
+    )

@@ -73,6 +73,10 @@ _DRIVER_PRIORITY: list[str] = [
     "important_parts_by_nation",
     "returnflag_priority_lateness",
     "dominant_promo_part_shippers",
+    "part_profit_by_nation_year",
+    "bitext_margin_pairs",
+    "boilerplate_segment_report",
+    "video_scene_cuts",
     # (3) plan/code path changed this round
     "asof_tolerance_attribution",  # tolerance filter now integer micros
     "curriculum_interleave",  # NULL-text coalesce both sides (ADVICE)

@@ -909,3 +909,50 @@ def q_markup_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("int").alias("out_len"),
         F.sha2(F.col("text"), 256).alias("out_sha"),
     )
+
+
+@register(
+    "boilerplate_segment_report",
+    # CCNet/RefinedWeb line-level dedup, as a per-doc audit: 4-word
+    # segments shared by >=2 distinct docs of the same source are
+    # boilerplate. On this corpus the flagged segments are exactly the
+    # shared runs of the near-duplicate docs (the fixture has no nav
+    # chrome), which the oracle recomputes segment-for-segment.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+    list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z ]', '', 'g'), ' '), x -> x <> '') AS words
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, source,
+         array_to_string(words[i*4+1 : i*4+4], ' ') AS seg
+  FROM w, unnest(range(CAST(ceil(len(words)/4.0) AS BIGINT))) AS t(i)
+),
+freq AS (
+  SELECT source, seg, count(DISTINCT doc_id) AS nd
+  FROM segs GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+  FROM segs s JOIN freq f USING (source, seg)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_segments, 0) AS INTEGER) AS n_segments,
+       CAST(coalesce(p.n_boilerplate, 0) AS INTEGER) AS n_boilerplate,
+       coalesce(round(p.n_boilerplate / nullif(p.n_segments, 0), 4), 0.0)
+         AS boiler_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_boilerplate_segment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate audit (operators/curate.py:
+    boilerplate_segment_report): one tokenize+posexplode pass, one
+    (source, segment) count shuffle, join-back, per-doc agg — the
+    CCNet per-shard line-dedup shape, never quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.boilerplate_segment_report(docs, seg_words=4, min_docs=2)

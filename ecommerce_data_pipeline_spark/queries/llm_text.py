@@ -1500,3 +1500,49 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim_expr, 4).alias("edit_sim"),
         )
     )
+
+
+@register(
+    "video_scene_cuts",
+    # REAL video tier, round 8: shot-boundary detection. The mean
+    # absolute adjacent-frame pixel diff has a closed form — pixel
+    # delta is ((x+17) mod 256) - (x mod 256) per cell, i.e. +17 or
+    # -239 at wraparounds — so the oracle replays it exactly; the Spark
+    # side must DECODE the real container to land on the same grid.
+    # sum/64 is dyadic => exact double, deliberately UNROUNDED (4-dp
+    # rounding splits banker's-vs-half-away at .00005 boundaries).
+    # Threshold 40 flags pairs where enough cells wrapped (a real
+    # luminance-jump heuristic on this synthetic family).
+    oracle="""
+WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+f AS (
+  SELECT doc_id, unnest(generate_series(1, nf - 1)) AS frame_idx
+  FROM g
+)
+SELECT doc_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(list_aggregate(
+    [abs(((doc_id*31 + frame_idx*17 + (p//8)*7 + (p%8)*13) % 256)
+       - ((doc_id*31 + (frame_idx-1)*17 + (p//8)*7 + (p%8)*13) % 256))
+     for p in generate_series(0, 63)], 'sum') AS BIGINT) / 64.0
+    AS mean_abs_diff,
+  CAST(list_aggregate(
+    [abs(((doc_id*31 + frame_idx*17 + (p//8)*7 + (p%8)*13) % 256)
+       - ((doc_id*31 + (frame_idx-1)*17 + (p//8)*7 + (p%8)*13) % 256))
+     for p in generate_series(0, 63)], 'sum') AS BIGINT) / 64.0 > 40.0
+    AS is_cut
+FROM f
+""",
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over real multi-frame containers
+    (operators/multimodal.py:video_scene_cuts): decode every frame,
+    mean-abs-diff each adjacent pair, flag cuts above threshold. The
+    pre-pass before frame sampling in a video training pipeline."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        synth_video_corpus,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scene_cuts(synth_video_corpus(docs))

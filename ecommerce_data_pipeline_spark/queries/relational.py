@@ -1571,28 +1571,32 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EUROPE supplier(s) whose lineitem-derived unit cost equals the
     # per-part regional minimum — the correlated MIN subquery of the real
     # Q2, decorrelated into agg + join-back exactly as Catalyst/Trino
-    # plan it. Unit cost rounds to 2 dp BEFORE the min so the min and the
-    # equality join-back compare identical grids on both engines.
+    # plan it. Unit cost is fixed on the integer-cents grid via the PORTABLE
+    # floor(x*100+0.5) fold BEFORE the min (Spark round() goes through
+    # BigDecimal shortest-repr, DuckDB rounds in double arithmetic —
+    # they disagree near .005 boundaries; floor on the identical double
+    # never can), so min and join-back compare identical integers.
     oracle="""
 WITH ps AS (
   SELECT l_partkey AS p_k, l_suppkey AS s_k,
-         min(round(l_extendedprice * (1 - l_discount) / l_quantity, 2))
-           AS unit_cost
+         min(CAST(floor(l_extendedprice * (1 - l_discount) / l_quantity
+                        * 100 + 0.5) AS BIGINT)) AS uc_cents
   FROM lineitem GROUP BY 1, 2
 ),
 eligible AS (
-  SELECT ps.p_k, ps.s_k, ps.unit_cost
+  SELECT ps.p_k, ps.s_k, ps.uc_cents
   FROM ps
   JOIN supplier s ON s.s_suppkey = ps.s_k
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   JOIN region r ON r.r_regionkey = n.n_regionkey
   WHERE r.r_name = 'EUROPE'
 ),
-m AS (SELECT p_k, min(unit_cost) AS min_cost FROM eligible GROUP BY 1)
+m AS (SELECT p_k, min(uc_cents) AS min_cents FROM eligible GROUP BY 1)
 SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
-       round(s.s_acctbal, 2) AS s_acctbal, e.unit_cost
+       round(s.s_acctbal, 2) AS s_acctbal,
+       e.uc_cents / 100.0 AS unit_cost
 FROM eligible e
-JOIN m ON m.p_k = e.p_k AND e.unit_cost = m.min_cost
+JOIN m ON m.p_k = e.p_k AND e.uc_cents = m.min_cents
 JOIN part p ON p.p_partkey = e.p_k
 JOIN supplier s ON s.s_suppkey = e.s_k
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1624,24 +1628,25 @@ def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.min(
-                F.round(
+                F.floor(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
-                    / F.col("l_quantity"),
-                    2,
-                )
-            ).alias("unit_cost")
+                    / F.col("l_quantity")
+                    * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("uc_cents")
         )
     )
     eligible = ps.join(
         F.broadcast(sup_eur), F.col("s_k") == F.col("s_suppkey")
     )
-    m = eligible.groupBy("p_k").agg(F.min("unit_cost").alias("min_cost"))
+    m = eligible.groupBy("p_k").agg(F.min("uc_cents").alias("min_cents"))
     return (
         eligible.join(
             F.broadcast(m),
             (eligible["p_k"] == m["p_k"])
-            & (F.col("unit_cost") == F.col("min_cost")),
+            & (F.col("uc_cents") == F.col("min_cents")),
         )
         .drop(m["p_k"])
         .join(F.broadcast(p), F.col("p_partkey") == F.col("p_k"))
@@ -1651,7 +1656,7 @@ def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
-            "unit_cost",
+            (F.col("uc_cents") / 100.0).alias("unit_cost"),
         )
     )
 
@@ -1667,8 +1672,8 @@ def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT l_partkey AS p_partkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS val_cents
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS val_cents
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1699,8 +1704,9 @@ def q_important_parts_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
             F.sum(
-                F.round(
+                F.floor(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
                 ).cast("long")
             ).alias("val_cents")
         )
@@ -1826,4 +1832,93 @@ def q_dominant_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
         .distinct()
+    )
+
+
+@register(
+    "part_profit_by_nation_year",
+    # TPC-H Q9 shape (product-type profit): profit per supplier nation and
+    # ship year over name-matched parts, with ps_supplycost standing in as
+    # the lineitem-derived min 2-dp unit price per (part, supplier) — the
+    # same substitution as min_cost_part_supplier (the fixture has no
+    # partsupp), keeping Q9's join tree (part ⨝ lineitem ⨝ supplier ⨝
+    # nation + the cost-source branch) and group-by (nation, year).
+    # Profit = sum(extprice·(1-disc) − unit_cost·qty), all in int64
+    # cents via the portable floor(x*100+0.5) fold (see
+    # min_cost_part_supplier — Spark round() and DuckDB round() disagree
+    # near .005 boundaries on non-2dp products), qty integral, so the
+    # sum is order-independent and engine-identical.
+    oracle="""
+WITH uc AS (
+  SELECT l_partkey AS p_k, l_suppkey AS s_k,
+         min(CAST(floor(l_extendedprice * (1 - l_discount) / l_quantity
+                        * 100 + 0.5) AS BIGINT)) AS uc_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+       round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)
+               - uc.uc_cents * CAST(round(l.l_quantity) AS BIGINT))
+             / 100.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN uc ON uc.p_k = l.l_partkey AND uc.s_k = l.l_suppkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+)
+def q_part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: nation×ship-year profit on 'gear' parts. The
+    unit-cost branch is a (part,supp) agg over the SAME filtered
+    lineitem scan family; part name filter broadcasts into both
+    branches, supplier/nation broadcast, one (part,supp) shuffle for
+    costs + one (nation,year) agg shuffle for the rollup."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    )
+    uc = (
+        l.groupBy(
+            F.col("l_partkey").alias("p_k"), F.col("l_suppkey").alias("s_k")
+        )
+        .agg(
+            F.min(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    / F.col("l_quantity")
+                    * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("uc_cents")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    cost_cents = F.col("uc_cents") * F.round(F.col("l_quantity")).cast("long")
+    return (
+        l.join(
+            uc,
+            (F.col("p_k") == F.col("l_partkey"))
+            & (F.col("s_k") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(rev_cents - cost_cents) / 100.0, 2).alias("profit")
+        )
     )

@@ -1631,3 +1631,73 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_rerank(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k_candidates=20, k_select=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining: ratio-margin criterion over cross-lingual embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitext_margin_pairs",
+    # LASER/CCMatrix-style parallel-corpus mining between the fixture's
+    # 'en' (probe, doc_id%10=0 — bounded broadcast side, same policy as
+    # video_frame_topk) and 'de' documents via their embeddings. The
+    # ratio margin cos/(mean of both directions' top-4 neighborhoods)
+    # demotes hub vectors; both means come off ONE scored block. The
+    # oracle replays the identical block/windows; cosine and margin are
+    # both 4-dp rounded so the threshold compares the same grid.
+    oracle="""
+WITH sv AS (
+  SELECT e.vec_id AS src_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND e.vec_id % 10 = 0
+),
+tv AS (
+  SELECT e.vec_id AS tgt_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'de'
+),
+sc AS (
+  SELECT s.src_id, t.tgt_id,
+    round(list_inner_product(s.v, t.v)
+          / (sqrt(list_inner_product(s.v, s.v))
+             * sqrt(list_inner_product(t.v, t.v))), 4) AS cosine_sim
+  FROM sv s CROSS JOIN tv t
+),
+rf AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         ORDER BY cosine_sim DESC, tgt_id) AS rf FROM sc),
+fwd AS (SELECT src_id, avg(cosine_sim) AS fwd_mean FROM rf
+        WHERE rf <= 4 GROUP BY 1),
+rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+         ORDER BY cosine_sim DESC, src_id) AS rb FROM sc),
+bwd AS (SELECT tgt_id, avg(cosine_sim) AS bwd_mean FROM rb
+        WHERE rb <= 4 GROUP BY 1),
+best AS (SELECT src_id, tgt_id, cosine_sim FROM rf WHERE rf = 1)
+SELECT b.src_id, b.tgt_id, b.cosine_sim,
+       round(b.cosine_sim / (0.5 * f.fwd_mean + 0.5 * w.bwd_mean), 4)
+         AS margin
+FROM best b JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)
+WHERE round(b.cosine_sim / (0.5 * f.fwd_mean + 0.5 * w.bwd_mean), 4) >= 1.0
+""",
+)
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining (operators/similarity.py:
+    margin_mined_pairs): en-probe x de-corpus cosine block, Artetxe-
+    Schwenk ratio margin, best pair per source at margin >= 1.0. At
+    100 TB the probe side is IVF-routed (SCALE.md §10); here it is the
+    bounded doc_id%10 slice, and every stage after the block is a
+    rank<=k window + two tiny broadcast aggs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.join(
+        docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)),
+        F.col("doc_id") == F.col("vec_id"),
+        "left_semi",
+    )
+    tgt = emb.join(
+        docs.filter(F.col("lang") == "de"),
+        F.col("doc_id") == F.col("vec_id"),
+        "left_semi",
+    )
+    return sim.margin_mined_pairs(src, tgt, k=4, threshold=1.0)

@@ -85,6 +85,8 @@ PANDAS_OK = {
     # LSH-candidate generation (same MinHash pandas fold) feeding the
     # exact Levenshtein verify
     "edit_distance_near_dup",
+    # r8: real frame-decode kernel behind the scene-cut detector
+    "video_scene_cuts",
 }
 
 # 1-row broadcast scalar joins, individually audited (PLANS.md header).
@@ -125,6 +127,9 @@ CARTESIAN_OK = {
     # MMR retrieval stage = cosine_topk's broadcast exact top-k; the
     # greedy loop after it is all equi-joins on candidate rows
     "mmr_diverse_topk",
+    # bounded en-probe block broadcast against the de corpus (same
+    # exact-top-k class as cosine_topk; probe side doc_id%10)
+    "bitext_margin_pairs",
     "ccnet_quality_buckets",
     "token_budget_mixture",
     "forecast_revenue_change",
