@@ -445,3 +445,81 @@ def matryoshka_audit(
             ).alias(f"retained_{d}")
         )
     return vectors.select(*cols, *[F.col(c) for c in keep])
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    nprobe: int = 3,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN composition (faiss IVFPQ): coarse k-means
+    routing bounds WHICH vectors are scored (nprobe/n_cells of the
+    corpus per query) and PQ asymmetric distance bounds WHAT is read to
+    score them (the m-int code column — the float corpus never leaves
+    disk). Routing is the multiprobe cell equi-join, scoring is the ADC
+    codebook lookup; both stages reuse the deterministic fits
+    (md5-order init, fixed iterations) so a SQL oracle can replay the
+    whole index build + search.
+
+    Output: (query_id, neighbor_id, adc_d2, rank) over probed cells only.
+    """
+    from pyspark.sql.window import Window
+
+    coarse = kmeans_fit(
+        vectors, k=n_cells, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = assign_cells(vectors, coarse, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    books = pq_fit(
+        vectors, m=m, k=pq_k, iters=pq_iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(vectors, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+    corpus = cells.join(codes, "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    dists = F.transform(
+        _centroid_lit(coarse),
+        lambda c, i: F.struct(
+            _dist2_col(F.col("q_vec"), c).alias("d"), i.alias("cell")
+        ),
+    )
+    probed = qv.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"]
+            )
+        ),
+    )
+    d_sub = len(books[0][0])
+    adc = None
+    for s, cb in enumerate(books):
+        q_s = F.slice(F.col("q_vec"), s * d_sub + 1, d_sub)
+        cent = F.element_at(
+            _centroid_lit(cb), F.element_at("pq_codes", s + 1) + 1
+        )
+        term = _dist2_col(q_s, cent)
+        adc = term if adc is None else adc + term
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 4).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

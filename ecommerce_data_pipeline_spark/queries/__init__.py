@@ -77,6 +77,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bitext_margin_pairs",
     "boilerplate_segment_report",
     "video_scene_cuts",
+    "tokenizer_fertility_by_lang",
+    "ivf_pq_topk",
     # (3) plan/code path changed this round
     "asof_tolerance_attribution",  # tolerance filter now integer micros
     "curriculum_interleave",  # NULL-text coalesce both sides (ADVICE)

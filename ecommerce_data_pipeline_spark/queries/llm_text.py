@@ -1546,3 +1546,76 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return video_scene_cuts(synth_video_corpus(docs))
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Training CTEs + application (shared with _bpe_encode_oracle), then
+    the per-language rollup: fertility = BPE tokens per word."""
+    parts = [
+        _bpe_train_cte(rounds),
+        """,
+d0 AS (
+  SELECT doc_id,
+    ',' || array_to_string([w[i:i] for i in range(1, length(w)+1)], ',,')
+        || ',' AS seg
+  FROM (SELECT doc_id, unnest(""" + _WORDS_SQL + """) AS w FROM documents)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT doc_id,
+           replace(seg, ','||a||',,'||b||',', ','||a||b||',') AS seg
+         FROM d{r-1} CROSS JOIN m{r})"""
+        )
+    parts.append(
+        f""",
+per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(length(seg) - length(replace(seg, ',,', ',')) + 1) AS BIGINT)
+      AS bpe_tokens
+  FROM d{rounds}
+  GROUP BY doc_id
+)
+SELECT d.lang,
+  CAST(count(*) AS INTEGER) AS n_docs,
+  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+  CAST(sum(p.bpe_tokens) AS BIGINT) AS bpe_tokens,
+  round(sum(p.bpe_tokens) * 1.0 / sum(p.n_words), 4) AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    # The tokenizer-eval every multilingual pretraining run does before
+    # committing to a vocab: fertility (BPE tokens per word) per
+    # language under the corpus-trained 10-merge tokenizer. English-ish
+    # merges transfer unevenly, so per-lang fertility spreads — the
+    # signal vocab-allocation decisions read. The oracle re-derives the
+    # full training trajectory (shared CTE chain with bpe_encode_tokens)
+    # plus the per-language rollup.
+    oracle=_bpe_fertility_oracle(10),
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-trained BPE:
+    train 10 merges (vocab-sized work), encode via literal replace()
+    projection, one doc-keyed count, one lang rollup. Docs with zero
+    words carry no word rows and drop out of both engines' rollups."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = tx.bpe_encode_tokens(docs, rounds=10)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.round(F.sum("bpe_tokens") / F.sum("n_words"), 4).alias(
+                "fertility"
+            ),
+        )
+    )

@@ -1701,3 +1701,85 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return sim.margin_mined_pairs(src, tgt, k=4, threshold=1.0)
+
+
+def _ivf_pq_oracle_sql(
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+) -> str:
+    """DuckDB replay of the full IVFPQ index build + search: the coarse
+    Lloyd's fit routes (probe CTE), the m per-subspace fits quantize
+    (ADC terms), and the search scores ONLY rows of probed cells — the
+    exact composition ivf_pq_topk executes."""
+    d = dim // m
+    # Coarse fit (src="emb" emits the emb CTE itself):
+    # a{coarse_iters} = (vec_id, v, cell), c{coarse_iters} = centroids
+    # (default suffix — distinct from the _s{s} subspace names).
+    parts = _kmeans_cells_sql(n_cells, coarse_iters, dim, src="emb")
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(f"emb_s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)")
+        parts.extend(
+            _kmeans_cells_sql(k, iters, d, src=f"emb_s{s}", suffix=f"_s{s}")
+        )
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0)"
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_d2_sql('q.qv', 'c.v')}, c.cell) AS prn
+    FROM q CROSS JOIN c{coarse_iters} c) WHERE prn <= {nprobe}
+)"""
+    )
+    code_joins = " ".join(
+        f"JOIN a{iters}_s{s} cs{s} USING (vec_id)" for s in range(1, m)
+    )
+    cb_joins = " ".join(
+        f"JOIN c{iters}_s{s} cb{s} ON cb{s}.cell = cs{s}.cell" for s in range(m)
+    )
+    adc_terms = " + ".join(
+        _d2_sql(f"p.qv[{s * d + 1}:{(s + 1) * d}]", f"cb{s}.v")
+        for s in range(m)
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT p.query_id, cs0.vec_id AS neighbor_id,
+    round({adc_terms}, 4) AS adc_d2
+  FROM a{coarse_iters} coarse
+  JOIN a{iters}_s0 cs0 USING (vec_id) {code_joins} {cb_joins}
+  JOIN probe p ON p.cell = coarse.cell
+  WHERE p.query_id <> cs0.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2, neighbor_id) AS rn
+  FROM adc) WHERE rn <= {topk}"""
+    )
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (faiss IVFPQ — operators/
+    quantize.py:ivf_pq_topk): coarse IVF routing bounds which rows are
+    scored (nprobe=3 of 8 cells), PQ asymmetric distance bounds what is
+    read to score them (16-bit codes, float corpus stays on disk). The
+    oracle replays the coarse fit, all four subspace fits, routing and
+    ADC ranking in unrolled SQL."""
+    from ecommerce_data_pipeline_spark.operators.quantize import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
