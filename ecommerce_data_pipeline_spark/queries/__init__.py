@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "video_scene_cuts",
     "tokenizer_fertility_by_lang",
     "ivf_pq_topk",
+    "streaming_trending_topk",
     # (3) plan/code path changed this round
     "asof_tolerance_attribution",  # tolerance filter now integer micros
     "curriculum_interleave",  # NULL-text coalesce both sides (ADVICE)

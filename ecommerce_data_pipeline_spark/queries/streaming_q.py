@@ -840,3 +840,96 @@ def _register_streaming_incremental_dedup() -> None:
 
 
 _register_streaming_incremental_dedup()
+
+
+@register(
+    "streaming_trending_topk",
+    # Trending dashboard shape: 15-min tumbling-window counts per event
+    # type computed IN the stream (watermarked state, append mode), top-3
+    # rank applied on read — streaming append mode cannot rank across a
+    # window's rows until the window closes, so production serves rank
+    # at the query layer over the emitted counts; doing the same here
+    # keeps streaming-vs-batch equivalence honest. Windows align on
+    # epoch multiples of 900 s in both engines.
+    oracle="""
+WITH wc AS (
+  SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+            ORDER BY n_events DESC, event_type) AS rn
+  FROM wc) WHERE rn <= 3
+""",
+)
+def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed trending: tumbling 15-min counts per event_type
+    as a watermarked streaming aggregation (state = open windows only),
+    flushed by the far-future-sentinel pattern of
+    streaming_session_windows, then ranked top-3 per window on read."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp_ltz").alias("ts"), "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="stream_trend_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        sentinel = ev.agg(
+            F.timestamp_add("DAY", F.lit(366), F.max("ts")).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+        )
+        before = set(os.listdir(src))
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                path = os.path.join(src, f)
+                future = os.path.getmtime(path) + 3600
+                os.utime(path, (future, future))
+        schema = spark.read.parquet(src).schema
+        counts = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withWatermark("ts", "1 second")
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        with rocksdb_state(spark):
+            q = (
+                counts.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+        emitted = (
+            spark.read.parquet(out)
+            .filter(F.col("event_type") != "__sentinel__")
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        from pyspark.sql.window import Window as W
+
+        rk = W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+        return (
+            emitted.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= 3)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

@@ -44,6 +44,8 @@ SKIP_BUILD = {
     "streaming_media_decode",
     # r8: artifact-probe dedup drain (foreachBatch over the file stream)
     "streaming_incremental_dedup",
+    # r8: watermarked windowed-count drain + rank-on-read
+    "streaming_trending_topk",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
