@@ -48,70 +48,21 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# Round 8 (policy applied): (1) the SEVEN late-round-7 queries that have
-# never had a driver row in ANY round, at the very front (r7 verdict ask #1
-# verbatim); (2) the round-8 additions; (3) queries whose plan/code path
-# changed this round (asof tolerance now integer-micros, curriculum NULL
-# coalesce, incremental-dedup artifact refactor, kmeans fit_sample default);
-# (4) the 44-query r04 cohort (SURVEY-mapped rows J1/P6/W-graph/O1 first);
-# (5) the r05 cohort. r06/r07-certified queries follow in registration
-# order. ~50 fit the window, so the r04 tail + r05 land in round 9.
+# Round 9 (policy applied): (1) the r8 red `streaming_trending_topk` — its
+# oracle is fixed this round (naive make_timestamp, matching every other
+# windowed oracle) and a green driver row is the round's top ask; (2) the
+# round-9 additions (IVFPQ exact rerank, trending-topk MERGE twin, corpus
+# snapshot diff); (3) the 19-query r04 cohort; (4) the 22-query r05 cohort.
+# 1+3+19+22 = 45 fits the ~50 window, clearing all r04/r05 debt this round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (1) never driver-certified, added late round 7
-    "mmr_diverse_topk",
-    "edit_distance_near_dup",
-    "multitouch_attribution",  # + bucketed range join this round
-    "key_skew_report",
-    "char_entropy_quality",
-    "vocab_growth_curve",
-    "zipf_slope",
-    # (2) round-8 additions
-    "markup_extract_text",
-    "streaming_incremental_dedup",
-    "min_cost_part_supplier",
-    "important_parts_by_nation",
-    "returnflag_priority_lateness",
-    "dominant_promo_part_shippers",
-    "part_profit_by_nation_year",
-    "bitext_margin_pairs",
-    "boilerplate_segment_report",
-    "video_scene_cuts",
-    "tokenizer_fertility_by_lang",
-    "ivf_pq_topk",
+    # (1) the r8 red, oracle fixed this round
     "streaming_trending_topk",
-    # (3) plan/code path changed this round
-    "asof_tolerance_attribution",  # tolerance filter now integer micros
-    "curriculum_interleave",  # NULL-text coalesce both sides (ADVICE)
-    "dedup_incremental_assign",  # routed through signature_artifact split
-    "pq_recall_report",  # kmeans_fit fit_sample default change
-    "kmeans_ivf_topk",
-    "knn_label_accuracy_ivf",
-    # (4) oldest cohort: last green driver row = round 4 (SURVEY rows first)
-    "order_payments_enriched",
-    "events_incremental_2h",
-    "dedup_clusters",
-    "recent_sales_top10",
-    "above_avg_orders",
-    "approx_distinct_users",
-    "approx_users_sketch_rollup",
-    "bm25_search",
-    "clean_purchase_days",
-    "corpus_stats_by_source",
-    "customer_spend_quartiles",
-    "customers_without_orders",
-    "dedup_canonical_docs",
-    "doc_length_histogram",
-    "duplicate_ngram_spans",
-    "events_hourly_window",
-    "events_last_hour",
-    "events_minute_fact",
-    "events_resampled_locf",
-    "events_value_quantiles_approx",
-    "inventory_counters",
-    "language_temperature_sample",
-    "local_supplier_revenue",
-    "media_embedding_topk",
+    # (2) round-9 additions
+    "ivf_pq_rerank_topk",
+    "streaming_trending_topk_merge",
+    "corpus_snapshot_diff",
+    # (3) oldest cohort: last green driver row = round 4
     "orders_status_pivot",
     "paid_orders_recent",
     "parts_with_shipments",
@@ -131,7 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "training_corpus_filter",
     "unigram_logprob_score",
     "user_value_moving_avg",
-    # (5) round-5 cohort
+    # (4) round-5 cohort
     "contrastive_pairs",
     "conversion_lag",
     "copurchase_lift",
@@ -154,7 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_state_history",
     "user_trailing_hour_value",
     "winsorized_event_stats",
-    # (6) r06/r07-certified cohorts follow in registration order.
+    # (5) r06+-certified cohorts follow in registration order.
 ]
 
 

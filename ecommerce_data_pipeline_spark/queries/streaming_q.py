@@ -853,7 +853,9 @@ _register_streaming_incremental_dedup()
     # epoch multiples of 900 s in both engines.
     oracle="""
 WITH wc AS (
-  SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS window_start,
+  SELECT make_timestamp(
+           CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000
+         ) AS window_start,
          event_type, count(*) AS n_events
   FROM events GROUP BY 1, 2
 )

@@ -37,6 +37,35 @@ def _norm_cell(v):
     return v
 
 
+def dtype_mismatches(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    """Columns whose dtypes would fail the DRIVER's schema/hash check even
+    though the order-insensitive value comparison here would pass.
+
+    Two classes, both hard failures:
+    - int-vs-float (DuckDB HUGEINT/DOUBLE vs Spark int64 serializes
+      differently even when values are numerically equal);
+    - tz-aware vs naive timestamp (DuckDB TIMESTAMPTZ, e.g. from
+      ``to_timestamp()``, vs Spark's naive collection — the r8
+      ``streaming_trending_topk`` red). _norm_cell's ``tz_localize(None)``
+      would mask this, so it must be caught at the dtype level.
+    """
+    kind_bad = [
+        c
+        for c in spark_pdf.columns
+        if {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"i", "f"}
+        or {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"u", "f"}
+    ]
+    tz_bad = [
+        c
+        for c in spark_pdf.columns
+        if spark_pdf[c].dtype.kind == "M"
+        and oracle_pdf[c].dtype.kind == "M"
+        and (getattr(spark_pdf[c].dtype, "tz", None) is None)
+        != (getattr(oracle_pdf[c].dtype, "tz", None) is None)
+    ]
+    return kind_bad, tz_bad
+
+
 def normalize(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -109,20 +138,19 @@ def main() -> int:
             )
             failures += 1
             continue
-        # Driver-hasher parity: DuckDB HUGEINT/DOUBLE surfacing where Spark
-        # emits int64 serializes differently even when values are equal.
-        # An int-vs-float dtype-kind mismatch is therefore a hard failure
-        # here even though the value comparison below would pass.
-        kind_bad = [
-            c
-            for c in spark_pdf.columns
-            if {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"i", "f"}
-            or {spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind} == {"u", "f"}
-        ]
+        kind_bad, tz_bad = dtype_mismatches(spark_pdf, oracle_pdf)
         if kind_bad:
             print(
                 f"FAIL  {name}: int-vs-float dtype mismatch on {kind_bad} "
                 f"(driver hash would differ — CAST the oracle column)"
+            )
+            failures += 1
+            continue
+        if tz_bad:
+            print(
+                f"FAIL  {name}: tz-aware vs naive timestamp on {tz_bad} "
+                f"(driver schema check would fail — use naive "
+                f"make_timestamp()/CAST ... AS TIMESTAMP in the oracle)"
             )
             failures += 1
             continue
