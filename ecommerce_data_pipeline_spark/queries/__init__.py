@@ -105,7 +105,13 @@ _DRIVER_PRIORITY: list[str] = [
     "user_state_history",
     "user_trailing_hour_value",
     "winsorized_event_stats",
-    # (5) r06+-certified cohorts follow in registration order.
+    # (5) head of the r06 cohort to fill the ~50-slot window exactly
+    "ann_recall_report",
+    "asof_view_before_purchase",
+    "bigram_logprob_score",
+    "bpe_pair_stats",
+    "branded_shipment_revenue",
+    # (6) remaining r06+-certified cohorts follow in registration order.
 ]
 
 

@@ -956,3 +956,53 @@ def q_boilerplate_segment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet per-shard line-dedup shape, never quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     return cu.boilerplate_segment_report(docs, seg_words=4, min_docs=2)
+
+
+@register(
+    "corpus_snapshot_diff",
+    # Two snapshots derived deterministically from the documents fixture:
+    # the OLD snapshot is missing the docs "added later" (doc_id ≡ 3 mod
+    # 11), the NEW snapshot dropped some (doc_id ≡ 5 mod 13) and re-crawled
+    # every 7th doc's text. The oracle compares raw text where the operator
+    # compares md5(text) — identical classification.
+    oracle="""
+WITH snap_old AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 3
+),
+snap_new AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawl]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5
+),
+j AS (
+  SELECT coalesce(n.source, o.source) AS source,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+)
+SELECT source,
+  count(*) FILTER (status = 'added') AS n_added,
+  count(*) FILTER (status = 'removed') AS n_removed,
+  count(*) FILTER (status = 'changed') AS n_changed,
+  count(*) FILTER (status = 'unchanged') AS n_unchanged
+FROM j GROUP BY source
+""",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run data versioning (operators/curate.py:corpus_snapshot_diff):
+    the per-source added/removed/changed/unchanged audit between two corpus
+    snapshots. One narrow full-outer join on doc_id (id, source, md5 — text
+    hashed BEFORE the shuffle) + one integer-count rollup; no window over
+    the corpus, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap_old = docs.filter(F.col("doc_id") % 11 != 3)
+    snap_new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [recrawl]")),
+        ).otherwise(F.col("text")),
+    )
+    return cu.corpus_snapshot_diff(snap_old, snap_new)

@@ -788,7 +788,15 @@ def _kmeans_cells_sql(
 
     ``src``/``suffix`` let callers replay several independent fits in one
     query (the PQ oracle runs one per subspace); with the defaults the
-    emitted names match the original single-fit form."""
+    emitted names match the original single-fit form.
+
+    PARITY CONSTRAINT: this replay fits on the FULL corpus, while
+    kmeans_fit defaults to a 100k smallest-md5 sample (fit_sample). The
+    two see the same rows — hence identical centroids — only while the
+    fixture stays under the cap; tests/test_round9_new.py pins every
+    oracle-certified embeddings fixture below it (they are 500–2000
+    rows, 50× headroom). If a fixture ever outgrows the cap, mirror the
+    smallest-md5 LIMIT here instead of raising the cap."""
     parts = []
     if src == "emb":
         parts.append(
@@ -1712,11 +1720,15 @@ def _ivf_pq_oracle_sql(
     iters: int = 2,
     dim: int = 64,
     topk: int = 5,
+    rerank: int | None = None,
 ) -> str:
     """DuckDB replay of the full IVFPQ index build + search: the coarse
     Lloyd's fit routes (probe CTE), the m per-subspace fits quantize
     (ADC terms), and the search scores ONLY rows of probed cells — the
-    exact composition ivf_pq_topk executes."""
+    exact composition ivf_pq_topk executes. With ``rerank`` set, ``topk``
+    is the ADC shortlist size k' and the output is the exact-cosine
+    rescore of the shortlist cut to ``rerank`` rows per query
+    (ivf_pq_rerank_topk)."""
     d = dim // m
     # Coarse fit (src="emb" emits the emb CTE itself):
     # a{coarse_iters} = (vec_id, v, cell), c{coarse_iters} = centroids
@@ -1759,15 +1771,45 @@ def _ivf_pq_oracle_sql(
   JOIN probe p ON p.cell = coarse.cell
   WHERE p.query_id <> cs0.vec_id)"""
     )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
+    if rerank is None:
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"""
 SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INTEGER) AS rank FROM (
   SELECT query_id, neighbor_id, adc_d2,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY adc_d2, neighbor_id) AS rn
   FROM adc) WHERE rn <= {topk}"""
+        )
+    # Rerank variant: the ADC ranking becomes a k'=topk shortlist, then the
+    # shortlist rows (ONLY) join back their float vectors for an exact
+    # cosine rescore — the refine stage ivf_pq_rerank_topk executes.
+    cos = (
+        "round(list_inner_product(q.qv, e.v)"
+        " / (sqrt(list_inner_product(q.qv, q.qv))"
+        " * sqrt(list_inner_product(e.v, e.v))), 4)"
+    )
+    parts.append(
+        f"""short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {topk}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT s.query_id, s.neighbor_id, {cos} AS cosine_sim,
+    row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY {cos} DESC, s.neighbor_id) AS rn
+  FROM short s
+  JOIN emb e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id) WHERE rn <= {rerank}"""
     )
 
 
@@ -1783,3 +1825,19 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
+@register("ivf_pq_rerank_topk", oracle=_ivf_pq_oracle_sql(topk=20, rerank=5))
+def q_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + exact rerank (operators/quantize.py:ivf_pq_rerank_topk —
+    faiss's refine/IVFPQR pattern): the lossy 20-candidate ADC shortlist
+    is rescored with exact cosine over the shortlist's float vectors only
+    (broadcast-joined — the corpus's wide vector column is read for
+    |Q|×20 rows, never shuffled), cut to the final top-5. The oracle
+    extends the IVFPQ replay with the shortlist + rerank CTEs."""
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        ivf_pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))

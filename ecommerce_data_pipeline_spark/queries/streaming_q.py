@@ -935,3 +935,103 @@ def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _register_streaming_trending_topk_merge() -> None:
+    # Deferred so the update-mode serving twin shares the append twin's
+    # oracle verbatim: both must land on the identical batch top-3.
+    from ecommerce_data_pipeline_spark.queries._registry import ORACLES
+
+    @register(
+        "streaming_trending_topk_merge",
+        oracle=ORACLES["streaming_trending_topk"],
+    )
+    def q_streaming_trending_topk_merge(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The serving-layer twin of streaming_trending_topk: instead of
+        ranking on read over append-mode emissions, the windowed counts run
+        in UPDATE output mode and foreachBatch maintains a queryable
+        ``gold.trending_topk`` table — per batch, MERGE the updated
+        (window_start, event_type) counts into a counts table, re-rank ONLY
+        the windows the batch touched, and MERGE the top-3 by
+        (window_start, rank). This is the reference's gold-MERGE serving
+        pattern (fct_sales_minute.sql:2-6) applied to a ranked dashboard:
+        readers always see a complete, keyed top-k without scanning
+        emissions. State: update mode needs no window-close sentinel; the
+        watermark bounds state in production — here it is set beyond the
+        fixture horizon because availableNow file replay is unordered, and
+        equivalence with the batch oracle (shared verbatim) is the test.
+        """
+        import shutil
+        import tempfile
+
+        from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp_ltz").alias("ts"), "event_type"
+        )
+        root = tempfile.mkdtemp(prefix="stream_trend_merge_")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            src, ck = f"{root}/src", f"{root}/ckpt"
+            ev.repartition(4).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            counts_tbl = ParquetTable(f"{root}/gold_counts")
+            topk_tbl = ParquetTable(f"{root}/gold_trending_topk")
+
+            def upsert_topk(batch_df: DataFrame, batch_id: int) -> None:
+                b = batch_df.select(
+                    F.col("w.start").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                ).localCheckpoint(eager=True)
+                counts_tbl.merge(
+                    spark, b, ["window_start", "event_type"],
+                    probe_insert_only=False,
+                )
+                touched = b.select("window_start").distinct()
+                rk = Window.partitionBy("window_start").orderBy(
+                    F.col("n_events").desc(), "event_type"
+                )
+                ranked = (
+                    counts_tbl.read(spark)
+                    .join(F.broadcast(touched), "window_start")
+                    .withColumn("rank", F.row_number().over(rk))
+                    .filter(F.col("rank") <= 3)
+                    .localCheckpoint(eager=True)
+                )
+                topk_tbl.merge(
+                    spark, ranked, ["window_start", "rank"],
+                    probe_insert_only=False,
+                )
+
+            counts = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+                .withWatermark("ts", "3650 days")
+                .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+            )
+            with rocksdb_state(spark):
+                q = (
+                    counts.writeStream.foreachBatch(upsert_topk)
+                    .outputMode("update")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            q.awaitTermination()
+            return (
+                topk_tbl.read(spark)
+                .select("window_start", "event_type", "n_events", "rank")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(root, ignore_errors=True)
+
+
+_register_streaming_trending_topk_merge()

@@ -46,6 +46,11 @@ SKIP_BUILD = {
     "streaming_incremental_dedup",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
+    # r9: update-mode drain maintaining the gold top-k via foreachBatch
+    # MERGE (rank + MERGE audited in the foreachBatch body: counts MERGE
+    # by (window_start, event_type), rank over touched windows only,
+    # top-k MERGE by (window_start, rank) — all equi-joins)
+    "streaming_trending_topk_merge",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything

@@ -53,6 +53,11 @@ HEAVY = {
     "edit_distance_near_dup": "documents",
     "mmr_diverse_topk": "embeddings",
     "multitouch_attribution": "events",
+    # round-9 additions (r8 verdict ask #5: the two new heavy entries —
+    # the artifact-probe streaming dedup and IVFPQ — plus the rerank twin)
+    "streaming_incremental_dedup": "documents",
+    "ivf_pq_topk": "embeddings",
+    "ivf_pq_rerank_topk": "embeddings",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
