@@ -784,3 +784,110 @@ def assign_against_artifact(
             ).otherwise(F.col("jaccard")).alias("jaccard"),
         )
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    window: int = 3,
+    modulus: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk dedup — the
+    variable-size-chunk substring dedup production corpora run when
+    fixed shingles miss long shared spans (boilerplate paragraphs,
+    licence blocks, re-crawled sections): chunk boundaries are set by
+    CONTENT (a rolling word-window hash hitting 0 mod ``modulus``), so a
+    shared span chunks identically in every doc that contains it
+    regardless of what surrounds it — the property fixed-width chunking
+    lacks.
+
+    Boundary rule (deterministic, engine-portable): word position i
+    (1-based, i in [window, n_words-1]) ends a chunk iff
+    md5_long(words[i-window+1..i]) % modulus == 0; the final word always
+    ends the last chunk. A chunk is "dup" when its md5 appears in >= 2
+    DISTINCT docs.
+
+    Scale shape: boundaries, starts/ends, and chunk strings are all
+    array expressions (codegen, no shuffle); the corpus-wide part is one
+    explode + one groupBy on the fixed-width chunk hash + one join-back —
+    the exact-dedup shuffle shape, ~33 B/chunk. Expected chunk length is
+    ``modulus`` words, so the exploded row count is ~n_words/modulus.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio) for every
+    input doc (0s for empty/NULL text).
+    """
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    ws = F.filter(F.split(cleaned, " "), lambda w: w != "")
+    base = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    n = F.size("ws")
+    # Interior boundary candidates [window, n-1]; F.sequence generates a
+    # DESCENDING range when stop < start, so guard the short-doc case.
+    cand = F.when(
+        n - 1 >= window, F.sequence(F.lit(window), n - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bpos = F.filter(
+        cand,
+        lambda i: _md5_long(
+            F.concat_ws(" ", F.slice(F.col("ws"), i - window + 1, window))
+        )
+        % modulus
+        == 0,
+    )
+    # Let-bind bpos via a 1-element transform so the per-position md5 scan
+    # evaluates ONCE per row — starts/ends/chunks all reference it, and
+    # Catalyst re-inlines plain expression references (the same measured
+    # blow-up _exploded_shingle_hashes documents).
+    chunks = F.get(
+        F.transform(
+            F.array(bpos),
+            lambda bp: F.zip_with(
+                F.concat(F.array(F.lit(1)), F.transform(bp, lambda p: p + 1)),
+                F.concat(bp, F.array(n)),
+                lambda s, e: F.array_join(
+                    F.slice("ws", s, e - s + 1), " "
+                ),
+            ),
+        ),
+        F.lit(0),
+    )
+    # ch feeds BOTH the frequency build and the join probe; pin it so the
+    # chunking map stage runs once (it is the expensive part — one md5 per
+    # word position), not once per consumer.
+    ch = (
+        base.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("ch_h"))
+        .localCheckpoint(eager=False)
+    )
+    freq = ch.groupBy("ch_h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ch.join(freq, "ch_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("int")).cast("int").alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.coalesce(
+                F.round(
+                    F.col("n_dup_chunks")
+                    / F.nullif(F.col("n_chunks"), F.lit(0)),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_chunk_ratio"),
+        )
+    )

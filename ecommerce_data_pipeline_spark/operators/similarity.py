@@ -500,3 +500,72 @@ def margin_mined_pairs(
         .filter(F.col("margin") >= threshold)
         .select("src_id", "tgt_id", "cosine_sim", "margin")
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    OLD corpus snapshot's centroid and the NEW one's — the embedding twin
+    of the PSI quality-drift monitors (a re-embedded or re-crawled source
+    shows up as a centroid rotation long before downstream eval moves).
+
+    Scale shape: one posexplode over both snapshots (tagged union) → one
+    (half, label, component) hash aggregation → centroids rebuilt with an
+    ordered collect over ``dim`` rows per (half, label) — state is
+    2 × n_labels × dim doubles regardless of corpus size; the corpus is
+    read once, map-side.
+
+    Output: (label, n_old, n_new, centroid_cosine) — cosine NULL when a
+    label exists in only one snapshot.
+    """
+    tagged = old.select(
+        F.lit("old").alias("half"),
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).unionByName(
+        new.select(
+            F.lit("new").alias("half"),
+            F.col(label_col).alias("label"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+    )
+    comp = tagged.select(
+        "half", "label", F.posexplode("v").alias("i", "x")
+    )
+    cent = (
+        comp.groupBy("half", "label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("half", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    cnt = tagged.groupBy("half", "label").agg(F.count(F.lit(1)).alias("n"))
+    side = cent.join(cnt, ["half", "label"])
+    o = side.filter(F.col("half") == "old").select(
+        F.col("label").alias("l_old"), F.col("c").alias("c_old"),
+        F.col("n").alias("n_old"),
+    )
+    n_ = side.filter(F.col("half") == "new").select(
+        F.col("label").alias("l_new"), F.col("c").alias("c_new"),
+        F.col("n").alias("n_new"),
+    )
+    j = o.join(n_, F.col("l_old") == F.col("l_new"), "full_outer")
+    return j.select(
+        F.coalesce("l_old", "l_new").alias("label"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.round(
+            _dot(F.col("c_old"), F.col("c_new"))
+            / (_norm(F.col("c_old")) * _norm(F.col("c_new"))),
+            4,
+        ).alias("centroid_cosine"),
+    )

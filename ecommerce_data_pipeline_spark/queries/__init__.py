@@ -62,6 +62,10 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_pq_rerank_topk",
     "streaming_trending_topk_merge",
     "corpus_snapshot_diff",
+    "cdc_chunk_dedup",
+    "corpus_profile_sets",
+    "embedding_drift_by_label",
+    "ndcg_label_retrieval",
     # (3) oldest cohort: last green driver row = round 4
     "orders_status_pivot",
     "paid_orders_recent",
@@ -105,12 +109,8 @@ _DRIVER_PRIORITY: list[str] = [
     "user_state_history",
     "user_trailing_hour_value",
     "winsorized_event_stats",
-    # (5) head of the r06 cohort to fill the ~50-slot window exactly
+    # (5) head of the r06 cohort fills the ~50-slot window exactly
     "ann_recall_report",
-    "asof_view_before_purchase",
-    "bigram_logprob_score",
-    "bpe_pair_stats",
-    "branded_shipment_revenue",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]
 

@@ -1006,3 +1006,97 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return cu.corpus_snapshot_diff(snap_old, snap_new)
+
+
+@register(
+    "cdc_chunk_dedup",
+    # Content-defined chunking: boundary iff md5_long(3-word window) % 8
+    # == 0 at interior positions; chunks hashed and counted across docs.
+    # The comprehension variable is j so it cannot shadow md5_long_sql's
+    # inner i.
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                ' '), x -> x <> '') AS ws
+  FROM documents
+),
+nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+bp AS (
+  SELECT doc_id, ws, n,
+    [j for j in generate_series(3, n - 1)
+     if {md5_long_sql("array_to_string(ws[j-2:j], ' ')")} % 8 = 0] AS bpos
+  FROM nz
+),
+ck AS (
+  SELECT doc_id,
+    list_concat([1], [b + 1 for b in bpos]) AS starts,
+    list_concat(bpos, [n]) AS ends, ws
+  FROM bp
+),
+ch AS (
+  SELECT doc_id, md5(array_to_string(ws[s:e], ' ')) AS ch_h
+  FROM (SELECT doc_id, ws, unnest(starts) AS s, unnest(ends) AS e FROM ck)
+),
+freq AS (SELECT ch_h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM ch JOIN freq f USING (ch_h) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_chunks, 0) AS INTEGER) AS n_chunks,
+  CAST(coalesce(p.n_dup_chunks, 0) AS INTEGER) AS n_dup_chunks,
+  coalesce(round(p.n_dup_chunks / nullif(p.n_chunks, 0), 4), 0.0)
+    AS dup_chunk_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk dedup (operators/
+    dedup.py:cdc_chunk_stats): rolling-hash boundaries make shared spans
+    chunk identically in every containing doc; chunk strings are pure
+    array expressions, the corpus part is one explode + one fixed-width
+    hash groupBy + join-back (~33 B/chunk shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.cdc_chunk_stats(docs, window=3, modulus=8)
+
+
+@register(
+    "corpus_profile_sets",
+    # GROUPING SETS completes the grouping-construct family next to
+    # revenue_rollup's ROLLUP and sales_cube's CUBE: exactly the three
+    # dataset-card margins — per source, per language, per cell — in ONE
+    # Expand + one hash aggregate instead of three scans.
+    oracle="""
+SELECT coalesce(source, 'ALL') AS source,
+  coalesce(lang, 'ALL') AS lang,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), (source, lang))
+""",
+)
+def q_corpus_profile_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card margins in one pass: per-source, per-language, and
+    per-(source, language) doc/char profiles via GROUPING SETS — one
+    Expand (3 replicas of each row) + one hash aggregate; at 100 TB this
+    is one corpus scan where three groupBys would be three."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["source"], ["lang"], ["source", "lang"]],
+                          "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )

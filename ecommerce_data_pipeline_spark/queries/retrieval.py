@@ -1841,3 +1841,128 @@ def q_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_rerank_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
+@register(
+    "embedding_drift_by_label",
+    # Snapshot halves by vec_id parity; the oracle replays the tagged
+    # union → per-(half,label,component) means → ordered list rebuild →
+    # cosine, the same unnest-zip pattern as the k-means replay.
+    oracle="""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+tag AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new' END AS half,
+         label, v
+  FROM emb
+),
+comp AS (
+  SELECT half, label, unnest(generate_series(1, len(v))) AS i,
+         unnest(v) AS x
+  FROM tag
+),
+cent AS (
+  SELECT half, label, list(m ORDER BY i) AS c FROM (
+    SELECT half, label, i, avg(x) AS m FROM comp GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+cnt AS (SELECT half, label, count(*) AS n FROM tag GROUP BY 1, 2),
+side AS (SELECT * FROM cent JOIN cnt USING (half, label)),
+o AS (SELECT label, c, n FROM side WHERE half = 'old'),
+nn AS (SELECT label, c, n FROM side WHERE half = 'new')
+SELECT coalesce(o.label, nn.label) AS label,
+  CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+  CAST(coalesce(nn.n, 0) AS BIGINT) AS n_new,
+  round(list_inner_product(o.c, nn.c)
+        / (sqrt(list_inner_product(o.c, o.c))
+           * sqrt(list_inner_product(nn.c, nn.c))), 4) AS centroid_cosine
+FROM o FULL OUTER JOIN nn ON o.label = nn.label
+""",
+)
+def q_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor (operators/similarity.py:centroid_drift):
+    per-label centroid cosine between the vec_id-parity snapshot halves.
+    One corpus read, one (half,label,component) hash agg — monitor state
+    is 2 × labels × dim doubles at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 != 0),
+    )
+
+
+@register(
+    "ndcg_label_retrieval",
+    # Retrieval-quality eval beyond recall: binary relevance = neighbor
+    # shares the query's label; nDCG@10 with the standard local IDCG
+    # (ideal ordering of the retrieved set). Ranking replayed exactly as
+    # in the recall oracles (cosine rounded 4, neighbor-id tiebreak).
+    oracle="""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+      FROM emb WHERE vec_id % 50 = 0),
+ranked AS (
+  SELECT query_id, q_label, neighbor_id, n_label, rank FROM (
+    SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+      e.label AS n_label,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_inner_product(q.qv, e.v)
+          / (sqrt(list_inner_product(q.qv, q.qv))
+             * sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+        e.vec_id) AS rank
+    FROM q JOIN emb e ON e.vec_id <> q.query_id)
+  WHERE rank <= 10
+),
+per_q AS (
+  SELECT query_id,
+    sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_rel,
+    sum(CASE WHEN n_label = q_label
+        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+  FROM ranked GROUP BY 1
+)
+SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+  coalesce(round(dcg / nullif(
+    list_sum([1.0 / log2(i + 1) for i in generate_series(1, CAST(n_rel AS BIGINT))]), 0.0),
+    4), 0.0) AS ndcg
+FROM per_q
+""",
+)
+def q_ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of exact cosine retrieval under label relevance — the
+    ranking-quality eval next to ann_recall_report's set-overlap recall.
+    Composition of existing parts: cosine_topk (WindowGroupLimit
+    prereduce) + two label equi-joins + per-query closed-form IDCG
+    (aggregate over sequence — no second ranking pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_set = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = sim.cosine_topk(emb, q_set, k=10)
+    n_lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_lab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    j = topk.join(n_lab, "neighbor_id").join(F.broadcast(q_lab), "query_id")
+    rel = (F.col("n_label") == F.col("q_label")).cast("int")
+    per_q = j.groupBy("query_id").agg(
+        F.sum(rel).cast("long").alias("n_rel"),
+        F.sum(rel * (F.lit(1.0) / F.log2(F.col("rank") + 1))).alias("dcg"),
+    )
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i + 1),
+        ),
+    )
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        F.coalesce(
+            F.round(F.col("dcg") / F.nullif(idcg, F.lit(0.0)), 4), F.lit(0.0)
+        ).alias("ndcg"),
+    )

@@ -197,3 +197,150 @@ def test_ivf_pq_rerank_is_shortlist_bounded(spark):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         sims = [(-r["cosine_sim"], r["neighbor_id"]) for r in rows]
         assert sims == sorted(sims)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_stats vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _py_cdc_stats(rows, window=3, modulus=8):
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    doc_chunks = {}
+    for doc_id, text in rows:
+        ws = [
+            w
+            for w in _re.sub("[^a-z ]", "", (text or "").lower()).split(" ")
+            if w
+        ]
+        if not ws:
+            doc_chunks[doc_id] = []
+            continue
+        n = len(ws)
+        bpos = [
+            i
+            for i in range(window, n)  # 1-based interior [window, n-1]
+            if md5_long(" ".join(ws[i - window:i])) % modulus == 0
+        ]
+        starts = [1] + [b + 1 for b in bpos]
+        ends = bpos + [n]
+        doc_chunks[doc_id] = [
+            " ".join(ws[s - 1:e]) for s, e in zip(starts, ends)
+        ]
+    docs_per_chunk = Counter()
+    for d, cs in doc_chunks.items():
+        for c in set(cs):
+            docs_per_chunk[c] += 1
+    out = {}
+    for d, cs in doc_chunks.items():
+        n_chunks = len(cs)
+        n_dup = sum(1 for c in cs if docs_per_chunk[c] >= 2)
+        ratio = round(n_dup / n_chunks, 4) if n_chunks else 0.0
+        out[d] = (n_chunks, n_dup, ratio)
+    return out
+
+
+def test_cdc_chunk_stats_matches_python_reference(spark):
+    from ecommerce_data_pipeline_spark.operators.dedup import cdc_chunk_stats
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro text {shared} outro one"),
+        (2, f"different lead-in {shared} and a different tail"),
+        (3, "completely unrelated words with no overlap at all"),
+        (4, None),
+        (5, "short"),
+        (6, f"{shared} {shared}"),  # internal repetition + cross-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chunk_ratio"])
+        for r in cdc_chunk_stats(df).collect()
+    }
+    want = _py_cdc_stats(rows)
+    # python ref counts a doc's chunk as dup when >=2 DISTINCT docs share
+    # it, same as the operator
+    assert got == want
+
+
+def test_cdc_shared_span_chunks_identically(spark):
+    """The CDC property: a long shared span produces at least one chunk
+    hash common to both docs even with different surroundings."""
+    from ecommerce_data_pipeline_spark.operators.dedup import cdc_chunk_stats
+
+    # letters only — the word cleaner strips digits, which would collapse
+    # "word0".."word59" into 60 copies of "word" (no boundary diversity)
+    import string
+
+    span = " ".join(
+        f"word{a}{b}"
+        for a in string.ascii_lowercase[:8]
+        for b in string.ascii_lowercase[:8]
+    )
+    rows = [(1, f"alpha beta {span} gamma"), (2, f"x y z {span} q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_dup_chunks"] for r in cdc_chunk_stats(df).collect()}
+    assert got[1] >= 1 and got[2] >= 1
+
+
+# ---------------------------------------------------------------------------
+# centroid_drift vs numpy
+# ---------------------------------------------------------------------------
+
+def test_centroid_drift_matches_numpy(spark):
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(6)], int(i % 3))
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    got = {
+        r["label"]: (r["n_old"], r["n_new"], r["centroid_cosine"])
+        for r in centroid_drift(old, new).collect()
+    }
+    arr = {(i % 2, lab): [] for i, _, lab in rows for _ in [0]}
+    for i, v, lab in rows:
+        arr[(i % 2, lab)].append(v)
+    for lab in {l for _, _, l in rows}:
+        co = np.mean(np.array(arr[(0, lab)]), axis=0)
+        cn = np.mean(np.array(arr[(1, lab)]), axis=0)
+        cos = round(
+            float(
+                co @ cn / (np.sqrt(co @ co) * np.sqrt(cn @ cn))
+            ),
+            4,
+        )
+        n_old, n_new, got_cos = got[lab]
+        assert (n_old, n_new) == (len(arr[(0, lab)]), len(arr[(1, lab)]))
+        assert abs(got_cos - cos) <= 1e-4
+
+
+def test_centroid_drift_one_sided_label(spark):
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    new = spark.createDataFrame(
+        [(2, [0.0, 1.0], 1)], "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["label"]: r for r in centroid_drift(old, new).collect()}
+    assert got[0]["n_new"] == 0 and got[0]["centroid_cosine"] is None
+    assert got[1]["n_old"] == 0 and got[1]["centroid_cosine"] is None

@@ -122,6 +122,9 @@ CARTESIAN_OK = {
     # 1-row nation-total denominator (TPC-H Q11 shape, integer-cents)
     "important_parts_by_nation",
     "hybrid_rrf_search",
+    # r9: nDCG eval retrieves via cosine_topk's broadcast exact top-k
+    # (the != self-match join); everything after is equi-joins + aggs
+    "ndcg_label_retrieval",
     "ann_recall_report",
     "pq_recall_report",
     "kmeans_ivf_topk",
