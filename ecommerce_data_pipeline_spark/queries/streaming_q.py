@@ -962,6 +962,12 @@ def _register_streaming_trending_topk_merge() -> None:
         watermark bounds state in production — here it is set beyond the
         fixture horizon because availableNow file replay is unordered, and
         equivalence with the batch oracle (shared verbatim) is the test.
+
+        Production scale note: both gold tables would be PARTITIONED by
+        date(window_start) (ParquetTable(partition_by=...) — merges then
+        rewrite only the partitions a batch touches, and recent-window
+        batches touch ~1) or be Delta tables whose MERGE prunes by key;
+        the unpartitioned fixture tables keep the tiny test honest.
         """
         import shutil
         import tempfile

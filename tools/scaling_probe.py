@@ -58,6 +58,8 @@ HEAVY = {
     "streaming_incremental_dedup": "documents",
     "ivf_pq_topk": "embeddings",
     "ivf_pq_rerank_topk": "embeddings",
+    "cdc_chunk_dedup": "documents",
+    "streaming_trending_topk_merge": "events",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
