@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_profile_sets",
     "embedding_drift_by_label",
     "ndcg_label_retrieval",
+    "incremental_view_refresh",
     # (3) oldest cohort: last green driver row = round 4
     "orders_status_pivot",
     "paid_orders_recent",

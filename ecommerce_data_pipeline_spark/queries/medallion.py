@@ -971,3 +971,86 @@ def q_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "incremental_view_refresh",
+    # Change-feed-driven incremental maintenance of a JOIN+AGG view —
+    # S9's gold MERGE generalized from a single-table rollup to a joined
+    # view, the dbt-incremental/materialized-view pattern every lakehouse
+    # runs. The driver's hash equality against this FULL-rebuild oracle IS
+    # the incremental==rebuild proof.
+    oracle=f"""
+SELECT o.o_orderkey AS order_id,
+  round(o.o_totalprice, 2) AS total_amount,
+  {money_sum_sql('l.l_extendedprice')} AS legs_revenue,
+  count(*) AS n_legs
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a materialized join view from a MERGE
+    change feed (lake.py merge(capture_changes=True) — the Delta CDF
+    twin): the view V = orders ⋈ per-order lineitem rollup is
+    bootstrapped WITHOUT the held-out legs (all legs of every 7th order,
+    plus the first leg of every 11th), the held-out batch is then MERGEd
+    into the legs table, and V is refreshed by recomputing ONLY the
+    orders the change feed names — a broadcast semi-join prunes both the
+    legs scan and the orders scan to the affected keys, so refresh cost
+    is O(changed orders), never a rebuild. The %7 orders exercise view
+    INSERTs (no prior row), the %11 orders view UPDATEs (partial rollup
+    replaced). Returns the refreshed view; the oracle recomputes it from
+    scratch, so the driver hash proves incremental == full rebuild.
+
+    Reference analogue: the dbt incremental gold model's MERGE contract
+    (fct_sales_minute.sql:2-6) lifted from minute buckets to join keys.
+    """
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+    )
+    legs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("leg_no"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    late = (F.col("order_id") % 7 == 0) | (
+        (F.col("order_id") % 11 == 0) & (F.col("leg_no") == 1)
+    )
+
+    def view_rows(legs_df: DataFrame, orders_df: DataFrame) -> DataFrame:
+        roll = legs_df.groupBy("order_id").agg(
+            money_sum("amount").alias("legs_revenue"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+        return orders_df.join(roll, "order_id").select(
+            "order_id", "total_amount", "legs_revenue", "n_legs"
+        )
+
+    root = tempfile.mkdtemp(prefix="ivr_")
+    try:
+        legs_t = ParquetTable(f"{root}/legs")
+        view_t = ParquetTable(f"{root}/view")
+        legs_t.merge(spark, legs.filter(~late), keys=["order_id", "leg_no"])
+        view_t.overwrite(view_rows(legs_t.read(spark), orders))
+        # Incremental batch: MERGE the held-out legs, capture the change
+        # feed, refresh only the named keys.
+        changes = legs_t.merge(
+            spark, legs.filter(late), keys=["order_id", "leg_no"],
+            capture_changes=True,
+        )
+        affected = changes.select("order_id").distinct()
+        refreshed = view_rows(
+            legs_t.read(spark).join(F.broadcast(affected), "order_id"),
+            orders.join(F.broadcast(affected), "order_id"),
+        )
+        view_t.merge(spark, refreshed, keys=["order_id"])
+        return view_t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -344,3 +344,45 @@ def test_centroid_drift_one_sided_label(spark):
     got = {r["label"]: r for r in centroid_drift(old, new).collect()}
     assert got[0]["n_new"] == 0 and got[0]["centroid_cosine"] is None
     assert got[1]["n_old"] == 0 and got[1]["centroid_cosine"] is None
+
+
+# ---------------------------------------------------------------------------
+# incremental_view_refresh: the refresh must be key-pruned — the change
+# feed names a strict subset of orders, and only those view rows change
+# between bootstrap and refresh.
+# ---------------------------------------------------------------------------
+
+def test_incremental_view_refresh_is_key_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    orders = spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(1, 30)],
+        "order_id long, total_amount double",
+    )
+    legs = spark.createDataFrame(
+        [
+            (i, j, float(10 * j))
+            for i in range(1, 30)
+            for j in (1, 2)
+        ],
+        "order_id long, leg_no int, amount double",
+    )
+    late = (F.col("order_id") % 7 == 0) | (
+        (F.col("order_id") % 11 == 0) & (F.col("leg_no") == 1)
+    )
+    legs_t = ParquetTable(f"{tmp_path}/legs")
+    legs_t.merge(spark, legs.filter(~late), keys=["order_id", "leg_no"])
+    changes = legs_t.merge(
+        spark, legs.filter(late), keys=["order_id", "leg_no"],
+        capture_changes=True,
+    )
+    affected = {r["order_id"] for r in changes.select("order_id").distinct().collect()}
+    expect = {i for i in range(1, 30) if i % 7 == 0 or i % 11 == 0}
+    assert affected == expect
+    assert 0 < len(affected) < 29  # strict subset: refresh work is O(changed)
+    # feed tags: %7 legs are brand-new (insert); %11 first legs too (that
+    # key was held out) — all inserts here since the key includes leg_no
+    kinds = {r["_change_type"] for r in changes.collect()}
+    assert kinds == {"insert"}

@@ -51,6 +51,10 @@ SKIP_BUILD = {
     # by (window_start, event_type), rank over touched windows only,
     # top-k MERGE by (window_start, rank) — all equi-joins)
     "streaming_trending_topk_merge",
+    # r9: bootstrap + change-feed MERGE + key-pruned refresh all run at
+    # build (refresh path audited in code: broadcast semi-joins on the
+    # affected keys prune both scans)
+    "incremental_view_refresh",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
