@@ -365,3 +365,80 @@ def triangle_counts(
         .union(tris.select(F.col("c").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    small_graph_edges: int = 5_000_000,
+) -> DataFrame:
+    """Fixed-round k-core peeling on an undirected graph: each round drops
+    every node whose CURRENT degree is below ``k`` (and all its edges),
+    the classic dense-subgraph extractor (community cores, spam-farm and
+    bot-ring detection in co-purchase/citation graphs).
+
+    Like pagerank above, the iteration count is a CONSTANT of the query —
+    ``rounds`` peels, not peel-until-stable — so the whole computation is
+    replayable as an unrolled SQL chain and hash-matches the oracle even
+    on a fixture where convergence needs fewer rounds (equality of the
+    rounds=8 and rounds=10 outputs is the convergence proof, tested).
+    Peeling is monotone (the active-edge set only shrinks), so any round
+    after convergence is a no-op on both engines.
+
+    Scale: per round ONE degree groupBy over the surviving edges + two
+    semi-joins against the keep set (fixed-width long pairs, O(edges)),
+    lineage truncated per round; graphs under ``small_graph_edges`` take
+    the numpy fast path (identical integer arithmetic — a mask update per
+    round, no FP anywhere). Output: (id, core_degree) for nodes with at
+    least one surviving edge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()  # checkpointed: metadata-cheap
+    if n_edges <= small_graph_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = sym.toPandas()
+        uu = pdf["u"].to_numpy()
+        vv = pdf["v"].to_numpy()
+        ids, inv_u = np.unique(uu, return_inverse=True)
+        inv_v = np.searchsorted(ids, vv)
+        n = len(ids)
+        mask = np.ones(len(uu), dtype=bool)
+        for _ in range(rounds):
+            deg = np.bincount(inv_u[mask], minlength=n)
+            keep = deg >= k
+            mask &= keep[inv_u] & keep[inv_v]
+        deg = np.bincount(inv_u[mask], minlength=n)
+        alive = deg > 0
+        out = pd.DataFrame(
+            {"id": ids[alive], "core_degree": deg[alive].astype("int64")}
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(out, "id long, core_degree long")
+
+    active = sym
+    for _ in range(rounds):
+        keep = (
+            active.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        active = (
+            active.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        active.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -110,7 +110,9 @@ _DRIVER_PRIORITY: list[str] = [
     "user_state_history",
     "user_trailing_hour_value",
     "winsorized_event_stats",
-    # (5) head of the r06 cohort fills the ~50-slot window exactly
+    # (5) overflow (positions 51+, certified here only if the driver's
+    # window runs past 50; otherwise they front-load next round)
+    "part_kcore",
     "ann_recall_report",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]

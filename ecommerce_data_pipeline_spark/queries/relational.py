@@ -1922,3 +1922,61 @@ def q_part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev_cents - cost_cents) / 100.0, 2).alias("profit")
         )
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled fixed-round k-core peel as chained CTEs — one
+    (degree, keep, filter) triple per round, mirroring
+    operators/graph.py:kcore exactly (integer degrees, no FP anywhere).
+    Every CTE is MATERIALIZED: each level references the previous one
+    three times (directly + twice via keep), so inlining would expand
+    the lineitem scan 3^rounds times — materialization keeps the replay
+    linear in rounds, exactly like the Spark side's per-round
+    localCheckpoint."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION SELECT dst AS u, src AS v FROM pairs)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+keep{t} AS MATERIALIZED (
+  SELECT u FROM e{t - 1} GROUP BY u HAVING count(*) >= {k}),
+e{t} AS MATERIALIZED (
+  SELECT s.u, s.v FROM e{t - 1} s
+  JOIN keep{t} ka ON s.u = ka.u
+  JOIN keep{t} kb ON s.v = kb.u)""")
+    tail = f"""
+SELECT u AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY u"""
+    return head + "".join(steps) + tail
+
+
+@register("part_kcore", oracle=_kcore_oracle(3, 8))
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the part co-purchase graph
+    (operators/graph.py:kcore) — the dense-subgraph extractor next to
+    part_pagerank/part_triangles: peel nodes of degree < 3 for 8 fixed
+    rounds, report survivors with their in-core degree. Fixed rounds make
+    the iteration SQL-unrollable; peeling is monotone, so post-
+    convergence rounds are no-ops on both engines (rounds=8 == rounds=10
+    equality is the tested convergence proof)."""
+    from ecommerce_data_pipeline_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return gr.kcore(pairs, k=3, rounds=8).select(
+        F.col("id").alias("part_id"), "core_degree"
+    )

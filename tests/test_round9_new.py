@@ -386,3 +386,54 @@ def test_incremental_view_refresh_is_key_pruned(spark, tmp_path):
     # key was held out) — all inserts here since the key includes leg_no
     kinds = {r["_change_type"] for r in changes.collect()}
     assert kinds == {"insert"}
+
+
+# ---------------------------------------------------------------------------
+# kcore: fixed-round peel — convergence proof (more rounds = no-op) and a
+# hand-checked golden.
+# ---------------------------------------------------------------------------
+
+def test_kcore_golden_and_convergence(spark):
+    from ecommerce_data_pipeline_spark.operators.graph import kcore
+
+    # Graph: a 4-clique (1,2,3,4) with a pendant path 5-6 hanging off 4.
+    # 3-core = the clique; 5 and 6 peel (degrees 2 and 1).
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        clique + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["core_degree"] for r in kcore(edges, k=3, rounds=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # monotone: extra rounds past convergence change nothing
+    again = {
+        r["id"]: r["core_degree"] for r in kcore(edges, k=3, rounds=8).collect()
+    }
+    assert again == got
+
+
+def test_kcore_fixture_converged_at_8_rounds(spark):
+    """rounds=8 == rounds=10 on the real co-purchase fixture: the oracle's
+    fixed unroll depth is past convergence."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.graph import kcore
+    from ecommerce_data_pipeline_spark.sources.parquet import load_table
+
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    r8 = sorted(map(tuple, kcore(pairs, k=3, rounds=8).collect()))
+    r10 = sorted(map(tuple, kcore(pairs, k=3, rounds=10).collect()))
+    assert r8 == r10 and len(r8) > 0

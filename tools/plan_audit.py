@@ -55,6 +55,10 @@ SKIP_BUILD = {
     # build (refresh path audited in code: broadcast semi-joins on the
     # affected keys prune both scans)
     "incremental_view_refresh",
+    # r9: symmetrized edge set is eagerly checkpointed at build (and the
+    # small-graph numpy peel runs there); per-round plan is one degree
+    # groupBy + two semi-joins, audited in code
+    "part_kcore",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
