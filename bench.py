@@ -80,6 +80,42 @@ def main() -> int:
     ).count()
     setup = time.time() - t0
 
+    # Host-speed calibration: two fixed workloads whose cost is independent
+    # of the registry, recorded so cross-round per-query comparisons can be
+    # host-normalized (the round-9 VM ran ~35% slower than round 8's
+    # uniformly across even trivial queries; without a calibration constant
+    # that read was only inferable from trivial-query inflation). The numpy
+    # matmul measures raw single-process CPU; the Spark range-agg measures
+    # the JVM codegen path on all cores. To compare round N to round M,
+    # divide per-query times by the ratio of these constants first.
+    import numpy as _np
+
+    t_c = time.time()
+    _a = _np.ones((2048, 2048))
+    for _ in range(2):
+        _a = (_a @ _a) % 7.0
+    calib_numpy = round(time.time() - t_c, 3)
+    t_c = time.time()
+    spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+    calib_spark = round(time.time() - t_c, 3)
+    host_calib = {
+        "numpy_matmul_2048x2048x2_sec": calib_numpy,
+        "spark_range_200m_agg_sec": calib_spark,
+    }
+
+    def _calib_end() -> None:
+        # Repeated at end-of-run: host speed can drift WITHIN a run (the
+        # r9 VM swung 245s -> 331s between clean runs an hour apart), so
+        # one start-of-run constant can misrepresent the tail.
+        t_e = time.time()
+        b = _np.ones((2048, 2048))
+        for _ in range(2):
+            b = (b @ b) % 7.0
+        host_calib["numpy_matmul_end_sec"] = round(time.time() - t_e, 3)
+        t_e = time.time()
+        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+        host_calib["spark_range_end_sec"] = round(time.time() - t_e, 3)
+
     # Per-query error isolation: one broken query must never zero out the
     # round's perf signal (BENCH_r04 crashed wholesale on one
     # AnalysisException). Failures are reported per-query instead.
@@ -119,6 +155,7 @@ def main() -> int:
         timings[name] = min(timings[name], t2)
 
     total = round(sum(timings.values()), 3)
+    _calib_end()
 
     # Streaming honesty: the streaming query's elapsed time is mostly
     # micro-batch trigger machinery, not compute — report the split.
@@ -212,6 +249,7 @@ def main() -> int:
         "gold_incremental_merge_sec": gold_incremental,
         "streaming_fct_phases": streaming_phases,
         "heavy_best_of2": heavy_best_of2,
+        "host_calib": host_calib,
         "prev_bench": prev_files[-1] if prev_files else None,
         "prev_total": prev_total,
         "delta_vs_prev": delta_vs_prev,
@@ -236,6 +274,7 @@ def main() -> int:
                 "pipeline_full_build_sec": full_build,
                 "gold_incremental_merge_sec": gold_incremental,
                 "streaming_fct_phases": streaming_phases,
+                "host_calib": host_calib,
                 "queries_full": "BENCH_FULL.json",
             }
         )
