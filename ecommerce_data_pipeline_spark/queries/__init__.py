@@ -113,6 +113,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (5) overflow (positions 51+, certified here only if the driver's
     # window runs past 50; otherwise they front-load next round)
     "part_kcore",
+    "k_anonymity_audit",
     "ann_recall_report",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]

@@ -1100,3 +1100,42 @@ def q_corpus_profile_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars",
         )
     )
+
+
+@register(
+    "k_anonymity_audit",
+    # Privacy tier next to redact_pii/gdpr_delete_audit: quasi-identifier
+    # re-identification risk. Acctbal is coarsened to a $1000 band (floor
+    # division — negative balances land in the -1 band) exactly as a real
+    # release would generalize it; the audit then reports every
+    # (nation, segment, band) equivalence class with its size and whether
+    # a k=5 release must suppress it.
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+  count(*) AS group_size,
+  count(*) < 5 AS suppress
+FROM customer
+GROUP BY 1, 2, 3
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, $1000 account-balance band): one hash aggregation
+    emitting each equivalence class's size and the k=5 suppression flag —
+    the pre-release privacy gate for any training extract that carries
+    user attributes. Map-side partial agg; shuffle is one row per class,
+    never per customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_band",
+        "group_size",
+        (F.col("group_size") < 5).alias("suppress"),
+    )
