@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: list[str] = [
     # window runs past 50; otherwise they front-load next round)
     "part_kcore",
     "k_anonymity_audit",
+    "order_value_rank_profile",
     "ann_recall_report",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]

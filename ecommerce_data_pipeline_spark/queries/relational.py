@@ -1980,3 +1980,41 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.kcore(pairs, k=3, rounds=8).select(
         F.col("id").alias("part_id"), "core_degree"
     )
+
+
+@register(
+    "order_value_rank_profile",
+    # Completes the §2.5 window-function family: percent_rank, cume_dist
+    # and lag in one pass (row_number/rank/ntile/moving-avg/RANGE frames
+    # live in other queries). Ordering includes the key tiebreak so both
+    # rank functions are tie-free and deterministic.
+    oracle="""
+SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+  round(o_totalprice, 2) AS total_amount,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  round(o_totalprice - lag(o_totalprice) OVER w, 2) AS gap_to_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_order_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position profile of every order within its priority
+    class: percent_rank (share of peers strictly below), cume_dist
+    (share at-or-below) and the value gap to the previous order — one
+    window pass, one shuffle on the partition key."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("gap_to_prev"),
+    )
