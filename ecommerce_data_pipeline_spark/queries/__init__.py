@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "part_kcore",
     "k_anonymity_audit",
     "order_value_rank_profile",
+    "revenue_trend_by_type",
     "ann_recall_report",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]

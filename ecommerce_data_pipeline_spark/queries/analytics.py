@@ -1078,3 +1078,90 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "revenue_trend_by_type",
+    # Integer-exact OLS: x = minute index from the global min minute
+    # (slope is shift-invariant; one scalar anchor), y = per-minute
+    # revenue in cents. All five sufficient statistics (n, Σx, Σy, Σxx,
+    # Σxy) are exact int64 sums; the slope/intercept numerators and
+    # denominators are formed in HUGEINT/decimal(38) (n·Σxy overflows
+    # int64) and only the final division is floating point — both
+    # engines divide the SAME exact integers, so round() is bit-stable.
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+anchor AS (SELECT min(minute) AS m0 FROM p),
+m AS (
+  SELECT event_type, minute - a.m0 AS x, CAST(sum(cents) AS BIGINT) AS y
+  FROM p CROSS JOIN anchor a GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x * x) AS HUGEINT) AS sxx,
+    CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM m GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_minutes,
+  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+    AS slope_cents_per_min,
+  round(CAST(sy - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) * sx
+        AS DOUBLE) / n, 4) AS intercept_cents
+FROM s
+""",
+)
+def q_revenue_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend: ordinary least squares over the
+    per-minute cents series, computed from exact integer sufficient
+    statistics (decimal(38) for the cross terms — n·Σxy overflows
+    int64) so a distributed aggregation hash-matches the SQL replay at
+    round(6) with no fp-summation-order exposure. One scan + one
+    (type, minute) agg + one per-type agg; the min-minute anchor is a
+    1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("minute"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    anchor = p.agg(F.min("minute").alias("m0"))
+    m = (
+        p.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            (F.col("minute") - F.col("m0")).alias("x"),
+            "cents",
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    n_d = F.col("n").cast(dec)
+    slope_num = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope_den = (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = slope_num / slope_den
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_minutes"),
+        F.round(slope, 6).alias("slope_cents_per_min"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            4,
+        ).alias("intercept_cents"),
+    )

@@ -123,6 +123,8 @@ CARTESIAN_OK = {
     "pmi_top_pairs",
     # 1-row max-event-time anchor
     "user_decayed_value",
+    # 1-row min-minute anchor for the integer-exact OLS x shift
+    "revenue_trend_by_type",
     # 1-row time-midpoint anchor + broadcast 10-bucket grid
     "value_drift_psi",
     # 1-row positive-balance-average anchor (TPC-H Q22 shape)
