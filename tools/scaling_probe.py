@@ -60,6 +60,14 @@ HEAVY = {
     "ivf_pq_rerank_topk": "embeddings",
     "cdc_chunk_dedup": "documents",
     "streaming_trending_topk_merge": "events",
+    "incremental_view_refresh": "lineitem",
+    "part_kcore": "lineitem",
+    "streaming_trending_topk": "events",
+    "boilerplate_segment_report": "documents",
+    "tokenizer_fertility_by_lang": "documents",
+    "knn_label_accuracy_ivf": "embeddings",
+    "copurchase_lift": "lineitem",
+    "simhash_pairs": "documents",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
