@@ -52,8 +52,17 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # oracle is fixed this round (naive make_timestamp, matching every other
 # windowed oracle) and a green driver row is the round's top ask; (2) the
 # round-9 additions (IVFPQ exact rerank, trending-topk MERGE twin, corpus
-# snapshot diff); (3) the 19-query r04 cohort; (4) the 22-query r05 cohort.
-# 1+3+19+22 = 45 fits the ~50 window, clearing all r04/r05 debt this round.
+# snapshot diff, CDC chunk dedup, GROUPING SETS profile, embedding drift,
+# nDCG eval, incremental view refresh); (3) the 19-query r04 cohort;
+# (4) the 22-query r05 cohort. 1+8+19+22 = 50 fills the window exactly;
+# the four late round-9 extras (part_kcore, k_anonymity_audit,
+# order_value_rank_profile, revenue_trend_by_type) sit at 51+ as
+# overflow.
+#
+# ROUND 10 PLAN (write it while it's fresh): front-load (a) any r9 red,
+# (b) the four overflow extras above if they got no r9 row, (c) the r06
+# cohort (~45 queries, oldest after this round — `python
+# tools/cert_age.py`); r07+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) the r8 red, oracle fixed this round
