@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "k_anonymity_audit",
     "order_value_rank_profile",
     "revenue_trend_by_type",
+    "retrieve_rerank_prf",
     "ann_recall_report",
     # (6) remaining r06+-certified cohorts follow in registration order.
 ]

@@ -1966,3 +1966,116 @@ def q_ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.nullif(idcg, F.lit(0.0)), 4), F.lit(0.0)
         ).alias("ndcg"),
     )
+
+
+@register(
+    "retrieve_rerank_prf",
+    # The production retrieve-then-rerank shape (distinct from
+    # hybrid_rrf_search's rank FUSION): BM25 recalls 20 lexical
+    # candidates, the top-3 WITH embeddings act as pseudo-relevant docs
+    # (Rocchio PRF), their centroid becomes the dense query, and the
+    # candidate set alone is rescored by cosine to it. Corpus-scale work
+    # is exactly the BM25 inverted-index pass; everything dense touches
+    # <= 20 rows.
+    oracle=f"""
+WITH {_TOKS_SQL},
+q AS (SELECT doc_id, token, tf FROM tfreq
+      WHERE token IN ('spark', 'join', 'stream')),
+dfreq AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(list_filter(
+    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+    w -> w <> '')) AS dl
+  FROM documents
+),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+bm AS (
+  SELECT doc_id, round(sum(
+    ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+      * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+  ), 4) AS bm25_score
+  FROM q JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+cand AS (
+  SELECT doc_id, bm25_score FROM (
+    SELECT *, row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rn
+    FROM bm) WHERE rn <= 20
+),
+wv AS (
+  SELECT c.doc_id, c.bm25_score, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+),
+prf AS (
+  SELECT v FROM (
+    SELECT v, row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rn
+    FROM wv) WHERE rn <= 3
+),
+centroid AS (
+  SELECT list(m ORDER BY i) AS c FROM (
+    SELECT i, avg(x) AS m FROM (
+      SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+      FROM prf)
+    GROUP BY i)
+)
+SELECT doc_id, bm25_score, dense_score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT wv.doc_id, wv.bm25_score,
+    round(list_inner_product(wv.v, c.c)
+      / (sqrt(list_inner_product(wv.v, wv.v))
+         * sqrt(list_inner_product(c.c, c.c))), 4) AS dense_score,
+    row_number() OVER (ORDER BY
+      round(list_inner_product(wv.v, c.c)
+        / (sqrt(list_inner_product(wv.v, wv.v))
+           * sqrt(list_inner_product(c.c, c.c))), 4) DESC, wv.doc_id) AS rn
+  FROM wv CROSS JOIN centroid c) WHERE rn <= 5
+""",
+)
+def q_retrieve_rerank_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank with pseudo-relevance feedback: BM25 top-20
+    for {spark, join, stream} -> the top-3 candidates' embedding centroid
+    is the dense query (Rocchio PRF) -> exact-cosine rerank of the
+    candidate set to top-5. One inverted-index pass at corpus scale; the
+    dense stage reads <= 20 embedding rows via an equi-join on the
+    candidate ids; the centroid is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = tx.bm25_search(docs, ["spark", "join", "stream"], top_n=20).select(
+        "doc_id", F.col("score").alias("bm25_score")
+    )
+    wv = cand.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)  # tiny (<=20 rows); feeds prf AND rerank
+    rn = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
+    prf = wv.withColumn("rn", F.row_number().over(rn)).filter("rn <= 3")
+    centroid = (
+        prf.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    from ecommerce_data_pipeline_spark.operators.similarity import _dot, _norm
+
+    scored = wv.crossJoin(F.broadcast(centroid)).select(
+        "doc_id",
+        "bm25_score",
+        F.round(
+            _dot(F.col("v"), F.col("c"))
+            / (_norm(F.col("v")) * _norm(F.col("c"))),
+            4,
+        ).alias("dense_score"),
+    )
+    w = Window.orderBy(F.col("dense_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "bm25_score", "dense_score", "rank")
+    )

@@ -125,6 +125,8 @@ CARTESIAN_OK = {
     "user_decayed_value",
     # 1-row min-minute anchor for the integer-exact OLS x shift
     "revenue_trend_by_type",
+    # 1-row PRF-centroid broadcast + corpus-stats anchors in the BM25 stage
+    "retrieve_rerank_prf",
     # 1-row time-midpoint anchor + broadcast 10-bucket grid
     "value_drift_psi",
     # 1-row positive-balance-average anchor (TPC-H Q22 shape)
