@@ -197,6 +197,48 @@ def main() -> int:
         if q in prev_queries
     }
 
+    # Host-calibrated totals (round 10+): raw round-over-round totals were
+    # dominated by VM speed (r9 ran on a uniformly ~1.37x slower host than
+    # r8 — verified via per-query ratios on untouched trivial queries).
+    # Divide this run's total by the host-speed ratio against (a) the
+    # pinned r9 anchor (first round with calib probes) and (b) the previous
+    # round's recorded probes, so regressions are judged on work, not VM.
+    R9_CALIB_ANCHOR = {"numpy_sec": 1.078, "spark_sec": 0.394, "round": 9}
+
+    def _calib_avg(hc: dict) -> tuple[float | None, float | None]:
+        ns = [hc.get("numpy_matmul_2048x2048x2_sec"), hc.get("numpy_matmul_end_sec")]
+        ss = [hc.get("spark_range_200m_agg_sec"), hc.get("spark_range_end_sec")]
+        ns = [x for x in ns if x]
+        ss = [x for x in ss if x]
+        return (
+            sum(ns) / len(ns) if ns else None,
+            sum(ss) / len(ss) if ss else None,
+        )
+
+    def _host_ratio(cur: dict, ref_numpy: float | None, ref_spark: float | None):
+        cn, cs = _calib_avg(cur)
+        ratios = []
+        if cn and ref_numpy:
+            ratios.append(cn / ref_numpy)
+        if cs and ref_spark:
+            ratios.append(cs / ref_spark)
+        return round(sum(ratios) / len(ratios), 4) if ratios else None
+
+    ratio_r9 = _host_ratio(
+        host_calib, R9_CALIB_ANCHOR["numpy_sec"], R9_CALIB_ANCHOR["spark_sec"]
+    )
+    total_calibrated_r9host = round(total / ratio_r9, 3) if ratio_r9 else None
+    prev_calib = {}
+    try:
+        prev_calib = (prev.get("parsed") or prev).get("host_calib") or {}
+    except (NameError, AttributeError):
+        pass
+    pn, ps = _calib_avg(prev_calib) if prev_calib else (None, None)
+    ratio_vs_prev = _host_ratio(host_calib, pn, ps)
+    total_calibrated_vs_prev = (
+        round(total / ratio_vs_prev, 3) if ratio_vs_prev else None
+    )
+
     # Like-for-like numbers against BASELINE.md's dbt anchor: the anchor
     # measures an incremental gold MERGE (0.551s) / full build incl. tests
     # (0.994s) on a pre-built lakehouse at demo volume. Build the lakehouse
@@ -250,6 +292,11 @@ def main() -> int:
         "streaming_fct_phases": streaming_phases,
         "heavy_best_of2": heavy_best_of2,
         "host_calib": host_calib,
+        "calib_anchor_r9": R9_CALIB_ANCHOR,
+        "host_ratio_vs_r9": ratio_r9,
+        "total_calibrated_r9host": total_calibrated_r9host,
+        "host_ratio_vs_prev": ratio_vs_prev,
+        "total_calibrated_vs_prev": total_calibrated_vs_prev,
         "prev_bench": prev_files[-1] if prev_files else None,
         "prev_total": prev_total,
         "delta_vs_prev": delta_vs_prev,
@@ -275,6 +322,8 @@ def main() -> int:
                 "gold_incremental_merge_sec": gold_incremental,
                 "streaming_fct_phases": streaming_phases,
                 "host_calib": host_calib,
+                "host_ratio_vs_r9": ratio_r9,
+                "total_calibrated_r9host": total_calibrated_r9host,
                 "queries_full": "BENCH_FULL.json",
             }
         )

@@ -48,86 +48,82 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# Round 9 (policy applied): (1) the r8 red `streaming_trending_topk` — its
-# oracle is fixed this round (naive make_timestamp, matching every other
-# windowed oracle) and a green driver row is the round's top ask; (2) the
-# round-9 additions (IVFPQ exact rerank, trending-topk MERGE twin, corpus
-# snapshot diff, CDC chunk dedup, GROUPING SETS profile, embedding drift,
-# nDCG eval, incremental view refresh); (3) the 19-query r04 cohort;
-# (4) the 22-query r05 cohort. 1+8+19+22 = 50 fills the window exactly;
-# the four late round-9 extras (part_kcore, k_anonymity_audit,
-# order_value_rank_profile, revenue_trend_by_type) sit at 51+ as
-# overflow.
+# Round 10 (policy applied): (1) brand-new `bag_set_ops` (EXCEPT ALL /
+# INTERSECT ALL bag semantics — the last uncovered SQL surface corner) and
+# `revenue_trend_by_type` whose plan changed this round (sxx/sxy now
+# accumulate as decimal(38,0), ADVICE r9); (2) the other four round-9
+# overflow queries that never got a driver row (part_kcore,
+# k_anonymity_audit, order_value_rank_profile, retrieve_rerank_prf — all
+# judge-verified green at sf0.01 in r9); (3) the 45-query r06 cohort,
+# `leakage_safe_split` first because it was an r9 bench watch-item (solo
+# re-measure this round confirmed first-touch JIT, not a plan problem).
+# 4+4+45 = 53: with a 50-row driver window the final ~3 r06 items
+# (`top_supplier_quarter`, `user_sessions`, `variant_props_rollup`) roll
+# to round 11 and front-load there.
 #
-# ROUND 10 PLAN (write it while it's fresh): front-load (a) any r9 red,
-# (b) the four overflow extras above if they got no r9 row, (c) the r06
-# cohort (~45 queries, oldest after this round — `python
-# tools/cert_age.py`); r07+ follow.
+# ROUND 11 PLAN: front-load (a) any r10 red, (b) whichever tail r06 items
+# got no r10 row, (c) the r07 cohort (47 queries — `python
+# tools/cert_age.py`); r08+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (1) the r8 red, oracle fixed this round
-    "streaming_trending_topk",
-    # (2) round-9 additions
-    "ivf_pq_rerank_topk",
-    "streaming_trending_topk_merge",
-    "corpus_snapshot_diff",
-    "cdc_chunk_dedup",
-    "corpus_profile_sets",
-    "embedding_drift_by_label",
-    "ndcg_label_retrieval",
-    "incremental_view_refresh",
-    # (3) oldest cohort: last green driver row = round 4
-    "orders_status_pivot",
-    "paid_orders_recent",
-    "parts_with_shipments",
-    "payment_reconciliation",
-    "purchase_and_error_users",
-    "quality_report",
-    "revenue_rollup",
-    "sales_cube",
-    "salted_user_enrich",
-    "session_window_fact",
-    "shipment_status_current",
-    "shipping_priority_top10",
-    "sliding_window_gmv",
-    "tfidf_top_terms",
-    "top_customers_per_nation",
-    "top_tokens",
-    "training_corpus_filter",
-    "unigram_logprob_score",
-    "user_value_moving_avg",
-    # (4) round-5 cohort
-    "contrastive_pairs",
-    "conversion_lag",
-    "copurchase_lift",
-    "curated_training_set",
-    "customer_rfm_segments",
-    "event_path_trigrams",
-    "event_transition_gaps",
-    "events_quarantine",
-    "media_resize_plan",
-    "minute_anomalies",
-    "nation_trade_flows",
-    "order_count_distribution",
-    "order_items_revenue",
-    "part_pagerank",
-    "retention_cohorts",
-    "source_quality_drift",
-    "stream_stream_attribution_join",
-    "supplier_diversity",
-    "token_freq_cms",
-    "user_state_history",
-    "user_trailing_hour_value",
-    "winsorized_event_stats",
-    # (5) overflow (positions 51+, certified here only if the driver's
-    # window runs past 50; otherwise they front-load next round)
+    # (1) new this round / plan changed this round
+    "bag_set_ops",
+    "shingle_novelty_curve",
+    "eval_contamination_embedding",
+    "revenue_trend_by_type",
+    # (2) never driver-certified (round-9 overflow)
     "part_kcore",
     "k_anonymity_audit",
     "order_value_rank_profile",
-    "revenue_trend_by_type",
     "retrieve_rerank_prf",
+    # (3) oldest cohort: last green driver row = round 6
+    # (leakage_safe_split first: plan changed this round)
+    "leakage_safe_split",
     "ann_recall_report",
-    # (6) remaining r06+-certified cohorts follow in registration order.
+    "asof_view_before_purchase",
+    "bigram_logprob_score",
+    "bpe_pair_stats",
+    "branded_shipment_revenue",
+    "ccnet_quality_buckets",
+    "cdc_change_feed",
+    "document_chunks",
+    "dsir_importance_weights",
+    "embedding_int8_audit",
+    "event_funnel",
+    "forecast_revenue_change",
+    "gdpr_delete_audit",
+    "hybrid_rrf_search",
+    "ivf_topk",
+    "knn_label_accuracy",
+    "large_volume_orders",
+    "matryoshka_audit",
+    "media_audio_decode",
+    "media_audio_frames",
+    "media_image_decode",
+    "media_image_patches",
+    "media_video_frame_sample",
+    "minhash_lsh_pairs",
+    "nation_market_share",
+    "part_triangles",
+    "pmi_top_pairs",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "scd2_point_in_time",
+    "schema_evolution_merge",
+    "semantic_dedup_keep",
+    "sequence_packing",
+    "session_overlap_pairs",
+    "simhash",
+    "small_lot_revenue",
+    "source_capped_sample",
+    "streaming_replay_dedup",
+    "streaming_session_windows",
+    "table_time_travel",
+    "token_budget_mixture",
+    "top_supplier_quarter",
+    "user_sessions",
+    "variant_props_rollup",
+    # (4) remaining r07+-certified cohorts follow in registration order.
 ]
 
 

@@ -1121,8 +1121,10 @@ FROM s
 def q_revenue_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value trend: ordinary least squares over the
     per-minute cents series, computed from exact integer sufficient
-    statistics (decimal(38) for the cross terms — n·Σxy overflows
-    int64) so a distributed aggregation hash-matches the SQL replay at
+    statistics (cross terms accumulate AS decimal(38), mirroring the
+    oracle's HUGEINT sums — per-row x·y products and the running sum
+    would otherwise wrap int64 at larger fixtures) so a distributed
+    aggregation hash-matches the SQL replay at
     round(6) with no fp-summation-order exposure. One scan + one
     (type, minute) agg + one per-type agg; the min-minute anchor is a
     1-row broadcast."""
@@ -1148,8 +1150,8 @@ def q_revenue_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast(dec).alias("sx"),
         F.sum("y").cast(dec).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
     )
     n_d = F.col("n").cast(dec)
     slope_num = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

@@ -196,6 +196,75 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "shingle_novelty_curve",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([substr(lower(text), i, 12)
+    for i in generate_series(1, greatest(length(text)-11, 1))])) AS shingle
+  FROM documents
+),
+hashed AS (SELECT doc_id, {md5_long_sql("shingle")} AS h FROM sh),
+owners AS (SELECT h, min(doc_id) AS owner_doc FROM hashed GROUP BY 1),
+occ AS (
+  SELECT d.source, count(*) AS shingle_occurrences
+  FROM hashed s JOIN documents d USING (doc_id) GROUP BY 1
+),
+novel AS (
+  SELECT d.source, count(*) AS novel_shingles
+  FROM owners o JOIN documents d ON d.doc_id = o.owner_doc GROUP BY 1
+)
+SELECT occ.source, shingle_occurrences,
+  COALESCE(novel_shingles, 0) AS novel_shingles,
+  round(COALESCE(novel_shingles, 0) * 1.0 / shingle_occurrences, 4)
+    AS novelty_rate
+FROM occ LEFT JOIN novel ON novel.source = occ.source
+""",
+)
+def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle novelty: a 12-char shingle is NOVEL if this
+    source's doc is its global first owner (min doc_id across the corpus)
+    — the redundancy lens crawl pipelines use to decide which sources
+    still contribute new content vs re-crawled boilerplate (the corpus-
+    level cousin of Lee et al. 2022's dedup-fraction measurements).
+
+    Plan: shingles explode once and are md5-hashed to int64 immediately
+    (``_exploded_shingle_hashes``), so both shuffles — min-owner keyed on
+    the hash, per-source counts keyed on source — move fixed-width longs
+    regardless of document size, the same scale discipline as the MinHash
+    signature step. The owner table is one row per DISTINCT shingle; its
+    join back to the doc→source map is an equi-join Spark can shuffle-hash.
+    Hash collisions (~n²/2^60) fold identical shingles together on BOTH
+    engines (oracle replays the same md5-long), so equality is exact.
+    Output: (source, shingle_occurrences, novel_shingles, novelty_rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    hashed = dd._exploded_shingle_hashes(docs, 12, "text", "doc_id")
+    owners = hashed.groupBy("h").agg(F.min("doc_id").alias("owner_doc"))
+    occ = (
+        hashed.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("shingle_occurrences"))
+    )
+    novel = (
+        owners.join(
+            src.select(F.col("doc_id").alias("owner_doc"), "source"), "owner_doc"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("novel_shingles"))
+    )
+    return occ.join(novel, "source", "left").select(
+        "source",
+        "shingle_occurrences",
+        F.coalesce("novel_shingles", F.lit(0)).alias("novel_shingles"),
+        F.round(
+            F.coalesce("novel_shingles", F.lit(0))
+            / F.col("shingle_occurrences"),
+            4,
+        ).alias("novelty_rate"),
+    )
+
+
 # DuckDB twin of operators.dedup.simhash: identical md5-derived 60-bit
 # hashes, per-bit majority votes, 63-bit signature.
 def _simhash_sql(k: int = 12, bits: int = 64) -> str:

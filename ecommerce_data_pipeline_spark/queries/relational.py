@@ -508,6 +508,66 @@ def q_clean_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bag_set_ops",
+    oracle="""
+WITH v AS (
+  SELECT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+ex AS (SELECT * FROM v EXCEPT ALL SELECT * FROM p),
+ia AS (SELECT * FROM v INTERSECT ALL SELECT * FROM p),
+exa AS (SELECT user_id, count(*) AS unconverted_views FROM ex GROUP BY 1),
+iaa AS (SELECT user_id, count(*) AS converted_views FROM ia GROUP BY 1)
+SELECT COALESCE(exa.user_id, iaa.user_id) AS user_id,
+  COALESCE(unconverted_views, 0) AS unconverted_views,
+  COALESCE(converted_views, 0) AS converted_views
+FROM exa FULL OUTER JOIN iaa ON exa.user_id = iaa.user_id
+""",
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (bag semantics, SURVEY §2.5): per
+    (user, day) each view event is one token and each purchase one
+    token; ``EXCEPT ALL`` keeps max(v-p, 0) copies (views with no
+    matching purchase that day), ``INTERSECT ALL`` keeps min(v, p)
+    (views matched 1:1 by a purchase) — multiplicity-aware, unlike the
+    set-semantic INTERSECT/EXCEPT queries above. Spark plans both as a
+    single hash aggregate per side plus a count-compare join (no row
+    explosion, shuffle keyed on the token), then the per-user rollup is
+    one more hash agg; at 100 TB every stage is a keyed shuffle of
+    already-reduced rows."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def tokens(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+
+    views, purchases = tokens("view"), tokens("purchase")
+    unconv = (
+        views.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("unconverted_views"))
+    )
+    conv = (
+        views.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("converted_views"))
+    )
+    return (
+        unconv.join(conv, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("unconverted_views", F.lit(0)).alias("unconverted_views"),
+            F.coalesce("converted_views", F.lit(0)).alias("converted_views"),
+        )
+    )
+
+
+@register(
     "user_value_moving_avg",
     oracle="""
 SELECT user_id, event_id, ts,

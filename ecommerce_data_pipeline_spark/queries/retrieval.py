@@ -83,6 +83,57 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_contamination_embedding",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ev AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+tr AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+scored AS (
+  SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+    round(list_inner_product(ev.e, tr.e)
+          / (sqrt(list_inner_product(ev.e, ev.e))
+             * sqrt(list_inner_product(tr.e, tr.e))), 4) AS cosine_sim
+  FROM ev CROSS JOIN tr
+),
+best AS (
+  SELECT eval_id, train_id, cosine_sim,
+    row_number() OVER (PARTITION BY eval_id
+        ORDER BY cosine_sim DESC, train_id) AS rn
+  FROM scored
+)
+SELECT eval_id, train_id AS nearest_train_id, cosine_sim AS max_cosine,
+  CAST(cosine_sim >= 0.40 AS BOOLEAN) AS contaminated
+FROM best WHERE rn = 1
+""",
+)
+def q_eval_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval contamination audit: every held-out eval
+    vector (vec_id % 20 == 0) reports its nearest TRAIN neighbor by cosine
+    and whether it crosses the contamination threshold — the semantic twin
+    of ``ngram_contamination`` (which catches verbatim overlap; this
+    catches paraphrase-level leakage the n-gram check misses). Threshold
+    0.40 sits inside the synthetic corpus's max-cosine spread (0.32-0.49)
+    so both verdicts appear.
+
+    Plan: the eval probe set is small by construction (eval suites are
+    thousands of rows at any corpus scale) and broadcasts into
+    ``cosine_topk``'s scan of the train side, whose per-partition
+    WindowGroupLimit keeps only the local top-1 before the exchange — the
+    exact-scan recall baseline; the IVF-routed variant (``ivf_topk``) is
+    the 100 TB path when the probe set itself grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev_q = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    top1 = sim.cosine_topk(tr, ev_q, k=1)
+    return top1.select(
+        F.col("query_id").alias("eval_id"),
+        F.col("neighbor_id").alias("nearest_train_id"),
+        F.col("cosine_sim").alias("max_cosine"),
+        (F.col("cosine_sim") >= 0.40).alias("contaminated"),
+    )
+
+
+@register(
     "bm25_search",
     oracle=f"""
 WITH {_TOKS_SQL},

@@ -792,23 +792,35 @@ def _register_streaming_incremental_dedup() -> None:
         here to keep assignment independent of batch partitioning — the
         batch twin defines one deterministic answer).
 
+        Bench phase split (STREAMING_PHASES, same pattern as the flagship
+        streaming query): the artifact build is a ONE-TIME per-corpus-
+        snapshot cost in production, so it is timed separately from the
+        steady-state micro-batch drain — the drain number is the per-batch
+        ingest-dedup cost a 100 TB deployment actually pays repeatedly.
+
         Reference analogue: the consumers' upsert-by-key idempotent
         ingest contract (docs/events.md:145-150), lifted from single-row
         keys to content identity."""
         import shutil
         import tempfile
+        import time
 
         docs = load_table(spark, sf_dir, "documents")
         new = docs.filter(F.col("doc_id") % 5 == 0)
         existing = docs.filter(F.col("doc_id") % 5 != 0)
         root = tempfile.mkdtemp(prefix="stream_incdedup_")
         try:
+            t0 = time.time()
             art = f"{root}/artifact"
             exact_t, banded_t, prof_t = dd.signature_artifact(existing)
             exact_t.write.mode("overwrite").parquet(f"{art}/exact")
             banded_t.write.mode("overwrite").parquet(f"{art}/buckets")
             prof_t.write.mode("overwrite").parquet(f"{art}/shingles")
+            STREAMING_PHASES["incdedup_artifact_build_sec"] = round(
+                time.time() - t0, 3
+            )
 
+            t0 = time.time()
             src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
             new.repartition(4).write.mode("overwrite").parquet(src)
             schema = spark.read.parquet(src).schema
@@ -834,7 +846,9 @@ def _register_streaming_incremental_dedup() -> None:
                 .start()
             )
             q.awaitTermination()
-            return spark.read.parquet(out).localCheckpoint(eager=True)
+            result = spark.read.parquet(out).localCheckpoint(eager=True)
+            STREAMING_PHASES["incdedup_drain_sec"] = round(time.time() - t0, 3)
+            return result
         finally:
             shutil.rmtree(root, ignore_errors=True)
 

@@ -116,6 +116,10 @@ CARTESIAN_OK = {
     "copurchase_lift",
     "bm25_search",
     "cosine_topk",
+    # r10: eval-probe broadcast into cosine_topk's exact scan (same shape
+    # as cosine_topk — the probe set is bounded by the eval suite, never
+    # data x data; WindowGroupLimit pre-reduces before the exchange)
+    "eval_contamination_embedding",
     "unigram_logprob_score",
     "bigram_logprob_score",
     # 1-row corpus-total denominators (n_raw/n_tgt, n12/n1)
