@@ -52,6 +52,14 @@ def main() -> int:
     # the operators under test.
     ev.orders_events(spark, sf_dir).count()
     ev.payments_events(spark, sf_dir).count()
+    # Warm the memoized silver frames too (same artifact rationale as the
+    # corpus cache below: silver is a WRITTEN table in production — its
+    # build cost is measured once in pipeline_full_build_sec, not charged
+    # to whichever consumer query the registry order happens to run first;
+    # r9/r10 saw silver_orders_clean read 0.2s steady vs 2.1s first-touch
+    # purely from cohort-rotation run-order shifts).
+    ev.silver_orders_frame(spark, sf_dir).count()
+    ev.silver_payments_frame(spark, sf_dir).count()
     # Warm the doc/embedding scans and JIT the heavyweight codegen classes
     # (the 128-perm minhash expression tree takes ~5s to compile on first
     # use; steady-state per-query numbers should not charge JVM warmup to

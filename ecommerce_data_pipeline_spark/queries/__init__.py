@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bag_set_ops",
     "shingle_novelty_curve",
     "eval_contamination_embedding",
+    "streaming_ann_assign",
     "revenue_trend_by_type",
     # (2) never driver-certified (round-9 overflow)
     "part_kcore",

@@ -228,23 +228,29 @@ def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     still contribute new content vs re-crawled boilerplate (the corpus-
     level cousin of Lee et al. 2022's dedup-fraction measurements).
 
-    Plan: shingles explode once and are md5-hashed to int64 immediately
-    (``_exploded_shingle_hashes``), so both shuffles — min-owner keyed on
-    the hash, per-source counts keyed on source — move fixed-width longs
-    regardless of document size, the same scale discipline as the MinHash
-    signature step. The owner table is one row per DISTINCT shingle; its
-    join back to the doc→source map is an equi-join Spark can shuffle-hash.
-    Hash collisions (~n²/2^60) fold identical shingles together on BOTH
-    engines (oracle replays the same md5-long), so equality is exact.
+    Plan: shingles explode ONCE, only on the owner branch, and are
+    md5-hashed to int64 immediately (``_exploded_shingle_hashes``), so the
+    min-owner shuffle moves fixed-width longs regardless of document size
+    — the same scale discipline as the MinHash signature step. The
+    occurrence count never explodes at all: per-doc distinct-shingle count
+    is ``size(char_shingles(text))`` (char_shingles is array_distinct),
+    summed per source in one scan-side agg. The owner table is one row per
+    DISTINCT shingle; its join back to the doc→source map is an equi-join
+    Spark can shuffle-hash. Hash collisions (~n²/2^60) fold identical
+    shingles together on BOTH engines (oracle replays the same md5-long),
+    so equality is exact.
     Output: (source, shingle_occurrences, novel_shingles, novelty_rate)."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
     hashed = dd._exploded_shingle_hashes(docs, 12, "text", "doc_id")
     owners = hashed.groupBy("h").agg(F.min("doc_id").alias("owner_doc"))
     occ = (
-        hashed.join(src, "doc_id")
+        docs.select(
+            "source",
+            F.size(dd.char_shingles(F.col("text"), 12)).alias("n_shingles"),
+        )
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("shingle_occurrences"))
+        .agg(F.sum("n_shingles").alias("shingle_occurrences"))
     )
     novel = (
         owners.join(

@@ -958,6 +958,95 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def _streaming_ann_assign_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    """DuckDB twin of the streaming index-maintenance path: replay the
+    deterministic k-means fit on the EXISTING split (the persisted index
+    artifact), then assign every NEW vector to its nearest fitted centroid
+    — micro-batch boundaries cannot change a per-row argmin, so streaming
+    output == this batch replay by construction."""
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "embx AS (SELECT vec_id, v FROM emb WHERE vec_id % 4 <> 0)",
+    ]
+    # Fit replay on the existing split; drop the trailing full-corpus
+    # assignment CTE (a{iters}) — only the fitted centroids are needed.
+    parts += _kmeans_cells_sql(k, iters, dim, src="embx")[:-1]
+    parts.append("newv AS (SELECT vec_id, v FROM emb WHERE vec_id % 4 = 0)")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cell FROM (
+  SELECT n.vec_id, c.cell,
+    row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY {_d2_sql('n.v', 'c.v')}, c.cell) AS rn
+  FROM newv n CROSS JOIN c{iters} c) WHERE rn = 1
+"""
+
+
+@register("streaming_ann_assign", oracle=_streaming_ann_assign_oracle_sql())
+def q_streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance — the similarity-tier twin of
+    ``streaming_incremental_dedup``: the coarse quantizer is FIT ONCE on
+    the existing corpus (vec_id % 4 != 0; the persisted index artifact),
+    then new vectors arrive as a file stream (the Kafka stand-in) and
+    every micro-batch assigns them to their nearest centroid inside
+    foreachBatch, appending cell-partitioned posting files — exactly how
+    a 100 TB IVF index absorbs new embeddings without a refit: the
+    per-batch work is one map stage against k×dim broadcast centroid
+    literals, state is the artifact (never stream history), and the
+    cell-partitioned layout means later probes prune posting files by
+    directory. Per-row argmin is batch-independent, so streaming output
+    equals the batch replay (the oracle) regardless of trigger slicing.
+
+    Same kmeans_fit sample-cap parity constraint as ann_recall_report
+    (tests/test_round9_new.py pins every certified fixture below the cap).
+    Output: (vec_id, cell) for every newly ingested vector."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        assign_cells,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = kmeans_fit(existing, k=8, iters=3)
+    root = tempfile.mkdtemp(prefix="stream_annassign_")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/postings", f"{root}/ckpt"
+        new.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
+            assign_cells(batch_df, centroids).select("vec_id", "cell").write.mode(
+                "append"
+            ).partitionBy("cell").parquet(out)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(assign_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("ann_recall_report", oracle=_kmeans_recall_oracle_sql())
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality: recall@5 of the k-means IVF multi-probe

@@ -161,6 +161,12 @@ AUDITED = [
     "retrieve_rerank_prf",
     "embedding_drift_by_label",
     "ndcg_label_retrieval",
+    # round-10 additions (bag ops: plan must show aggregate-based
+    # except-all/intersect-all, no row-multiplying join; novelty: the
+    # occurrence branch must be a scan-side size() agg with no explode)
+    "bag_set_ops",
+    "shingle_novelty_curve",
+    "eval_contamination_embedding",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -44,6 +44,9 @@ SKIP_BUILD = {
     "streaming_media_decode",
     # r8: artifact-probe dedup drain (foreachBatch over the file stream)
     "streaming_incremental_dedup",
+    # r10: ANN index-maintenance drain (foreachBatch assigns new vectors
+    # against broadcast centroid literals; final plan is a postings scan)
+    "streaming_ann_assign",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
     # r9: update-mode drain maintaining the gold top-k via foreachBatch

@@ -68,6 +68,7 @@ HEAVY = {
     "knn_label_accuracy_ivf": "embeddings",
     "copurchase_lift": "lineitem",
     "simhash_pairs": "documents",
+    "shingle_novelty_curve": "documents",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
