@@ -112,6 +112,129 @@ def test_eval_contamination_below_threshold(spark, sf_dir_factory):
     assert r["contaminated"] is False and r["nearest_train_id"] == 1
 
 
+# ---------------------------------------------------------------------------
+# Property tests: the new queries against pure-Python models
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (user, day, n_views, n_purchases) — one slot per (user, day)
+_slots = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _write_sf(spark, tables):
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="r10prop_")
+    schemas = {
+        "events": (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+        "documents": (
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ),
+    }
+    for name, rows in tables.items():
+        spark.createDataFrame(rows, schemas[name]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}.parquet")
+    return root
+
+
+@settings(max_examples=8, deadline=None)
+@given(_slots)
+def test_bag_set_ops_matches_multiset_model(spark, slots):
+    """For ANY (user, day, views, purchases) multiset: per-user
+    unconverted == sum max(v-p, 0), converted == sum min(v, p), and a row
+    exists iff the user has at least one view token."""
+    import shutil
+
+    rows, eid = [], 0
+    for u, d, nv, np_ in slots:
+        for kind, n in (("view", nv), ("purchase", np_)):
+            for j in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 3, 1 + d, 8, j), u, kind, 1.0, "{}")
+                )
+    if not rows:
+        rows = [(1, dt.datetime(2024, 3, 1), 0, "click", 1.0, "{}")]
+    root = _write_sf(spark, {"events": rows})
+    try:
+        got = {
+            r["user_id"]: (r["unconverted_views"], r["converted_views"])
+            for r in QUERIES["bag_set_ops"](spark, root).collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    want = {}
+    for u, _d, nv, np_ in slots:
+        uc, cv = want.get(u, (0, 0))
+        want[u] = (uc + max(nv - np_, 0), cv + min(nv, np_))
+    want = {u: t for u, t in want.items() if sum(
+        nv for uu, _dd, nv, _pp in slots if uu == u) > 0}
+    assert got == want
+
+
+_docs = st.lists(
+    st.tuples(st.text(alphabet="abc", max_size=25), st.sampled_from(["s1", "s2"])),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docs)
+def test_shingle_novelty_matches_set_model(spark, docs):
+    """For ANY corpus: per-source occurrence and first-owner novelty counts
+    equal the brute-force shingle-set model (k=12; short/empty docs yield
+    the whole string as their single shingle, matching char_shingles)."""
+    import shutil
+
+    rows = [
+        (i + 1, text, "en", src, len(text)) for i, (text, src) in enumerate(docs)
+    ]
+    root = _write_sf(spark, {"documents": rows})
+    try:
+        got = {
+            r["source"]: (r["shingle_occurrences"], r["novel_shingles"])
+            for r in QUERIES["shingle_novelty_curve"](spark, root).collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def shingles(t: str) -> set:
+        t = t.lower()
+        n = max(len(t) - 11, 1)
+        return {t[i : i + 12] for i in range(n)}
+
+    owner: dict = {}
+    occ: dict = {}
+    for doc_id, text, _lang, src, _n in rows:
+        sh = shingles(text)
+        occ[src] = occ.get(src, 0) + len(sh)
+        for s in sh:
+            owner[s] = min(owner.get(s, doc_id), doc_id)
+    novel: dict = {}
+    src_of = {doc_id: src for doc_id, _t, _l, src, _n in rows}
+    for s, d in owner.items():
+        novel[src_of[d]] = novel.get(src_of[d], 0) + 1
+    want = {s: (occ[s], novel.get(s, 0)) for s in occ}
+    assert got == want
+
+
 def test_revenue_trend_accumulates_in_decimal():
     # ADVICE r9: the OLS sufficient statistics must accumulate AS
     # decimal(38,0), not sum in int64 and cast after — assert the plan's

@@ -69,6 +69,7 @@ HEAVY = {
     "copurchase_lift": "lineitem",
     "simhash_pairs": "documents",
     "shingle_novelty_curve": "documents",
+    "streaming_ann_assign": "embeddings",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
