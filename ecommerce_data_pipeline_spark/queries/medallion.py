@@ -271,12 +271,9 @@ ORDER BY minute_bucket DESC LIMIT 10
 )
 def recent_sales_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: the README dashboard query (README.md:159-162) — latest 10 minute
-    buckets. Physical plan is TakeOrderedAndProject: no global sort."""
-    return (
-        fct_sales_minute(spark, sf_dir)
-        .orderBy(F.col("minute_bucket").desc())
-        .limit(10)
-    )
+    buckets via operators.windows.top_k_recent. Physical plan is
+    TakeOrderedAndProject: no global sort."""
+    return win.top_k_recent(fct_sales_minute(spark, sf_dir), "minute_bucket", 10)
 
 
 @register(

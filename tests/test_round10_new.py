@@ -112,6 +112,31 @@ def test_eval_contamination_below_threshold(spark, sf_dir_factory):
     assert r["contaminated"] is False and r["nearest_train_id"] == 1
 
 
+def test_fact_view_operators_match_inline_forms(spark):
+    # Pin the two gold-view operators (fact.vw_sales_last_n_minutes,
+    # fact.recent_sales_top_k) to the semantics the certified registry
+    # queries implement inline — the view DDL (sources/sinks.py) and the
+    # dashboard query must stay interchangeable with these helpers.
+    from ecommerce_data_pipeline_spark.operators import fact as fc
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 10, 0) + dt.timedelta(minutes=m), float(m), m)
+        for m in range(0, 180, 7)
+    ]
+    fct = spark.createDataFrame(
+        rows, "minute_bucket timestamp, gmv double, paid_orders int"
+    )
+    anchor = max(r[0] for r in rows)
+    got_view = {
+        r["minute_bucket"]
+        for r in fc.vw_sales_last_n_minutes(fct, 60, anchor=anchor).collect()
+    }
+    want_view = {t for t, _g, _p in rows if t >= anchor - dt.timedelta(minutes=60)}
+    assert got_view == want_view
+    got_top = [r["minute_bucket"] for r in fc.recent_sales_top_k(fct, 10).collect()]
+    assert got_top == sorted((t for t, _g, _p in rows), reverse=True)[:10]
+
+
 # ---------------------------------------------------------------------------
 # Property tests: the new queries against pure-Python models
 # ---------------------------------------------------------------------------
