@@ -164,3 +164,89 @@ def stream_enrichment_cache(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_fold_states_tws(
+    events: DataFrame,
+    ranks: dict[str, int] | None = None,
+    key_col: str = "order_id",
+    state_col: str = "state",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """ST7 on Spark 4's ``transformWithStateInPandas`` — the successor
+    stateful API (SPARK-40434 "arbitrary stateful processing v2"):
+    object-style processors, NAMED state variables (ValueState/ListState/
+    MapState) instead of one state tuple, native TTL and timers, and
+    schema-evolvable state. Semantics here are identical to
+    ``stream_fold_states`` (monotone ranks, earliest event at the final
+    rank wins, illegal states ignored) — asserted by the three-way
+    streaming==streaming==batch test.
+
+    Requires the RocksDB state-store provider (wrap the stream start in
+    ``statestore.rocksdb_state``): OSS Spark gates transformWithState on
+    it, which is also the right production default (streaming/statestore
+    module docstring). ALSO requires the ``protobuf`` package (the TWS
+    state-server protocol is protobuf-framed) — absent in this sandbox,
+    so the equivalence test auto-skips here and runs wherever protobuf
+    exists; the plan compiles and the operator binds either way (the
+    applyInPandasWithState twin above is the executable-here path).
+
+    Output per update: (key, state, state_ts, n_events) — same contract
+    as stream_fold_states.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    rank_of = dict(ranks if ranks is not None else ORDER_STATE_RANKS)
+    name_of = {v: k for k, v in rank_of.items()}
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, state string, state_ts timestamp, n_events long"
+    )
+
+    class FoldProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._fold = handle.getValueState(
+                "fold", "rank int, ts_us long, n_events long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._fold.exists():
+                rank, ts_us, n = self._fold.get()
+            else:
+                rank, ts_us, n = -1, None, 0
+            for pdf in rows:
+                legal = pdf[pdf[state_col].isin(rank_of)]
+                for s, t in zip(legal[state_col], legal[ts_col]):
+                    r = rank_of[s]
+                    t_us = int(t.value // 1000)
+                    n += 1
+                    if r > rank:
+                        rank, ts_us = r, t_us
+                    elif r == rank and (ts_us is None or t_us < ts_us):
+                        ts_us = t_us
+            self._fold.update((rank, ts_us, n))
+            if rank < 0:
+                return
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "state": [name_of[rank]],
+                    "state_ts": [pd.Timestamp(ts_us * 1000)],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        FoldProcessor(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="None",
+    )

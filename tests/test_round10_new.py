@@ -112,6 +112,67 @@ def test_eval_contamination_below_threshold(spark, sf_dir_factory):
     assert r["contaminated"] is False and r["nearest_train_id"] == 1
 
 
+def test_stream_fold_states_tws_equals_batch_fold(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the ST7 state machine:
+    micro-batched fold over named ValueState must land on the same per-key
+    states as the batch fold. Auto-skips where the TWS protobuf protocol
+    dependency is absent (this sandbox); the applyInPandasWithState twin
+    is the always-runnable path (test_streaming.py)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from ecommerce_data_pipeline_spark.operators.state import fold_state_events
+    from ecommerce_data_pipeline_spark.streaming.stateful import (
+        stream_fold_states_tws,
+    )
+    from ecommerce_data_pipeline_spark.streaming.statestore import rocksdb_state
+
+    events = spark.createDataFrame(
+        [
+            ("o1", "CREATED", dt.datetime(2024, 1, 1, 10, 0)),
+            ("o1", "PAID", dt.datetime(2024, 1, 1, 10, 5)),
+            ("o1", "PAID", dt.datetime(2024, 1, 1, 10, 3)),
+            ("o2", "CREATED", dt.datetime(2024, 1, 1, 11, 0)),
+            ("o2", "BOGUS", dt.datetime(2024, 1, 1, 11, 1)),
+            ("o3", "PAID", dt.datetime(2024, 1, 1, 12, 0)),
+            ("o3", "CREATED", dt.datetime(2024, 1, 1, 11, 59)),
+        ],
+        "order_id string, state string, event_ts timestamp",
+    )
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    with rocksdb_state(spark):
+        q = (
+            stream_fold_states_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_folded")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql(
+        """SELECT order_id, state, state_ts, n_events FROM (
+             SELECT *, row_number() OVER (PARTITION BY order_id
+                 ORDER BY n_events DESC) rn FROM tws_folded) WHERE rn=1"""
+    )
+    got = {r["order_id"]: r for r in out.collect()}
+    batch = {r["order_id"]: r for r in fold_state_events(events).collect()}
+    assert set(got) == set(batch) == {"o1", "o2", "o3"}
+    for k in batch:
+        assert got[k]["state"] == batch[k]["state"], k
+        assert got[k]["state_ts"] == batch[k]["state_ts"], k
+        assert got[k]["n_events"] == batch[k]["n_events"], k
+
+
 def test_fact_view_operators_match_inline_forms(spark):
     # Pin the two gold-view operators (fact.vw_sales_last_n_minutes,
     # fact.recent_sales_top_k) to the semantics the certified registry
