@@ -57,10 +57,10 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # judge-verified green at sf0.01 in r9); (3) the 45-query r06 cohort,
 # `leakage_safe_split` first because it was an r9 bench watch-item (solo
 # re-measure this round confirmed first-touch JIT, not a plan problem).
-# 6+4+45 = 55: with a 50-row driver window the final ~5 r06 items
-# (`table_time_travel`, `token_budget_mixture`, `top_supplier_quarter`,
-# `user_sessions`, `variant_props_rollup`) roll to round 11 and
-# front-load there.
+# 7+4+45 = 56: with a 50-row driver window the final ~6 r06 items
+# (`streaming_session_windows`, `table_time_travel`,
+# `token_budget_mixture`, `top_supplier_quarter`, `user_sessions`,
+# `variant_props_rollup`) roll to round 11 and front-load there.
 #
 # ROUND 11 PLAN: front-load (a) any r10 red, (b) whichever tail r06 items
 # got no r10 row, (c) the r07 cohort (47 queries — `python
@@ -76,6 +76,9 @@ _DRIVER_PRIORITY: list[str] = [
     # plan rebound onto operators.windows.top_k_recent this round (same
     # physical TakeOrderedAndProject; re-certify per changed-plan policy)
     "recent_sales_top10",
+    # gini moments now accumulate as decimal(38,0) (latent int64 wrap at
+    # ~1e9 keys x 1e12 events — r9 ADVICE bug class, swept proactively)
+    "key_skew_report",
     # (2) never driver-certified (round-9 overflow)
     "part_kcore",
     "k_anonymity_audit",

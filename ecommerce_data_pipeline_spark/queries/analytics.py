@@ -1062,6 +1062,14 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("c")
     nk = F.max("nk")
+    # Gini moments accumulate AS decimal(38,0): sum(rn·c) is bounded by
+    # n_keys × total_events (~1e21 at 1e9 keys / 1e12 events), past int64 —
+    # the same silent-wrap-vs-HUGEINT-oracle class as the OLS trend fix
+    # below (r9 ADVICE). The denominator n_keys × total overflows the same
+    # way, so both sides go through decimal and ONE final double divide.
+    dec = "decimal(38,0)"
+    sum_rc = F.sum(F.col("rn").cast(dec) * F.col("c").cast(dec))
+    nk_d, total_d = nk.cast(dec), total.cast(dec)
     return r.groupBy("event_type").agg(
         nk.cast("int").alias("n_keys"),
         total.alias("total_events"),
@@ -1073,8 +1081,8 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top10_share"),
         F.round(
-            (2 * F.sum(F.col("rn") * F.col("c")) - (nk + 1) * total)
-            / (nk * total),
+            (2 * sum_rc - (nk_d + 1) * total_d).cast("double")
+            / ((nk_d * total_d).cast("double")),
             4,
         ).alias("gini"),
     )

@@ -1492,7 +1492,11 @@ FROM agg
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Zipf slope (token log-rank vs log-frequency OLS over the
     top-500 terms): one token shuffle, one per-source window (top-500 kept
-    by WindowGroupLimit before the exchange), int64 moment sums."""
+    by WindowGroupLimit before the exchange), int64 moment sums — safe at
+    ANY corpus size because the top-500 cap bounds them: n ≤ 500,
+    x ≤ log(500)·1e5, y ≤ log(total_tokens)·1e5 ≈ 2.8e6 even at 1e12
+    tokens, so Σx·y ≤ 500 · 6.2e5 · 2.8e6 ≈ 8.7e14 ≪ int64 (unlike the
+    unbounded gini/OLS moments, which accumulate in decimal(38,0))."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(tx._words(F.col("text"))).alias("token")

@@ -332,3 +332,16 @@ def test_revenue_trend_accumulates_in_decimal():
     src = inspect.getsource(analytics.q_revenue_trend_by_type)
     assert 'F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))' in src
     assert 'F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))' in src
+
+
+def test_key_skew_gini_accumulates_in_decimal():
+    # Same bug class, swept proactively: sum(rn*c) and n_keys*total are
+    # bounded by keys x events (~1e21 at scale) — must accumulate as
+    # decimal(38,0), never int64.
+    import inspect
+
+    from ecommerce_data_pipeline_spark.queries import analytics
+
+    src = inspect.getsource(analytics.q_key_skew_report)
+    assert 'F.sum(F.col("rn").cast(dec) * F.col("c").cast(dec))' in src
+    assert "nk_d * total_d" in src
