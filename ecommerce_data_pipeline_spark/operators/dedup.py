@@ -145,6 +145,14 @@ def minhash_signatures(
     shuffle volume is docs × n_hashes fixed-width longs — independent of
     document size. This is the scan-side signature step of the standard
     shingle→minhash→band plan.
+
+    Role: the pure-SQL-aggregate VERIFIER TWIN of the Arrow/numpy band
+    kernel (_profile_buckets) — same affine maps, so per-doc mins and band
+    co-bucketing must match, which tests/test_round10_new.py asserts. The
+    hot path uses the numpy kernel (128 wide SQL min-aggregates measured
+    ~100x slower); this form is also what you persist when the signature
+    ARTIFACT itself is the product (signature_artifact's exact/bucket
+    tables cover that for the incremental path).
     """
     hashed = _exploded_shingle_hashes(docs, k, text_col, id_col).select(
         "doc_id", (F.col("h") % MINHASH_PRIME).alias("h")

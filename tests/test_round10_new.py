@@ -198,6 +198,74 @@ def test_fact_view_operators_match_inline_forms(spark):
     assert got_top == sorted((t for t, _g, _p in rows), reverse=True)[:10]
 
 
+def test_minhash_signatures_equal_numpy_band_kernel(spark):
+    """minhash_signatures (pure SQL aggregates) is the cross-implementation
+    verifier of the Arrow/numpy band kernel (_profile_buckets): identical
+    affine permutations must produce identical per-doc mins, and therefore
+    the identical band co-bucketing — the LSH recall math both paths share.
+    """
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "a", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "a", 44),
+            (3, "pack my box with five dozen liquor jugs", "en", "b", 40),
+            (4, "sphinx of black quartz judge my vow", "en", "b", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n_hashes, n_bands = 32, 8
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in dd.minhash_signatures(docs, n_hashes=n_hashes).collect()
+    }
+    # Recompute the mins numpy-side from the shared shingle-hash profile,
+    # with the same affine maps the band kernel uses.
+    prof = {
+        r["doc_id"]: np.asarray(r["shingles"], dtype=np.int64)
+        for r in dd._minhash_profile(docs, 12, "text", "doc_id").collect()
+    }
+    a = np.array(
+        [(i * dd._A_MULT) % dd.MINHASH_PRIME for i in range(1, n_hashes + 1)],
+        dtype=np.int64,
+    )[:, None]
+    b = np.array(
+        [(i * dd._B_MULT) % dd.MINHASH_PRIME for i in range(1, n_hashes + 1)],
+        dtype=np.int64,
+    )[:, None]
+    for doc_id, h in prof.items():
+        mins = ((a * (h[None, :] % dd.MINHASH_PRIME) + b) % dd.MINHASH_PRIME).min(
+            axis=1
+        )
+        assert sigs[doc_id] == mins.tolist(), doc_id
+    # Same mins => same band co-bucketing: the exact-duplicate pair (1,2)
+    # collides in EVERY band on both paths; disjoint docs collide in none.
+    def cobucketed(bucket_df):
+        rows = bucket_df.collect()
+        by_bb = {}
+        for r in rows:
+            by_bb.setdefault((r["band"], r["bucket"]), set()).add(r["doc_id"])
+        pairs = set()
+        for docs_in in by_bb.values():
+            for x in docs_in:
+                for y in docs_in:
+                    if x < y:
+                        pairs.add((x, y))
+        return pairs
+
+    sig_df = dd.minhash_signatures(docs, n_hashes=n_hashes)
+    p1 = cobucketed(dd._lsh_buckets(sig_df, n_hashes, n_bands))
+    p2 = cobucketed(
+        dd._profile_buckets(
+            dd._minhash_profile(docs, 12, "text", "doc_id"), n_hashes, n_bands
+        )
+    )
+    assert p1 == p2 == {(1, 2)}
+
+
 # ---------------------------------------------------------------------------
 # Property tests: the new queries against pure-Python models
 # ---------------------------------------------------------------------------
