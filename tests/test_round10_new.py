@@ -198,6 +198,49 @@ def test_fact_view_operators_match_inline_forms(spark):
     assert got_top == sorted((t for t, _g, _p in rows), reverse=True)[:10]
 
 
+def test_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
+    """ST2's recovery contract, tested as an actual RESTART: a first
+    availableNow drain consumes the staged files, the source grows, and a
+    brand-new query object started against the SAME checkpoint must pick
+    up exactly the new files — no reprocessing of committed offsets, no
+    gaps. (The replay-idempotency test covers at-least-once tolerance in
+    the MERGE; this covers the checkpoint's own offset tracking.)"""
+    src, out, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+
+    def stage(ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage([0, 1, 2])
+    drain()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == [0, 1, 2]
+    stage([3, 4, 5])
+    drain()  # NEW query object, same checkpoint
+    final = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert final == [0, 1, 2, 3, 4, 5]  # no dups, no loss
+
+
 def test_minhash_signatures_equal_numpy_band_kernel(spark):
     """minhash_signatures (pure SQL aggregates) is the cross-implementation
     verifier of the Arrow/numpy band kernel (_profile_buckets): identical
