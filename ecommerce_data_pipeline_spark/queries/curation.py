@@ -1139,3 +1139,54 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < 5).alias("suppress"),
     )
+
+
+@register(
+    "corpus_jsonl_roundtrip",
+    oracle=f"""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum({md5_long_sql("text")} % 1000000000) AS BIGINT) AS text_checksum
+FROM documents GROUP BY source
+""",
+)
+def q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange, certified lossless: the corpus is WRITTEN as
+    sharded JSON-lines (the format LLM corpora actually ship as — C4/Pile/
+    Dolma shape) and READ BACK through the schema-enforced quarantining
+    reader (sources/corpus_io.py); the per-source doc counts, char totals
+    and content checksums of the round-tripped frame must hash-match the
+    oracle computed from the ORIGINAL parquet — any JSON escaping loss,
+    schema drift, or quarantined line breaks the equality. Checksum is
+    sum(md5_long(text) mod 1e9): int64-safe to ~9e9 docs per source and
+    replayed bit-for-bit by the oracle.
+
+    Scale: writer emits one balanced shard per task; reader is a plain
+    schema-pinned json scan (no inferSchema pass), PERMISSIVE with
+    corrupt-line capture — one broken line in a crawl dump costs one
+    quarantine row, not the job."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="corpus_jsonl_")
+    try:
+        write_corpus_jsonl(docs, f"{root}/corpus", n_shards=8)
+        good, _quarantine = read_corpus_jsonl(spark, f"{root}/corpus")
+        return (
+            good.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(dd._md5_long(F.col("text")) % 1000000000).alias(
+                    "text_checksum"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -198,6 +198,55 @@ def test_fact_view_operators_match_inline_forms(spark):
     assert got_top == sorted((t for t, _g, _p in rows), reverse=True)[:10]
 
 
+def test_jsonl_reader_quarantines_corrupt_lines(spark, tmp_path):
+    """One malformed line in a JSONL shard must land in the quarantine
+    frame as its raw text — never kill the read, never leak into good."""
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en", "a", 5), (2, "beta", "en", "b", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus_jsonl(docs, path, n_shards=1)
+    with open(f"{tmp_path}/corpus/part-badline.json", "w") as fh:
+        fh.write('{"doc_id": 3, "text": "gamma", BROKEN\n')
+    good, quarantine = read_corpus_jsonl(spark, path)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "BROKEN" in bad[0]["raw_line"]
+
+
+def test_jsonl_roundtrip_lossless_on_hostile_text(spark, tmp_path):
+    """Escaping-hostile text (newlines, quotes, backslashes, unicode,
+    tabs) must survive the JSONL write→read round trip byte-identically."""
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    hostile = [
+        'he said "quote" then \\ backslash',
+        "line1\nline2\r\nline3",
+        "tab\there — ünïcødé ✓ 中文",
+        "",
+        "trailing space ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "xx", "s", len(t)) for i, t in enumerate(hostile)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "hostile")
+    write_corpus_jsonl(docs, path, n_shards=1)
+    good, quarantine = read_corpus_jsonl(spark, path)
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert got == {i: t for i, t in enumerate(hostile)}
+
+
 def test_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
     """ST2's recovery contract, tested as an actual RESTART: a first
     availableNow drain consumes the staged files, the source grows, and a
