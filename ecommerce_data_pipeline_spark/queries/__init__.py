@@ -57,11 +57,11 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # judge-verified green at sf0.01 in r9); (3) the 45-query r06 cohort,
 # `leakage_safe_split` first because it was an r9 bench watch-item (solo
 # re-measure this round confirmed first-touch JIT, not a plan problem).
-# 8+4+45 = 57: with a 50-row driver window the final ~7 r06 items
-# (`streaming_replay_dedup`, `streaming_session_windows`,
-# `table_time_travel`, `token_budget_mixture`, `top_supplier_quarter`,
-# `user_sessions`, `variant_props_rollup`) roll to round 11 and
-# front-load there.
+# 9+4+45 = 58: with a 50-row driver window the final ~8 r06 items
+# (`source_capped_sample`, `streaming_replay_dedup`,
+# `streaming_session_windows`, `table_time_travel`,
+# `token_budget_mixture`, `top_supplier_quarter`, `user_sessions`,
+# `variant_props_rollup`) roll to round 11 and front-load there.
 #
 # ROUND 11 PLAN: front-load (a) any r10 red, (b) whichever tail r06 items
 # got no r10 row, (c) the r07 cohort (47 queries — `python
@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "eval_contamination_embedding",
     "streaming_ann_assign",
     "corpus_jsonl_roundtrip",
+    "orders_tbl_roundtrip",
     "revenue_trend_by_type",
     # plan rebound onto operators.windows.top_k_recent this round (same
     # physical TakeOrderedAndProject; re-certify per changed-plan policy)

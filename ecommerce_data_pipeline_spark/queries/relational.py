@@ -568,6 +568,61 @@ def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_tbl_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS total_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum,
+  CAST(sum(CAST(floor(epoch(o_orderdate)) AS BIGINT) % 1000000) AS BIGINT)
+    AS date_checksum
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-delimited ``.tbl`` interchange (TPC-H dbgen's native format),
+    certified lossless: orders are WRITTEN as headerless pipe-delimited
+    shards and READ BACK through the schema-pinned quarantining reader
+    (sources/tabular_io.py); per-priority counts, cents-exact price sums
+    and key/date checksums of the round-tripped frame must hash-match the
+    oracle computed from the ORIGINAL parquet — any delimiter, double-
+    formatting or timestamp-format loss breaks the equality. Checksums
+    are mod-1e6 sums (int64-safe past 1e10 rows); doubles survive because
+    Spark's CSV writer emits shortest-roundtrip representations.
+
+    Scale: one balanced shard per task out, one schema-pinned csv scan
+    back (no inferSchema pass), PERMISSIVE with corrupt-line capture."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.functions import epoch_micros
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="orders_tbl_")
+    try:
+        write_tbl(orders, f"{root}/orders", n_shards=8)
+        good, _quarantine = read_tbl(spark, f"{root}/orders", orders.schema)
+        secs = F.floor(epoch_micros(F.col("o_orderdate")) / F.lit(1e6)).cast(
+            "long"
+        )
+        return (
+            good.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("total_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+                F.sum(secs % 1000000).alias("date_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "user_value_moving_avg",
     oracle="""
 SELECT user_id, event_id, ts,

@@ -247,6 +247,50 @@ def test_jsonl_roundtrip_lossless_on_hostile_text(spark, tmp_path):
     assert got == {i: t for i, t in enumerate(hostile)}
 
 
+def test_tbl_reader_quarantines_corrupt_lines(spark, tmp_path):
+    """A ragged pipe-delimited line (wrong column count / unparseable
+    types) must quarantine, not fail the read or pollute good rows."""
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "tbl")
+    write_tbl(df, path, n_shards=1)
+    with open(f"{tmp_path}/tbl/part-badline.csv", "w") as fh:
+        fh.write("notanint|x|y|extra|cols\n")
+    good, quarantine = read_tbl(spark, path, df.schema)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "notanint" in bad[0]["raw_line"]
+
+
+def test_jsonl_gzip_shards_roundtrip(spark, tmp_path):
+    """Gzipped shards (how corpora actually ship) must round-trip
+    identically: .json.gz part files on disk, lossless content back."""
+    import os
+
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body\nline2", "en", "s", 15) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "gz")
+    write_corpus_jsonl(docs, path, n_shards=4, compression="gzip")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert parts and all(f.endswith(".json.gz") for f in parts)
+    good, quarantine = read_corpus_jsonl(spark, path)
+    assert quarantine.count() == 0
+    assert {r["doc_id"] for r in good.collect()} == set(range(20))
+
+
 def test_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
     """ST2's recovery contract, tested as an actual RESTART: a first
     availableNow drain consumes the staged files, the source grows, and a

@@ -47,9 +47,10 @@ SKIP_BUILD = {
     # r10: ANN index-maintenance drain (foreachBatch assigns new vectors
     # against broadcast centroid literals; final plan is a postings scan)
     "streaming_ann_assign",
-    # r10: JSONL write+read-back executes at build; final plan is the
-    # eager checkpoint of the round-tripped aggregate
+    # r10: JSONL / .tbl write+read-back executes at build; final plan is
+    # the eager checkpoint of the round-tripped aggregate
     "corpus_jsonl_roundtrip",
+    "orders_tbl_roundtrip",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
     # r9: update-mode drain maintaining the gold top-k via foreachBatch
