@@ -13,6 +13,27 @@ json source does the heavy lifting; this module pins the contract:
   ``_corrupt_record`` column so malformed lines quarantine instead of
   killing the job (the same quarantine discipline as events_quarantine).
 
+Storage discipline (round 11): the reader NEVER caches by default. The
+round-10 version cached the full parsed corpus unconditionally — at the
+100 TB target that churns the block manager / spills ~the whole input to
+local executor disk even when the caller consumes only ``good``. Now:
+
+- default (``storage_level=None``): ``good`` is a plain schema-pinned
+  json scan; ``quarantine`` — only if the caller actually consumes it —
+  re-derives corrupt lines from an independent ``text`` scan +
+  ``from_json`` reparse (pay-per-use second scan instead of
+  materializing the corpus). The reparse exists because Spark refuses
+  uncached plans whose only referenced file column is the internal
+  corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+  COLUMN); it mirrors the native reader's semantics, including skipping
+  whitespace-only lines, which the json source silently drops.
+- explicit ``storage_level`` (e.g. ``StorageLevel.DISK_ONLY``): one
+  shared parse persisted at that level, both splits served from it —
+  the right call when BOTH splits get fully consumed and fit the
+  declared tier. Pass ``return_raw=True`` to also receive the persisted
+  frame so you can ``raw.unpersist()`` when done (otherwise the cached
+  blocks outlive the read — a leak across a long session).
+
 Reference analogue: the consumers' JSON envelope contract
 (docs/events.md:5-12) — tolerate-and-quarantine, never crash on a bad
 payload.
@@ -20,6 +41,7 @@ payload.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -33,6 +55,8 @@ DOCUMENTS_JSONL_SCHEMA = StructType(
         StructField("n_chars", LongType()),
     ]
 )
+
+_CORRUPT = "_corrupt_record"
 
 
 def write_corpus_jsonl(
@@ -50,37 +74,61 @@ def write_corpus_jsonl(
     writer.json(path)
 
 
+def _with_corrupt(schema: StructType) -> StructType:
+    return StructType(schema.fields + [StructField(_CORRUPT, StringType())])
+
+
 def read_corpus_jsonl(
-    spark: SparkSession, path: str, schema: StructType = DOCUMENTS_JSONL_SCHEMA
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS_JSONL_SCHEMA,
+    storage_level: StorageLevel | None = None,
+    return_raw: bool = False,
+):
     """(good, quarantine): schema-enforced JSONL read with corrupt-line
     capture. ``good`` carries exactly ``schema``'s columns; ``quarantine``
     is (raw_line) for every unparseable input line.
 
     PERMISSIVE + columnNameOfCorruptRecord is the scale-safe posture: one
     syntactically broken line in shard 48k of a crawl dump must cost one
-    quarantine row, not the job. Spark refuses plans whose only referenced
-    column is the internal corrupt-record column
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parsed
-    frame is cached here — Spark's own documented workaround, and the
-    right call anyway when both splits get consumed (one json parse, not
-    two).
+    quarantine row, not the job. See the module docstring for the
+    ``storage_level`` / ``return_raw`` storage contract (default: NO
+    caching; quarantine is a pay-per-use text-scan reparse).
     """
-    raw = (
-        spark.read.schema(
-            StructType(
-                schema.fields + [StructField("_corrupt_record", StringType())]
-            )
+    full = _with_corrupt(schema)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    if storage_level is not None:
+        raw = (
+            spark.read.schema(full).options(**opts).json(path).persist(storage_level)
         )
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-        .cache()
-    )
-    good = raw.filter(F.col("_corrupt_record").isNull()).select(
-        *[f.name for f in schema.fields]
-    )
-    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
+        good = raw.filter(F.col(_CORRUPT).isNull()).select(
+            *[f.name for f in schema.fields]
+        )
+        quarantine = raw.filter(F.col(_CORRUPT).isNotNull()).select(
+            F.col(_CORRUPT).alias("raw_line")
+        )
+    else:
+        # Uncached good: DROPMALFORMED, so no plan ever references the
+        # internal corrupt column (a PERMISSIVE corrupt-filter breaks under
+        # column pruning — e.g. count() prunes to corrupt-only, which Spark
+        # rejects on uncached file scans). Same row set as
+        # PERMISSIVE + corrupt-IS-NULL: both keep exactly the fully
+        # parseable lines.
+        raw = good = (
+            spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        )
+        # Uncached quarantine: independent text scan + from_json reparse
+        # (PERMISSIVE + corrupt capture). Whitespace-only lines are
+        # excluded to match the native json reader, which silently skips
+        # them; a line quarantines when the reparse either captures it in
+        # the corrupt column or cannot produce a struct at all.
+        parsed = F.from_json(F.col("value"), full, opts)
+        quarantine = (
+            spark.read.text(path)
+            .filter(F.trim(F.col("value")) != "")
+            .filter(parsed.isNull() | parsed[_CORRUPT].isNotNull())
+            .select(F.col("value").alias("raw_line"))
+        )
+    if return_raw:
+        return good, quarantine, raw
     return good, quarantine

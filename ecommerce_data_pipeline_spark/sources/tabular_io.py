@@ -7,60 +7,130 @@ with the same discipline as the JSONL corpus path (sources/corpus_io.py):
 schema PINNED (no inferSchema scan), PERMISSIVE parse, malformed lines
 quarantined instead of failing the job.
 
-Timestamps travel as ``yyyy-MM-dd HH:mm:ss`` on both directions — the
-fixture's timestamps are second-aligned, and the certified round-trip
-query (``orders_tbl_roundtrip``) would hash-mismatch its parquet oracle
-if the format ever lost a component.
+Wire-format contract (round 11 — pinned explicitly on both directions):
+
+- Timestamps travel as ``yyyy-MM-dd HH:mm:ss`` — the fixture's
+  timestamps are second-aligned, and the certified round-trip query
+  (``orders_tbl_roundtrip``) would hash-mismatch its parquet oracle if
+  the format ever lost a component.
+- NULL travels as ``\\N`` (the MySQL/Hive convention) and empty string
+  as a quoted ``""`` — with both representations pinned, null vs
+  empty-string round-trips losslessly (Spark's CSV defaults collapse
+  both to null on read). Constraint: a GENUINE data value ``\\N`` is
+  indistinguishable from null on the wire — out of contract (dbgen data
+  never contains it).
+- Embedded newlines: ``.tbl`` is a line-oriented format; dbgen data
+  never embeds newlines. The writer quotes them (valid CSV), but the
+  default line-splittable reader would mis-split such rows — pass
+  ``multiline_strings=True`` to parse quoted multi-line records
+  correctly. That mode reads each FILE as one unsplittable unit
+  (Spark's multiLine contract), so it is for modest landing files, not
+  a 100 TB scan; it also requires an explicit ``storage_level`` because
+  the pay-per-use quarantine reparse is line-oriented.
+
+Storage discipline matches corpus_io (round 11): NO caching by default;
+``quarantine`` re-derives corrupt lines from a text scan + ``from_csv``
+reparse only if consumed. Pass ``storage_level`` (+ ``return_raw=True``
+for an unpersist handle) to share one persisted parse across both splits.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
+NULL_TOKEN = "\\N"
+_CORRUPT = "_corrupt_record"
 
 
 def write_tbl(df: DataFrame, path: str, n_shards: int = 32) -> None:
-    """Write ``df`` as ``n_shards`` headerless pipe-delimited files."""
+    """Write ``df`` as ``n_shards`` headerless pipe-delimited files.
+
+    NULL is written as ``\\N`` so the reader can distinguish it from an
+    empty string (which Spark writes quoted, ``""``)."""
     (
         df.repartition(n_shards)
         .write.mode("overwrite")
         .option("sep", "|")
         .option("header", "false")
         .option("timestampFormat", TS_FORMAT)
+        .option("nullValue", NULL_TOKEN)
         .csv(path)
     )
 
 
 def read_tbl(
-    spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    storage_level: StorageLevel | None = None,
+    return_raw: bool = False,
+    multiline_strings: bool = False,
+):
     """(good, quarantine): schema-pinned pipe-delimited read.
 
     Same contract as read_corpus_jsonl — PERMISSIVE + corrupt-record
-    capture, parsed frame cached (Spark rejects plans projecting ONLY the
-    internal corrupt column), good carries exactly ``schema``'s columns.
-    """
-    raw = (
-        spark.read.schema(
-            StructType(
-                schema.fields + [StructField("_corrupt_record", StringType())]
-            )
+    capture, good carries exactly ``schema``'s columns, NO caching by
+    default (quarantine is a pay-per-use text-scan reparse; see the
+    module docstring for null/empty/newline wire rules and the
+    ``multiline_strings`` constraints)."""
+    if multiline_strings and storage_level is None:
+        raise ValueError(
+            "multiline_strings=True requires an explicit storage_level: "
+            "the uncached quarantine path reparses per text LINE, which "
+            "is wrong for quoted multi-line records"
         )
-        .option("sep", "|")
-        .option("header", "false")
-        .option("timestampFormat", TS_FORMAT)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(path)
-        .cache()
+    full = StructType(schema.fields + [StructField(_CORRUPT, StringType())])
+    base_opts = {
+        "sep": "|",
+        "header": "false",
+        "timestampFormat": TS_FORMAT,
+        "nullValue": NULL_TOKEN,
+        "emptyValue": "",
+    }
+    opts = dict(
+        base_opts, mode="PERMISSIVE", columnNameOfCorruptRecord=_CORRUPT
     )
-    good = raw.filter(F.col("_corrupt_record").isNull()).select(
-        *[f.name for f in schema.fields]
-    )
-    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
+    if storage_level is not None:
+        reader = spark.read.schema(full).options(**opts)
+        if multiline_strings:
+            reader = reader.option("multiLine", "true")
+        raw = reader.csv(path).persist(storage_level)
+        good = raw.filter(F.col(_CORRUPT).isNull()).select(
+            *[f.name for f in schema.fields]
+        )
+        quarantine = raw.filter(F.col(_CORRUPT).isNotNull()).select(
+            F.col(_CORRUPT).alias("raw_line")
+        )
+    else:
+        # Uncached good: DROPMALFORMED so no plan references the internal
+        # corrupt column (a PERMISSIVE corrupt-filter breaks under column
+        # pruning — count() prunes to corrupt-only, which Spark rejects on
+        # uncached file scans). Same row set: both keep exactly the fully
+        # parseable lines.
+        raw = good = (
+            spark.read.schema(schema)
+            .options(**base_opts)
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
+        # Uncached quarantine: text scan + from_csv reparse with the same
+        # options. Truly-empty lines are excluded to match the native csv
+        # reader, which skips blank lines; a line quarantines when the
+        # reparse captures it in the corrupt column or yields no struct.
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
+        )
+        parsed = F.from_csv(F.col("value"), F.lit(schema_ddl), opts)
+        quarantine = (
+            spark.read.text(path)
+            .filter(F.length(F.col("value")) > 0)
+            .filter(parsed.isNull() | parsed[_CORRUPT].isNotNull())
+            .select(F.col("value").alias("raw_line"))
+        )
+    if return_raw:
+        return good, quarantine, raw
     return good, quarantine

