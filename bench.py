@@ -288,6 +288,39 @@ def main() -> int:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # Self-flagging regression gate (round 11, per the r10 verdict ask):
+    # compare each query's HOST-CALIBRATED time against the previous
+    # committed BENCH_FULL.json (read before this run overwrites it) and
+    # emit a `regressions` list instead of relying on judge diffing.
+    # Floors: previous time >= 0.2s (sub-0.2s is timer noise) and an
+    # absolute calibrated delta > 0.3s (first-touch JIT on trivial queries
+    # regularly doubles a 0.1s number without any plan change).
+    regressions: list[dict] = []
+    prev_full: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+            prev_full = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
+    pf_queries = prev_full.get("queries") or {}
+    pf_n, pf_s = _calib_avg(prev_full.get("host_calib") or {})
+    ratio_vs_full = _host_ratio(host_calib, pf_n, pf_s) or 1.0
+    for q, t in sorted(timings.items()):
+        pt = pf_queries.get(q)
+        if not pt or pt < 0.2:
+            continue
+        calib_t = t / ratio_vs_full
+        if calib_t / pt > 1.5 and calib_t - pt > 0.3:
+            regressions.append(
+                {
+                    "query": q,
+                    "prev_sec": pt,
+                    "now_sec_calibrated": round(calib_t, 3),
+                    "ratio": round(calib_t / pt, 2),
+                }
+            )
+    regressions.sort(key=lambda r: r["ratio"], reverse=True)
+
     # The driver keeps only a bounded stdout tail, so the primary line must
     # stay compact (r02/r03 benches were lost to tail truncation of the full
     # per-query map). Primary line: totals + the 10 slowest queries + errors.
@@ -307,9 +340,21 @@ def main() -> int:
         "n_queries": len(timings),
         "pipeline_full_build_sec": full_build,
         "gold_incremental_merge_sec": gold_incremental,
+        # First run surfaced separately: rounds <=9 and the dbt anchor are
+        # single-shot measurements, so anchor/history comparisons should
+        # use the first-run value; best-of-2 is the warm steady-state.
+        "gold_incremental_first_run_sec": gold_runs[0] if gold_runs else None,
         "gold_incremental_runs": gold_runs if gold_incremental else None,
         "streaming_fct_phases": streaming_phases,
         "heavy_best_of2": heavy_best_of2,
+        "regressions": regressions,
+        "regression_gate": {
+            "basis": "calibrated ratio vs previous BENCH_FULL.json",
+            "ratio_threshold": 1.5,
+            "min_prev_sec": 0.2,
+            "min_abs_delta_sec": 0.3,
+            "host_ratio_vs_prev_full": ratio_vs_full,
+        },
         "host_calib": host_calib,
         "calib_anchor_r9": R9_CALIB_ANCHOR,
         "host_ratio_vs_r9": ratio_r9,
@@ -339,6 +384,10 @@ def main() -> int:
                 "setup_sec": round(setup, 3),
                 "pipeline_full_build_sec": full_build,
                 "gold_incremental_merge_sec": gold_incremental,
+                "gold_incremental_first_run_sec": (
+                    gold_runs[0] if gold_runs else None
+                ),
+                "regressions": regressions[:10],
                 "streaming_fct_phases": streaming_phases,
                 "host_calib": host_calib,
                 "host_ratio_vs_r9": ratio_r9,

@@ -48,84 +48,35 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# Round 10 (policy applied): (1) brand-new `bag_set_ops` (EXCEPT ALL /
-# INTERSECT ALL bag semantics — the last uncovered SQL surface corner) and
-# `revenue_trend_by_type` whose plan changed this round (sxx/sxy now
-# accumulate as decimal(38,0), ADVICE r9); (2) the other four round-9
-# overflow queries that never got a driver row (part_kcore,
-# k_anonymity_audit, order_value_rank_profile, retrieve_rerank_prf — all
-# judge-verified green at sf0.01 in r9); (3) the 45-query r06 cohort,
-# `leakage_safe_split` first because it was an r9 bench watch-item (solo
-# re-measure this round confirmed first-touch JIT, not a plan problem).
-# 9+4+45 = 58: with a 50-row driver window the final ~8 r06 items
-# (`source_capped_sample`, `streaming_replay_dedup`,
-# `streaming_session_windows`, `table_time_travel`,
-# `token_budget_mixture`, `top_supplier_quarter`, `user_sessions`,
-# `variant_props_rollup`) roll to round 11 and front-load there.
+# Round 11 (policy applied): (1) queries whose plan/contract changed this
+# round — the two interchange round-trips (readers rebuilt: cache now
+# opt-in, good = DROPMALFORMED scan, .tbl null/empty wire pinned) and
+# streaming_ann_assign (per-batch idempotent posting writes replace the
+# blind append) — plus brand-new ann_postings_compaction (the OPTIMIZE
+# analogue, r10 ask #3) and eval_contamination_ivf (IVF-routed
+# contamination with exact-agreement column, r10 ask #4); (2) no
+# never-certified queries remain (first time); (3) the 8 r06-tail queries
+# that rolled past round 10's window, then the r07 cohort (47, oldest
+# cohort per tools/cert_age.py) in cert_age order. 5+8+37 = 50: the final
+# 10 r07 items (sql_recent_purchase_minutes, stratified_sample,
+# streaming_fct_sales_minute, streaming_media_decode,
+# text_minhash_topk_join, token_stats, user_current_state,
+# user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
+# 51-60 and roll to round 12 if the driver window stays at 50.
 #
-# ROUND 11 PLAN: front-load (a) any r10 red, (b) whichever tail r06 items
-# got no r10 row, (c) the r07 cohort (47 queries — `python
-# tools/cert_age.py`); r08+ follow.
+# ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
+# got no r11 row (the 10 above), (c) the r08 cohort (47 queries — `python
+# tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (1) new this round / plan changed this round
-    "bag_set_ops",
-    "shingle_novelty_curve",
-    "eval_contamination_embedding",
+    # (1) new this round / plan or contract changed this round
+    "ann_postings_compaction",
+    "eval_contamination_ivf",
     "streaming_ann_assign",
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
-    "revenue_trend_by_type",
-    # plan rebound onto operators.windows.top_k_recent this round (same
-    # physical TakeOrderedAndProject; re-certify per changed-plan policy)
-    "recent_sales_top10",
-    # gini moments now accumulate as decimal(38,0) (latent int64 wrap at
-    # ~1e9 keys x 1e12 events — r9 ADVICE bug class, swept proactively)
-    "key_skew_report",
-    # (2) never driver-certified (round-9 overflow)
-    "part_kcore",
-    "k_anonymity_audit",
-    "order_value_rank_profile",
-    "retrieve_rerank_prf",
-    # (3) oldest cohort: last green driver row = round 6
-    # (leakage_safe_split first: plan changed this round)
-    "leakage_safe_split",
-    "ann_recall_report",
-    "asof_view_before_purchase",
-    "bigram_logprob_score",
-    "bpe_pair_stats",
-    "branded_shipment_revenue",
-    "ccnet_quality_buckets",
-    "cdc_change_feed",
-    "document_chunks",
-    "dsir_importance_weights",
-    "embedding_int8_audit",
-    "event_funnel",
-    "forecast_revenue_change",
-    "gdpr_delete_audit",
-    "hybrid_rrf_search",
-    "ivf_topk",
-    "knn_label_accuracy",
-    "large_volume_orders",
-    "matryoshka_audit",
-    "media_audio_decode",
-    "media_audio_frames",
-    "media_image_decode",
-    "media_image_patches",
-    "media_video_frame_sample",
-    "minhash_lsh_pairs",
-    "nation_market_share",
-    "part_triangles",
-    "pmi_top_pairs",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "scd2_point_in_time",
-    "schema_evolution_merge",
-    "semantic_dedup_keep",
-    "sequence_packing",
-    "session_overlap_pairs",
-    "simhash",
-    "small_lot_revenue",
+    # (2) oldest cohort first: the 8 r06-tail queries that rolled past
+    # round 10's 50-row window (judge re-verified green at sf0.01 in r10)
     "source_capped_sample",
     "streaming_replay_dedup",
     "streaming_session_windows",
@@ -134,7 +85,56 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_quarter",
     "user_sessions",
     "variant_props_rollup",
-    # (4) remaining r07+-certified cohorts follow in registration order.
+    # (3) the r07 cohort in cert_age order; items 38-47 land at
+    # positions 51-60 and roll to round 12 if the window stays at 50
+    "audio_fingerprint_dedup",
+    "bpe_encode_tokens",
+    "bpe_merge_vocab",
+    "cart_totals",
+    "catalog_search_page",
+    "cosine_topk",
+    "decode_media_features",
+    "dedup_rate_by_source",
+    "dormant_rich_customers",
+    "embedding_near_dup_pairs",
+    "events_json_props",
+    "events_minute_users",
+    "events_value_quantiles",
+    "exact_dedup",
+    "fct_sales_minute",
+    "fingerprint",
+    "frame_sample_plan",
+    "freshness_by_type",
+    "image_phash_dedup",
+    "language_id",
+    "language_id_confusion",
+    "late_sole_blame_suppliers",
+    "lineitem_pricing_summary",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "notification_emails",
+    "order_status_current",
+    "orders_kafka_encoded",
+    "priority_late_orders",
+    "quality_score",
+    "redact_pii",
+    "repetition_stats",
+    "revenue_by_nation",
+    "shard_assign",
+    "silver_orders_clean",
+    "silver_payments_clean",
+    "simhash_pairs",
+    "sql_recent_purchase_minutes",
+    "stratified_sample",
+    "streaming_fct_sales_minute",
+    "streaming_media_decode",
+    "text_minhash_topk_join",
+    "token_stats",
+    "user_current_state",
+    "user_decayed_value",
+    "value_drift_psi",
+    "video_frame_topk",
+    # (4) remaining r08+-certified cohorts follow in registration order.
 ]
 
 

@@ -992,13 +992,17 @@ def q_streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing corpus (vec_id % 4 != 0; the persisted index artifact),
     then new vectors arrive as a file stream (the Kafka stand-in) and
     every micro-batch assigns them to their nearest centroid inside
-    foreachBatch, appending cell-partitioned posting files — exactly how
-    a 100 TB IVF index absorbs new embeddings without a refit: the
-    per-batch work is one map stage against k×dim broadcast centroid
-    literals, state is the artifact (never stream history), and the
-    cell-partitioned layout means later probes prune posting files by
-    directory. Per-row argmin is batch-independent, so streaming output
-    equals the batch replay (the oracle) regardless of trigger slicing.
+    foreachBatch, writing cell-partitioned postings under its own
+    ``batch=b<id>`` directory (operators/postings.py: overwrite-by-batch,
+    so at-least-once retries never duplicate; ``compact_postings`` is the
+    OPTIMIZE analogue that later consolidates the per-trigger small
+    files) — exactly how a 100 TB IVF index absorbs new embeddings
+    without a refit: the per-batch work is one map stage against k×dim
+    broadcast centroid literals, state is the artifact (never stream
+    history), and the cell-partitioned layout means later probes prune
+    posting files by directory. Per-row argmin is batch-independent, so
+    streaming output equals the batch replay (the oracle) regardless of
+    trigger slicing.
 
     Same kmeans_fit sample-cap parity constraint as ann_recall_report
     (tests/test_round9_new.py pins every certified fixture below the cap).
@@ -1006,6 +1010,9 @@ def q_streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        write_posting_batch,
+    )
     from ecommerce_data_pipeline_spark.operators.quantize import (
         assign_cells,
         kmeans_fit,
@@ -1022,9 +1029,14 @@ def q_streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(src).schema
 
         def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
-            assign_cells(batch_df, centroids).select("vec_id", "cell").write.mode(
-                "append"
-            ).partitionBy("cell").parquet(out)
+            # Idempotent per-batch write (operators/postings.py): a
+            # foreachBatch retry overwrites its own batch=b<id> directory
+            # instead of appending a duplicate copy.
+            write_posting_batch(
+                assign_cells(batch_df, centroids).select("vec_id", "cell"),
+                out,
+                batch_id,
+            )
 
         stream = (
             spark.readStream.schema(schema)
@@ -1045,6 +1057,176 @@ def q_streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _ann_postings_compaction_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    """DuckDB twin: compaction must be content-neutral, so the oracle is
+    simply the k-means replay's full-corpus assignment grouped by cell —
+    if the compacted layout dropped, duplicated, or mutated one posting,
+    a count or checksum diverges."""
+    ctes = ",\n".join(_kmeans_cells_sql(k, iters, dim))
+    return f"""
+WITH {ctes}
+SELECT cell, count(*) AS n_vecs,
+  CAST(sum(vec_id % 1000000) AS BIGINT) AS id_checksum
+FROM a{iters} GROUP BY cell
+"""
+
+
+@register("ann_postings_compaction", oracle=_ann_postings_compaction_oracle_sql())
+def q_ann_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-layout compaction, certified content-neutral: the corpus is
+    ingested as four micro-batch posting writes (operators/postings.py —
+    each batch its own ``batch=b<id>`` dir, one file per task per cell:
+    the streaming small-files problem in miniature), then
+    ``compact_postings`` consolidates the snapshot into one file per cell
+    and removes exactly the inputs it read. Per-cell counts and id
+    checksums of the POST-compaction layout must hash-match the oracle's
+    k-means-replay assignment — any row lost, duplicated, or re-celled by
+    the rewrite breaks the equality. The query raises if compaction
+    didn't actually shrink the file count, so a silent no-op can't pass.
+
+    Scale: this is the OPTIMIZE analogue a day of 10 s triggers needs
+    (~8640 × n_cells tiny files otherwise); the rewrite reads only the
+    snapshot batch dirs (partition-pruned) and shuffles each cell to one
+    task, so cost is one pass over the postings, never the vectors."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        compact_postings,
+        write_posting_batch,
+    )
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        assign_cells,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    assigned = assign_cells(emb, centroids).select("vec_id", "cell")
+    root = tempfile.mkdtemp(prefix="ann_compact_")
+    try:
+        out = f"{root}/postings"
+        for i in range(4):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 4 == i), out, i
+            )
+        stats = compact_postings(spark, out, file_threshold=4)
+        if not stats["compacted"] or (
+            stats["n_files_after"] >= stats["n_files_before"]
+        ):
+            raise AssertionError(f"compaction did not consolidate: {stats}")
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.col("cell").cast("int").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(F.col("vec_id") % 1000000).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _eval_contamination_ivf_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3
+) -> str:
+    """DuckDB twin of the IVF-routed contamination audit: k-means replay
+    fitted on the TRAIN split only, eval probes routed to their nprobe
+    nearest cells, within-cell top-1 vs the exact cross-join top-1."""
+    d2 = _d2_sql
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "ev AS (SELECT vec_id, v FROM emb WHERE vec_id % 20 = 0)",
+        "tr AS (SELECT vec_id, v FROM emb WHERE vec_id % 20 <> 0)",
+    ]
+    parts += _kmeans_cells_sql(k, iters, dim, src="tr")
+    cos = (
+        "round(list_inner_product({q}, {n})"
+        " / (sqrt(list_inner_product({q}, {q})) * sqrt(list_inner_product({n}, {n}))), 4)"
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT eval_id, qv, cell FROM (
+    SELECT e.vec_id AS eval_id, e.v AS qv, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2('e.v', 'c.v')}, c.cell) AS prn
+    FROM ev e CROSS JOIN c{iters} c) WHERE prn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""ivf1 AS (
+  SELECT eval_id, neighbor_id, cs FROM (
+    SELECT p.eval_id, a.vec_id AS neighbor_id,
+      {cos.format(q='p.qv', n='a.v')} AS cs,
+      row_number() OVER (PARTITION BY p.eval_id
+                         ORDER BY {cos.format(q='p.qv', n='a.v')} DESC,
+                                  a.vec_id) AS rn
+    FROM probe p JOIN a{iters} a ON a.cell = p.cell) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""ex1 AS (
+  SELECT eval_id, cs AS excs FROM (
+    SELECT e.vec_id AS eval_id, {cos.format(q='e.v', n='t.v')} AS cs,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos.format(q='e.v', n='t.v')} DESC,
+                                  t.vec_id) AS rn
+    FROM ev e CROSS JOIN tr t) WHERE rn = 1
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT i.eval_id, i.neighbor_id AS nearest_train_id, i.cs AS max_cosine,
+  CAST(i.cs >= 0.40 AS BOOLEAN) AS contaminated,
+  CAST((i.cs >= 0.40) = (x.excs >= 0.40) AS BOOLEAN) AS verdict_matches_exact
+FROM ivf1 i JOIN ex1 x USING (eval_id)
+"""
+
+
+@register("eval_contamination_ivf", oracle=_eval_contamination_ivf_oracle_sql())
+def q_eval_contamination_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed train/eval contamination audit — the 100 TB path for
+    ``eval_contamination_embedding`` (whose exact scan is the recall
+    baseline): fit the coarse quantizer on the TRAIN side only, route each
+    eval probe to its nprobe nearest cells, and report the within-cell
+    nearest train neighbor, the contamination verdict, and whether that
+    verdict AGREES with the exact scan's — certifying not just the IVF
+    plumbing but its decision quality, per probe (the same
+    self-measuring pattern as ann_recall_report). Work per probe is
+    ~nprobe/k of the corpus instead of all of it; at real scale the
+    exact column is sampled, not computed for every probe.
+
+    Determinism: the shared kmeans_fit/multiprobe machinery (md5-order
+    init, fixed iterations, tiebroken argmin, round-4 cosines) lets the
+    oracle replay both routes bit-stably in DuckDB."""
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        kmeans_fit,
+        multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev_q = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    centroids = kmeans_fit(tr, k=8, iters=3)
+    ivf1 = multiprobe_topk(tr, ev_q, centroids, k=1, nprobe=3)
+    exact1 = sim.cosine_topk(tr, ev_q, k=1).select(
+        "query_id", (F.col("cosine_sim") >= 0.40).alias("contaminated_exact")
+    )
+    return ivf1.join(exact1, "query_id").select(
+        F.col("query_id").alias("eval_id"),
+        F.col("neighbor_id").alias("nearest_train_id"),
+        F.col("cosine_sim").alias("max_cosine"),
+        (F.col("cosine_sim") >= 0.40).alias("contaminated"),
+        (
+            (F.col("cosine_sim") >= 0.40) == F.col("contaminated_exact")
+        ).alias("verdict_matches_exact"),
+    )
 
 
 @register("ann_recall_report", oracle=_kmeans_recall_oracle_sql())

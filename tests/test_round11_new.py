@@ -122,3 +122,77 @@ def test_tbl_multiline_strings_mode(spark, tmp_path):
         assert got == {1: "line1\nline2", 2: "plain"}
     finally:
         raw.unpersist(blocking=True)
+
+
+def _posting_df(spark, ids_cells):
+    return spark.createDataFrame(ids_cells, "vec_id long, cell int")
+
+
+def test_write_posting_batch_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same batch id must
+    overwrite its own batch directory, not append a duplicate copy."""
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        write_posting_batch,
+    )
+
+    root = str(tmp_path / "p")
+    df = _posting_df(spark, [(1, 0), (2, 1), (3, 0)])
+    write_posting_batch(df, root, 7)
+    write_posting_batch(df, root, 7)  # simulated retry
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == [(1, 0), (2, 1), (3, 0)]
+
+
+def test_compact_postings_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction must be content-neutral (same multiset of rows), must
+    actually shrink the file count, and must leave a layout the plain
+    partition-discovery read still understands."""
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        _count_files,
+        _list_batch_dirs,
+        compact_postings,
+        write_posting_batch,
+    )
+
+    root = str(tmp_path / "p")
+    rows = [(i, i % 3) for i in range(60)]
+    for b in range(5):
+        write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 5 == b]).repartition(4),
+            root,
+            b,
+        )
+    before_files = _count_files(spark, root)
+    stats = compact_postings(spark, root, file_threshold=4)
+    assert stats["compacted"] is True
+    assert stats["n_input_dirs"] == 5
+    assert stats["n_files_after"] < before_files
+    dirs = _list_batch_dirs(spark, root)
+    assert len(dirs) == 1 and dirs[0].startswith("batch=compact-")
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == sorted(rows)
+    # one file per cell in the compacted dir (3 cells)
+    assert stats["n_files_after"] == 3
+
+
+def test_compact_postings_noop_below_thresholds(spark, tmp_path):
+    """Rewriting one big file into another is write amplification — below
+    min_input_dirs / file_threshold the operator must not touch the
+    layout."""
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        _list_batch_dirs,
+        compact_postings,
+        write_posting_batch,
+    )
+
+    root = str(tmp_path / "p")
+    write_posting_batch(_posting_df(spark, [(1, 0), (2, 1)]).coalesce(1), root, 0)
+    stats = compact_postings(spark, root, file_threshold=4)
+    assert stats["compacted"] is False
+    assert _list_batch_dirs(spark, root) == ["batch=b0"]

@@ -167,6 +167,10 @@ AUDITED = [
     "bag_set_ops",
     "shingle_novelty_curve",
     "eval_contamination_embedding",
+    # round-11 additions (ivf contamination: the IVF route must be an
+    # equi-join on cell with the probe set broadcast; the only cartesian
+    # is the bounded exact-baseline column)
+    "eval_contamination_ivf",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -51,6 +51,11 @@ SKIP_BUILD = {
     # the eager checkpoint of the round-tripped aggregate
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
+    # r11: four posting-batch writes + compaction run at build; final plan
+    # is the eager checkpoint of the post-compaction per-cell aggregate
+    # (compaction plan audited in code: partition-pruned snapshot read,
+    # repartition by cell, one file per cell)
+    "ann_postings_compaction",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
     # r9: update-mode drain maintaining the gold top-k via foreachBatch
@@ -148,6 +153,10 @@ CARTESIAN_OK = {
     # r9: nDCG eval retrieves via cosine_topk's broadcast exact top-k
     # (the != self-match join); everything after is equi-joins + aggs
     "ndcg_label_retrieval",
+    # r11: IVF route is equi-join on cell + broadcast probe set; the
+    # cartesian is the exact-baseline column (cosine_topk's bounded
+    # eval-probe broadcast — same class as eval_contamination_embedding)
+    "eval_contamination_ivf",
     "ann_recall_report",
     "pq_recall_report",
     "kmeans_ivf_topk",
