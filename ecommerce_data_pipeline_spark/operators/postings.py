@@ -43,17 +43,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_batch_output(
+    df: DataFrame, root: str, batch_id: int, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Generic idempotent foreachBatch parquet sink: each micro-batch owns
+    ``root/batch=b<id>``, written with overwrite semantics, so an
+    at-least-once retry rewrites its own directory instead of appending a
+    duplicate copy. Readers take ``spark.read.parquet(root)`` and drop (or
+    use) the discovered ``batch`` partition column."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{root}/batch=b{batch_id}")
+
+
 def write_posting_batch(df: DataFrame, root: str, batch_id: int) -> None:
     """Idempotently write one micro-batch of (.., cell) postings.
 
     Each batch owns ``root/batch=b<id>``; overwrite semantics make a
     foreachBatch retry rewrite the same directory instead of appending a
     duplicate copy."""
-    (
-        df.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{root}/batch=b{batch_id}")
-    )
+    write_batch_output(df, root, batch_id, partition_by=("cell",))
 
 
 def _fs(spark: SparkSession, root: str):

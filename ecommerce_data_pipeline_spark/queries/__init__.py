@@ -51,21 +51,23 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # Round 11 (policy applied): (1) queries whose plan/contract changed this
 # round — the two interchange round-trips (readers rebuilt: cache now
 # opt-in, good = DROPMALFORMED scan, .tbl null/empty wire pinned) and
-# streaming_ann_assign (per-batch idempotent posting writes replace the
-# blind append) — plus brand-new ann_postings_compaction (the OPTIMIZE
-# analogue, r10 ask #3) and eval_contamination_ivf (IVF-routed
-# contamination with exact-agreement column, r10 ask #4); (2) no
-# never-certified queries remain (first time); (3) the 8 r06-tail queries
-# that rolled past round 10's window, then the r07 cohort (47, oldest
-# cohort per tools/cert_age.py) in cert_age order. 5+8+37 = 50: the final
-# 10 r07 items (sql_recent_purchase_minutes, stratified_sample,
+# streaming_ann_assign + streaming_incremental_dedup (per-batch
+# idempotent posting writes replace the blind appends — the r10 ADVICE
+# bug class, swept across both foreachBatch sinks) — plus brand-new
+# ann_postings_compaction (the OPTIMIZE analogue, r10 ask #3) and
+# eval_contamination_ivf (IVF-routed contamination with exact-agreement
+# column, r10 ask #4); (2) no never-certified queries remain (first
+# time); (3) the 8 r06-tail queries that rolled past round 10's window,
+# then the r07 cohort (47, oldest cohort per tools/cert_age.py) in
+# cert_age order. 6+8+36 = 50: the final 11 r07 items (simhash_pairs,
+# sql_recent_purchase_minutes, stratified_sample,
 # streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-60 and roll to round 12 if the driver window stays at 50.
+# 51-61 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 10 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 11 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
@@ -73,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_postings_compaction",
     "eval_contamination_ivf",
     "streaming_ann_assign",
+    "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
     # (2) oldest cohort first: the 8 r06-tail queries that rolled past

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 from ecommerce_data_pipeline_spark.functions import money_sum, money_sum_sql
 from ecommerce_data_pipeline_spark.operators import curate as cu
 from ecommerce_data_pipeline_spark.operators import dedup as dd
+from ecommerce_data_pipeline_spark.operators.postings import write_batch_output
 from ecommerce_data_pipeline_spark.operators import similarity as sim
 from ecommerce_data_pipeline_spark.operators import text as tx
 from ecommerce_data_pipeline_spark.operators import windows as win
@@ -832,7 +833,11 @@ def _register_streaming_incremental_dedup() -> None:
                     spark.read.parquet(f"{art}/buckets"),
                     spark.read.parquet(f"{art}/shingles"),
                 )
-                assigned.write.mode("append").parquet(out)
+                # Idempotent per-batch sink (operators/postings.py): the
+                # r10 ADVICE flagged the ANN path's blind append as
+                # retry-duplicating; this path had the identical bug class
+                # and takes the identical fix (r11 sweep).
+                write_batch_output(assigned, out, batch_id)
 
             stream = (
                 spark.readStream.schema(schema)
@@ -846,7 +851,11 @@ def _register_streaming_incremental_dedup() -> None:
                 .start()
             )
             q.awaitTermination()
-            result = spark.read.parquet(out).localCheckpoint(eager=True)
+            result = (
+                spark.read.parquet(out)
+                .drop("batch")
+                .localCheckpoint(eager=True)
+            )
             STREAMING_PHASES["incdedup_drain_sec"] = round(time.time() - t0, 3)
             return result
         finally:
