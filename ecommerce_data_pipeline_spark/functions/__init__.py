@@ -56,5 +56,3 @@ def synthetic_id(prefix: str, *parts: Column) -> Column:
     return F.sha2(F.concat_ws(":", F.lit(prefix), *parts), 256)
 
 
-def as_string(c: Column) -> Column:
-    return c.cast("string")

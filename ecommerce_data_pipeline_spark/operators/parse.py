@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_data_pipeline_spark.functions import (
+    cents_to_dollars,
+    synthetic_id,
+)
 from ecommerce_data_pipeline_spark.schemas import (
     ORDER_EVENT_SCHEMA,
     PAYMENT_EVENT_SCHEMA,
@@ -107,14 +111,14 @@ def parse_payments(bronze: DataFrame) -> DataFrame:
     return bronze.select(*KAFKA_META_COLS, j).select(
         *KAFKA_META_COLS,
         F.col("j.order_id").cast("string").alias("order_id"),
-        (F.col("j.amount_cents").cast("double") / F.lit(100.0)).alias("amount"),
+        cents_to_dollars(F.col("j.amount_cents")).alias("amount"),
         F.col("j.currency").alias("currency"),
         F.lit("succeeded").alias("status"),
         F.lit(None).cast("string").alias("method"),
         F.lit(None).cast("string").alias("event_time"),
         F.lit(None).cast("timestamp").alias("ingest_ts"),
-        F.sha2(F.concat_ws(":", F.lit("evt"), ident), 256).alias("event_id"),
-        F.sha2(F.concat_ws(":", F.lit("pay"), ident), 256).alias("payment_id"),
+        synthetic_id("evt", ident).alias("event_id"),
+        synthetic_id("pay", ident).alias("payment_id"),
         F.col("kafka_timestamp").alias("event_ts"),
         F.to_date(F.col("kafka_timestamp")).alias("event_date"),
     )

@@ -54,26 +54,29 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # streaming_ann_assign + streaming_incremental_dedup (per-batch
 # idempotent posting writes replace the blind appends — the r10 ADVICE
 # bug class, swept across both foreachBatch sinks) — plus brand-new
-# ann_postings_compaction (the OPTIMIZE analogue, r10 ask #3) and
+# ann_postings_compaction (the OPTIMIZE analogue, r10 ask #3),
 # eval_contamination_ivf (IVF-routed contamination with exact-agreement
-# column, r10 ask #4); (2) no never-certified queries remain (first
+# column, r10 ask #4), and zorder_orders_layout (the previously
+# test-only zorder operator bound as a certified query per the
+# dead-operator policy); (2) no never-certified queries remain (first
 # time); (3) the 8 r06-tail queries that rolled past round 10's window,
 # then the r07 cohort (47, oldest cohort per tools/cert_age.py) in
-# cert_age order. 6+8+36 = 50: the final 11 r07 items (simhash_pairs,
-# sql_recent_purchase_minutes, stratified_sample,
-# streaming_fct_sales_minute, streaming_media_decode,
+# cert_age order. 7+8+35 = 50: the final 12 r07 items
+# (silver_payments_clean, simhash_pairs, sql_recent_purchase_minutes,
+# stratified_sample, streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-61 and roll to round 12 if the driver window stays at 50.
+# 51-62 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 11 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 12 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
     "ann_postings_compaction",
     "eval_contamination_ivf",
+    "zorder_orders_layout",
     "streaming_ann_assign",
     "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",

@@ -623,6 +623,81 @@ def q_orders_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_orders_layout",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS total_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum,
+  CAST(sum(o_custkey % 1000000) AS BIGINT) AS cust_checksum
+FROM orders GROUP BY 1
+""",
+)
+def q_zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY parity (operators/zorder.py), certified
+    content-neutral: orders are rewritten Z-ordered on
+    (o_orderkey, o_custkey) — quantile-bucketed Morton interleave +
+    repartitionByRange, the same layout Delta's OPTIMIZE ZORDER produces —
+    and the read-back's per-priority counts, cents-exact price sums and
+    key checksums must hash-match the oracle computed from the ORIGINAL
+    parquet: the layout job may move every row yet change none. The query
+    also guards the layout PROPERTY in-line (a content-neutral no-op
+    rewrite can't pass): every clustered dimension's average per-file
+    min/max span must stay well under the global span, measured with one
+    input_file_name() aggregation (FS-agnostic, unlike footer scraping;
+    tests/test_zorder.py pins the tight thresholds vs a single-column
+    sort). That span ratio IS multi-dimensional data skipping: a
+    predicate on either column prunes most files by row-group stats.
+
+    Scale: one approxQuantile sample pass per clustered column (driver
+    holds n_cols x 2^bits boundaries — KBs), one range shuffle; the
+    maintenance-window layout job for petabyte fact tables."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.zorder import zorder
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        path = f"{root}/orders"
+        zorder(orders, ["o_orderkey", "o_custkey"], bits=5, n_files=16).write.mode(
+            "overwrite"
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        spans = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("o_orderkey") - F.min("o_orderkey")).alias("sk"),
+                (F.max("o_custkey") - F.min("o_custkey")).alias("sc"),
+            )
+            .agg(F.avg("sk").alias("ak"), F.avg("sc").alias("ac"))
+            .first()
+        )
+        glob_row = orders.agg(
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("gk"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("gc"),
+        ).first()
+        rk = spans["ak"] / max(glob_row["gk"], 1)
+        rc = spans["ac"] / max(glob_row["gc"], 1)
+        if rk >= 0.6 or rc >= 0.6:
+            raise AssertionError(
+                f"zorder layout not compact: span ratios {rk:.2f}/{rc:.2f}"
+            )
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("total_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+                F.sum(F.col("o_custkey") % 1000000).alias("cust_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "user_value_moving_avg",
     oracle="""
 SELECT user_id, event_id, ts,

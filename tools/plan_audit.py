@@ -56,6 +56,11 @@ SKIP_BUILD = {
     # (compaction plan audited in code: partition-pruned snapshot read,
     # repartition by cell, one file per cell)
     "ann_postings_compaction",
+    # r11: z-order rewrite + layout guard run at build; final plan is the
+    # eager checkpoint of the read-back content aggregate (layout job
+    # audited in code: one quantile sample pass per column + one range
+    # shuffle, no UDF in the Morton key)
+    "zorder_orders_layout",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
     # r9: update-mode drain maintaining the gold top-k via foreachBatch
