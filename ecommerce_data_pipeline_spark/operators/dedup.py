@@ -633,6 +633,68 @@ def duplicate_span_stats(
     )
 
 
+def duplicate_span_runs(
+    docs: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Longest duplicated-span RUN per document — the trim-planning twin
+    of duplicate_span_stats. The ratio says how much of a doc is
+    duplicated; the RUN length says whether that duplication is one
+    contiguous template block (trim it: Lee et al. 2022 remove the
+    duplicated substring itself, §4.1) or scattered phrase reuse (keep).
+    A span is duplicated iff its text occurs in at least one OTHER
+    document (cross-doc, same definition as duplicate_span_stats);
+    consecutive duplicated positions group via gaps-and-islands
+    (pos − row_number — pure window algebra, no iteration).
+
+    Plan: two explodes, never three — the span total is a pure expression
+    (greatest(n_words − w + 1, 1), no explode at all), the
+    document-frequency side explodes the DISTINCT span set (array_distinct
+    bounds it, same as duplicate_span_stats), and only the run detection
+    explodes POSITIONS (runs need adjacency), left-semi joined against
+    the duplicated-span keys. All spans hash to 64-bit ints map-side, so
+    shuffles move (span int64, doc, pos) fixed-width triples only. The
+    per-doc window sorts positions within a doc — bounded by document
+    length, never corpus size. Output: (id, n_spans, max_dup_run,
+    max_run_ratio).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    n = F.greatest(F.size(words) - F.lit(w - 1), F.lit(1))
+    span_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, w), " ")),
+    )
+    base = _spread(docs)
+    dup_spans = (
+        base.select(
+            F.explode(F.array_distinct(span_hashes)).alias("span")
+        )
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("span")
+    )
+    pos = base.select(
+        F.col(id_col), F.posexplode(span_hashes).alias("pos", "span")
+    )
+    flagged = pos.join(dup_spans, "span", "left_semi")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    run_len = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("rl"))
+    )
+    mx = run_len.groupBy(id_col).agg(F.max("rl").alias("mx"))
+    tot = base.select(F.col(id_col), n.cast("long").alias("n_spans"))
+    return tot.join(mx, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce(F.col("mx"), F.lit(0)).alias("max_dup_run"),
+        F.round(
+            F.coalesce(F.col("mx"), F.lit(0)) / F.col("n_spans"), 4
+        ).alias("max_run_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: assign a NEW batch against an EXISTING canonical corpus
 # ---------------------------------------------------------------------------

@@ -58,18 +58,20 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # eval_contamination_ivf (IVF-routed contamination with exact-agreement
 # column, r10 ask #4), and zorder_orders_layout (the previously
 # test-only zorder operator bound as a certified query per the
-# dead-operator policy); (2) no never-certified queries remain (first
-# time); (3) the 8 r06-tail queries that rolled past round 10's window,
-# then the r07 cohort (47, oldest cohort per tools/cert_age.py) in
-# cert_age order. 7+8+35 = 50: the final 12 r07 items
-# (silver_payments_clean, simhash_pairs, sql_recent_purchase_minutes,
-# stratified_sample, streaming_fct_sales_minute, streaming_media_decode,
+# dead-operator policy) and dup_span_runs (longest duplicated-span run —
+# the Lee-et-al trim-planning twin of duplicate_ngram_spans); (2) no
+# never-certified queries remain (first time); (3) the 8 r06-tail queries
+# that rolled past round 10's window, then the r07 cohort (47, oldest
+# cohort per tools/cert_age.py) in cert_age order. 8+8+34 = 50: the final
+# 13 r07 items (silver_orders_clean, silver_payments_clean,
+# simhash_pairs, sql_recent_purchase_minutes, stratified_sample,
+# streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-62 and roll to round 12 if the driver window stays at 50.
+# 51-63 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 12 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 13 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
@@ -77,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_postings_compaction",
     "eval_contamination_ivf",
     "zorder_orders_layout",
+    "dup_span_runs",
     "streaming_ann_assign",
     "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",

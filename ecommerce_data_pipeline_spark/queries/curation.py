@@ -255,6 +255,52 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dup_span_runs",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM documents
+),
+pos_spans AS (
+  SELECT doc_id,
+    unnest(generate_series(1, greatest(len(ws)-7, 1))) AS pos,
+    unnest([array_to_string(ws[i:i+7], ' ')
+            for i in generate_series(1, greatest(len(ws)-7, 1))]) AS span
+  FROM words
+),
+dup AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS n_docs FROM pos_spans GROUP BY 1)
+  WHERE n_docs > 1
+),
+runs AS (
+  SELECT doc_id,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos_spans SEMI JOIN dup USING (span)
+),
+run_len AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+mx AS (SELECT doc_id, max(rl) AS mx FROM run_len GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM pos_spans GROUP BY 1)
+SELECT t.doc_id, t.n_spans,
+  CAST(coalesce(m.mx, 0) AS BIGINT) AS max_dup_run,
+  round(coalesce(m.mx, 0) * 1.0 / t.n_spans, 4) AS max_run_ratio
+FROM tot t LEFT JOIN mx m USING (doc_id)
+""",
+)
+def q_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated 8-word-span RUN per document
+    (operators/dedup.py:duplicate_span_runs) — duplicate_ngram_spans says
+    HOW MUCH of a doc repeats elsewhere; this says whether that repetition
+    is one contiguous template block (the substring Lee et al. 2022 would
+    trim) or scattered phrase reuse. Gaps-and-islands over duplicated
+    span positions: pure window algebra, replayed exactly by the oracle
+    (the Spark side hashes spans to int64 before shuffling; identity
+    only, so the text-keyed oracle is equivalent)."""
+    return dd.duplicate_span_runs(load_table(spark, sf_dir, "documents"))
+
+
 _LEN_BUCKET_SQL = """CASE
   WHEN n_chars < 64 THEN '0-63' WHEN n_chars < 128 THEN '64-127'
   WHEN n_chars < 256 THEN '128-255' WHEN n_chars < 512 THEN '256-511'

@@ -196,3 +196,37 @@ def test_compact_postings_noop_below_thresholds(spark, tmp_path):
     stats = compact_postings(spark, root, file_threshold=4)
     assert stats["compacted"] is False
     assert _list_batch_dirs(spark, root) == ["batch=b0"]
+
+
+def test_dup_span_runs_template_block_vs_scattered(spark, sf_dir_factory):
+    """A 15-word template block shared by two docs must surface as ONE
+    contiguous run of 8 duplicated 8-word spans (15-8+1); the same
+    material scattered as two isolated 8-word blocks must cap the run at
+    1 — the distinction is exactly what the trim/keep decision needs."""
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    s = [f"s{i}" for i in range(1, 16)]  # the shared 15-word block
+    doc_a = " ".join([f"a{i}" for i in range(1, 6)] + s + [f"y{i}" for i in range(1, 6)])
+    doc_b = " ".join(s + [f"z{i}" for i in range(1, 11)])
+    doc_c = " ".join(s[:8] + [f"c{i}" for i in range(1, 11)] + s[7:])
+    doc_d = " ".join(f"d{i}" for i in range(1, 20))  # fully unique
+    sf = sf_dir_factory(
+        documents=[
+            (1, doc_a, "en", "t", len(doc_a)),
+            (2, doc_b, "en", "t", len(doc_b)),
+            (3, doc_c, "en", "t", len(doc_c)),
+            (4, doc_d, "en", "t", len(doc_d)),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["max_dup_run"])
+        for r in QUERIES["dup_span_runs"](spark, sf).collect()
+    }
+    # doc A: 25 words -> 18 spans; spans fully inside the block: run of 8
+    assert got[1] == (18, 8)
+    # doc B: 25 words, block at the start: same 8-span run
+    assert got[2] == (18, 8)
+    # doc C: two isolated 8-word shared windows -> runs of length 1
+    assert got[3][1] == 1
+    # doc D: nothing shared
+    assert got[4] == (12, 0)

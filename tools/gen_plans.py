@@ -169,8 +169,10 @@ AUDITED = [
     "eval_contamination_embedding",
     # round-11 additions (ivf contamination: the IVF route must be an
     # equi-join on cell with the probe set broadcast; the only cartesian
-    # is the bounded exact-baseline column)
+    # is the bounded exact-baseline column; dup-span runs: the span total
+    # must be expression-only — two explodes, never three)
     "eval_contamination_ivf",
+    "dup_span_runs",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries
