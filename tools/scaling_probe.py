@@ -70,6 +70,12 @@ HEAVY = {
     "simhash_pairs": "documents",
     "shingle_novelty_curve": "documents",
     "streaming_ann_assign": "embeddings",
+    # round-11 additions (new >2.5 s entries: posting compaction, IVF
+    # contamination, z-order layout rewrite, duplicated-span runs)
+    "ann_postings_compaction": "embeddings",
+    "eval_contamination_ivf": "embeddings",
+    "zorder_orders_layout": "orders",
+    "dup_span_runs": "documents",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
