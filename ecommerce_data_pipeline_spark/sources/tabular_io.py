@@ -19,6 +19,10 @@ Wire-format contract (round 11 — pinned explicitly on both directions):
   both to null on read). Constraint: a GENUINE data value ``\\N`` is
   indistinguishable from null on the wire — out of contract (dbgen data
   never contains it).
+- Leading/trailing whitespace is preserved: the writer pins
+  ``ignoreLeading/TrailingWhiteSpace=false`` (Spark's CSV writer trims
+  by default; its reader does not — an asymmetry that silently mutates
+  padded strings).
 - Embedded newlines: ``.tbl`` is a line-oriented format; dbgen data
   never embeds newlines. The writer quotes them (valid CSV), but the
   default line-splittable reader would mis-split such rows — pass
@@ -50,7 +54,10 @@ def write_tbl(df: DataFrame, path: str, n_shards: int = 32) -> None:
     """Write ``df`` as ``n_shards`` headerless pipe-delimited files.
 
     NULL is written as ``\\N`` so the reader can distinguish it from an
-    empty string (which Spark writes quoted, ``""``)."""
+    empty string (which Spark writes quoted, ``""``). Whitespace
+    preservation is pinned explicitly: Spark's CSV WRITER trims
+    leading/trailing whitespace by default (the reader does not), which
+    would silently mutate padded strings in transit."""
     (
         df.repartition(n_shards)
         .write.mode("overwrite")
@@ -58,6 +65,8 @@ def write_tbl(df: DataFrame, path: str, n_shards: int = 32) -> None:
         .option("header", "false")
         .option("timestampFormat", TS_FORMAT)
         .option("nullValue", NULL_TOKEN)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
 
@@ -90,6 +99,8 @@ def read_tbl(
         "timestampFormat": TS_FORMAT,
         "nullValue": NULL_TOKEN,
         "emptyValue": "",
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
     }
     opts = dict(
         base_opts, mode="PERMISSIVE", columnNameOfCorruptRecord=_CORRUPT

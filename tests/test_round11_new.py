@@ -230,3 +230,46 @@ def test_dup_span_runs_template_block_vs_scattered(spark, sf_dir_factory):
     assert got[3][1] == 1
     # doc D: nothing shared
     assert got[4] == (12, 0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Line-oriented .tbl wire contract: any single-line printable string (the
+# whole-field NULL token \N is the documented out-of-contract exception),
+# plus nulls and empties, in any mix.
+_tbl_values = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="\n\r", blacklist_categories=("Cs",)
+            ),
+            max_size=20,
+        ).filter(lambda s: s != "\\N"),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_tbl_values)
+def test_tbl_wire_roundtrip_property(spark, tmp_path_factory, vals):
+    """PROPERTY: every in-contract value multiset survives the .tbl
+    write→read round trip exactly — nulls stay null, empties stay empty,
+    padding/pipes/quotes/unicode survive, nothing quarantines."""
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    path = str(tmp_path_factory.mktemp("tblprop") / "t")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s string"
+    )
+    write_tbl(df, path, n_shards=1)
+    good, quar = read_tbl(spark, path, df.schema)
+    assert quar.count() == 0
+    got = {r["id"]: r["s"] for r in good.collect()}
+    assert got == {i: v for i, v in enumerate(vals)}
