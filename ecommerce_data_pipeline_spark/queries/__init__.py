@@ -59,19 +59,21 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # column, r10 ask #4), and zorder_orders_layout (the previously
 # test-only zorder operator bound as a certified query per the
 # dead-operator policy) and dup_span_runs (longest duplicated-span run —
-# the Lee-et-al trim-planning twin of duplicate_ngram_spans); (2) no
+# the Lee-et-al trim-planning twin of duplicate_ngram_spans) and
+# part_reachability_rcte (WITH RECURSIVE BFS — Spark 4's new SQL
+# surface, oracle is the identical SQL text on DuckDB); (2) no
 # never-certified queries remain (first time); (3) the 8 r06-tail queries
 # that rolled past round 10's window, then the r07 cohort (47, oldest
-# cohort per tools/cert_age.py) in cert_age order. 8+8+34 = 50: the final
-# 13 r07 items (silver_orders_clean, silver_payments_clean,
+# cohort per tools/cert_age.py) in cert_age order. 9+8+33 = 50: the final
+# 14 r07 items (shard_assign, silver_orders_clean, silver_payments_clean,
 # simhash_pairs, sql_recent_purchase_minutes, stratified_sample,
 # streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-63 and roll to round 12 if the driver window stays at 50.
+# 51-64 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 13 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 14 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
@@ -80,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "eval_contamination_ivf",
     "zorder_orders_layout",
     "dup_span_runs",
+    "part_reachability_rcte",
     "streaming_ann_assign",
     "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",
@@ -94,8 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_quarter",
     "user_sessions",
     "variant_props_rollup",
-    # (3) the r07 cohort in cert_age order; items 38-47 land at
-    # positions 51-60 and roll to round 12 if the window stays at 50
+    # (3) the r07 cohort in cert_age order; items 34-47 land at
+    # positions 51-64 and roll to round 12 if the window stays at 50
     "audio_fingerprint_dedup",
     "bpe_encode_tokens",
     "bpe_merge_vocab",

@@ -622,6 +622,88 @@ def q_orders_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# One SQL text serves BOTH engines: recursive CTEs are ANSI (DuckDB has
+# always had them; Spark gained them in 4.0), and the probe in
+# tests/test_round11_new.py pins that the two engines' recursive UNION ALL
+# + per-level DISTINCT semantics agree on a known graph.
+_RCTE_REACH_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT src AS u, dst AS v FROM pairs
+        UNION SELECT dst AS u, src AS v FROM pairs),
+walk(node, hop) AS (
+  SELECT u, 0 FROM (SELECT min(u) AS u FROM sym) AS seed
+  UNION ALL
+  SELECT DISTINCT sym.v, walk.hop + 1
+  FROM walk JOIN sym ON sym.u = walk.node
+  WHERE walk.hop < 3
+)
+SELECT node AS part_id, CAST(min(hop) AS BIGINT) AS min_hops
+FROM walk GROUP BY node
+"""
+
+
+@register("part_reachability_rcte", oracle=_RCTE_REACH_SQL)
+def q_part_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS reachability (WITH RECURSIVE — new SQL surface in
+    Spark 4): min-hop distance from the lowest-id part to everything
+    within 3 hops of the recurrent co-purchase graph (same min-support-
+    pruned edge set as part_triangles/part_pagerank). The recursion is
+    level-synchronous BFS: the recursive term joins the PREVIOUS frontier
+    only and emits a DISTINCT frontier per level, so working-set size is
+    bounded by |V| per level — never path-multiplicative — and the
+    per-iteration plan is one equi-join + distinct shuffle, the same
+    shape as graph.py's hand-rolled iterative loops, now driven by the
+    engine. The Spark side materializes the pruned edge set ONCE (eager
+    checkpoint → view) before recursing: Spark re-plans every CTE per
+    recursion level, so leaving the lineitem self-join inline multiplies
+    the expensive pair build by the depth (measured 18 s → ~3 s at
+    sf0.1). Depth and seed are explicit bounds (the 100 TB posture:
+    recursive SQL for bounded traversals, the graph.py min-label
+    iteration for unbounded closure). Oracle: the full single-text SQL on
+    DuckDB — recursive semantics certified engine-to-engine (the
+    two-engine agreement on per-level DISTINCT is additionally pinned by
+    a probe test on a known graph)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    sym = (
+        pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(pairs.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    sym.localCheckpoint(eager=True).createOrReplaceTempView("rcte_sym")
+    return spark.sql(
+        """
+WITH RECURSIVE
+walk(node, hop) AS (
+  SELECT u, 0 FROM (SELECT min(u) AS u FROM rcte_sym) AS seed
+  UNION ALL
+  SELECT DISTINCT s.v, walk.hop + 1
+  FROM walk JOIN rcte_sym s ON s.u = walk.node
+  WHERE walk.hop < 3
+)
+SELECT node AS part_id, CAST(min(hop) AS BIGINT) AS min_hops
+FROM walk GROUP BY node
+"""
+    )
+
+
 @register(
     "zorder_orders_layout",
     oracle=f"""

@@ -273,3 +273,31 @@ def test_tbl_wire_roundtrip_property(spark, tmp_path_factory, vals):
     assert quar.count() == 0
     got = {r["id"]: r["s"] for r in good.collect()}
     assert got == {i: v for i, v in enumerate(vals)}
+
+
+def test_recursive_cte_semantics_agree_with_duckdb(spark):
+    """Engine-to-engine pin for part_reachability_rcte: Spark 4's
+    WITH RECURSIVE (UNION ALL + per-level DISTINCT frontier) must produce
+    the same BFS min-hop set as DuckDB on a known graph — a square with a
+    chord plus a disconnected pair (unreachable nodes excluded by both)."""
+    import duckdb
+
+    sql = """
+WITH RECURSIVE
+sym(u, v) AS (
+  SELECT * FROM (VALUES (1,2),(2,1),(2,3),(3,2),(3,4),(4,3),(4,1),(1,4),
+                        (5,6),(6,5)) AS t(u,v)
+),
+walk(node, hop) AS (
+  SELECT 1, 0
+  UNION ALL
+  SELECT DISTINCT sym.v, walk.hop + 1
+  FROM walk JOIN sym ON sym.u = walk.node
+  WHERE walk.hop < 3
+)
+SELECT node, min(hop) AS min_hops FROM walk GROUP BY node ORDER BY node
+"""
+    got_spark = [(r["node"], r["min_hops"]) for r in spark.sql(sql).collect()]
+    got_duck = duckdb.sql(sql).fetchall()
+    assert got_spark == [(1, 0), (2, 1), (3, 2), (4, 1)]
+    assert [tuple(r) for r in got_duck] == got_spark

@@ -173,6 +173,7 @@ AUDITED = [
     # must be expression-only — two explodes, never three)
     "eval_contamination_ivf",
     "dup_span_runs",
+    "part_reachability_rcte",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

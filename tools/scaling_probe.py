@@ -76,6 +76,7 @@ HEAVY = {
     "eval_contamination_ivf": "embeddings",
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
+    "part_reachability_rcte": "lineitem",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
