@@ -307,11 +307,22 @@ def main() -> int:
     ratio_vs_full = _host_ratio(host_calib, pf_n, pf_s) or 1.0
 
     def _is_regression(q: str, t: float) -> bool:
+        # A genuine plan regression trips BOTH ratios: raw (work got
+        # slower on this host) AND calibrated (slower after removing the
+        # host factor). Either alone is foolable by probe/workload
+        # mismatch: the r11 run's probes read a host 28% faster while the
+        # multi-core shuffle workload ran at the same speed (median raw
+        # ratio 0.963!), so calibrated-only flagged 22 untouched queries;
+        # conversely raw-only would flag everything on a genuinely slower
+        # VM. The probes measure single-core burst + a trivial range-agg
+        # — a host proxy, not a workload twin — hence the AND-gate.
         pt = pf_queries.get(q)
         if not pt or pt < 0.2:
             return False
         calib_t = t / ratio_vs_full
-        return calib_t / pt > 1.5 and calib_t - pt > 0.3
+        raw_trip = t / pt > 1.5 and t - pt > 0.3
+        calib_trip = calib_t / pt > 1.5 and calib_t - pt > 0.3
+        return raw_trip and calib_trip
 
     # First-touch de-noise for the gate: whichever query the rotated run
     # order hits first pays one-time JIT/codegen compile (r9-r11 all saw
@@ -341,7 +352,9 @@ def main() -> int:
                 {
                     "query": q,
                     "prev_sec": pt,
+                    "now_sec_raw": t,
                     "now_sec_calibrated": round(calib_t, 3),
+                    "raw_ratio": round(t / pt, 2),
                     "ratio": round(calib_t / pt, 2),
                 }
             )
@@ -376,8 +389,9 @@ def main() -> int:
         "regressions": regressions,
         "regression_recheck": regression_recheck,
         "regression_gate": {
-            "basis": "calibrated ratio vs previous BENCH_FULL.json, "
-            "suspected regressions re-measured once (min of 2)",
+            "basis": "raw AND calibrated ratio vs previous BENCH_FULL.json "
+            "(both must trip; calibrated-only is foolable by probe/workload "
+            "mismatch), suspected regressions re-measured once (min of 2)",
             "ratio_threshold": 1.5,
             "min_prev_sec": 0.2,
             "min_abs_delta_sec": 0.3,
