@@ -61,19 +61,22 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # dead-operator policy) and dup_span_runs (longest duplicated-span run —
 # the Lee-et-al trim-planning twin of duplicate_ngram_spans) and
 # part_reachability_rcte (WITH RECURSIVE BFS — Spark 4's new SQL
-# surface, oracle is the identical SQL text on DuckDB); (2) no
+# surface, oracle is the identical SQL text on DuckDB) and
+# linear_quality_classifier (fastText-style hashed-BoW inference as one
+# map stage — model-based filtering without a UDF); (2) no
 # never-certified queries remain (first time); (3) the 8 r06-tail queries
 # that rolled past round 10's window, then the r07 cohort (47, oldest
-# cohort per tools/cert_age.py) in cert_age order. 9+8+33 = 50: the final
-# 14 r07 items (shard_assign, silver_orders_clean, silver_payments_clean,
+# cohort per tools/cert_age.py) in cert_age order. 10+8+32 = 50: the final
+# 15 r07 items (revenue_by_nation, shard_assign, silver_orders_clean,
+# silver_payments_clean,
 # simhash_pairs, sql_recent_purchase_minutes, stratified_sample,
 # streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-64 and roll to round 12 if the driver window stays at 50.
+# 51-65 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 14 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 15 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
@@ -83,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_orders_layout",
     "dup_span_runs",
     "part_reachability_rcte",
+    "linear_quality_classifier",
     "streaming_ann_assign",
     "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",
@@ -97,8 +101,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_quarter",
     "user_sessions",
     "variant_props_rollup",
-    # (3) the r07 cohort in cert_age order; items 34-47 land at
-    # positions 51-64 and roll to round 12 if the window stays at 50
+    # (3) the r07 cohort in cert_age order; items 33-47 land at
+    # positions 51-65 and roll to round 12 if the window stays at 50
     "audio_fingerprint_dedup",
     "bpe_encode_tokens",
     "bpe_merge_vocab",

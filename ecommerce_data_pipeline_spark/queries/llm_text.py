@@ -1698,3 +1698,91 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: fastText-style linear classifier inference
+# as pure SQL expressions (the filter CCNet/LLaMA-class pipelines run over
+# the full crawl — at 100 TB, inference-as-expression vs inference-as-UDF is
+# the whole ballgame).
+# ---------------------------------------------------------------------------
+
+_CLF_DIM = 256
+_CLF_BIAS = -0.05
+
+
+def _clf_weights(d: int = _CLF_DIM) -> list[float]:
+    """Deterministic stand-in weight vector (no external model artifact in
+    this sandbox): w_j = (md5_long(str(j)) % 2001 - 1000) / 1000 rounded to
+    3dp — fixed, documented, reproducible anywhere. A real deployment
+    broadcasts trained weights the same way (a k×1 literal; fastText
+    quality filters are exactly hashed-bag-of-words + linear head)."""
+    import hashlib
+
+    out = []
+    for j in range(d):
+        h = int(hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
+        out.append(round((h % 2001 - 1000) / 1000.0, 3))
+    return out
+
+
+def _clf_oracle_sql() -> str:
+    wv = "[" + ", ".join(repr(w) for w in _clf_weights()) + "]"
+    feat = f"({md5_long_sql('t')} % {_CLF_DIM})"
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS t FROM w),
+scored AS (
+  SELECT doc_id, sum(({wv})[{feat} + 1]) AS s FROM toks GROUP BY doc_id
+),
+fin AS (
+  SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+    round({_CLF_BIAS} + coalesce(s.s, 0.0), 4) AS quality_logit
+  FROM w LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality_logit,
+  CAST(quality_logit >= 0.0 AS BOOLEAN) AS keep
+FROM fin
+"""
+
+
+@register("linear_quality_classifier", oracle=_clf_oracle_sql())
+def q_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE as a single map
+    stage: hashing-trick bag-of-words (md5→mod-256 feature ids, the same
+    cross-engine hash as the dedup tier), a 256-float broadcast weight
+    literal, and a fold — score = bias + Σ w[h(token)]. No explode, no
+    shuffle, no UDF: element_at over the literal array inside
+    F.aggregate keeps the whole model JVM-side in whole-stage codegen,
+    which is what makes model-based filtering affordable over a full
+    crawl (the CCNet/LLaMA recipe) — per-doc cost is O(tokens), the
+    model rides the closure, and the stage pipelines with whatever scan
+    feeds it. Verdict is recomputed from the ROUNDED logit on both
+    engines so fp fold-order noise (~1e-13) can never flip `keep`.
+    Weights here are a deterministic md5-derived stand-in (documented in
+    _clf_weights); swap in trained weights the same literal way."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.lit(_clf_weights())
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        lambda t: t != "",
+    )
+    contrib = F.transform(
+        words,
+        lambda t: F.element_at(
+            weights, (dd._md5_long(t) % _CLF_DIM).cast("int") + 1
+        ),
+    )
+    logit = F.round(
+        F.lit(_CLF_BIAS)
+        + F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        logit.alias("quality_logit"),
+        (logit >= 0.0).alias("keep"),
+    )

@@ -174,6 +174,7 @@ AUDITED = [
     "eval_contamination_ivf",
     "dup_span_runs",
     "part_reachability_rcte",
+    "linear_quality_classifier",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries
