@@ -301,3 +301,34 @@ SELECT node, min(hop) AS min_hops FROM walk GROUP BY node ORDER BY node
     got_duck = duckdb.sql(sql).fetchall()
     assert got_spark == [(1, 0), (2, 1), (3, 2), (4, 1)]
     assert [tuple(r) for r in got_duck] == got_spark
+
+
+def test_linear_quality_classifier_empty_and_known_doc(spark, sf_dir_factory):
+    """Edge pinning for the linear classifier: an empty document scores
+    exactly the bias (no tokens → fold identity), and a known one-token
+    doc scores bias + that token's hashed weight."""
+    import hashlib
+
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+    from ecommerce_data_pipeline_spark.queries.llm_text import (
+        _CLF_BIAS,
+        _CLF_DIM,
+        _clf_weights,
+    )
+
+    sf = sf_dir_factory(
+        documents=[
+            (1, "", "en", "t", 0),
+            (2, "hello", "en", "t", 5),
+            (3, "...!!!", "en", "t", 6),  # strips to zero tokens
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality_logit"], r["keep"])
+        for r in QUERIES["linear_quality_classifier"](spark, sf).collect()
+    }
+    assert got[1] == (0, round(_CLF_BIAS, 4), _CLF_BIAS >= 0)
+    assert got[3] == (0, round(_CLF_BIAS, 4), _CLF_BIAS >= 0)
+    h = int(hashlib.md5(b"hello").hexdigest()[:15], 16) % _CLF_DIM
+    expected = round(_CLF_BIAS + _clf_weights()[h], 4)
+    assert got[2] == (1, expected, expected >= 0)
