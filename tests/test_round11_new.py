@@ -332,3 +332,84 @@ def test_linear_quality_classifier_empty_and_known_doc(spark, sf_dir_factory):
     h = int(hashlib.md5(b"hello").hexdigest()[:15], 16) % _CLF_DIM
     expected = round(_CLF_BIAS + _clf_weights()[h], 4)
     assert got[2] == (1, expected, expected >= 0)
+
+
+def test_compact_postings_concurrent_append_survives(spark, tmp_path, monkeypatch):
+    """The documented compaction guarantee: batches that land AFTER the
+    snapshot listing are untouched — simulated by pinning the listing to a
+    stale snapshot, then writing a late batch before the compactor reads,
+    rewrites, and deletes. The late batch's rows must survive alongside
+    the compacted output."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    root = str(tmp_path / "p")
+    early = [(i, i % 2) for i in range(20)]
+    late = [(100 + i, i % 2) for i in range(5)]
+    for b in range(2):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in early if r[0] % 2 == b]).repartition(3),
+            root,
+            b,
+        )
+    snapshot = postings._list_batch_dirs(spark, root)  # pre-append listing
+    postings.write_posting_batch(_posting_df(spark, late), root, 99)
+    monkeypatch.setattr(
+        postings, "_list_batch_dirs", lambda _spark, _root: snapshot
+    )
+    stats = postings.compact_postings(spark, root, file_threshold=2)
+    assert stats["compacted"] is True and stats["n_input_dirs"] == 2
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == sorted(early + late)
+    monkeypatch.undo()
+    dirs = postings._list_batch_dirs(spark, root)
+    assert "batch=b99" in dirs and len(dirs) == 2  # late batch + compacted
+
+
+from hypothesis import HealthCheck
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_compact_postings_content_neutral_property(
+    spark, tmp_path_factory, rows, n_batches
+):
+    """PROPERTY: for any posting multiset split across any number of
+    batches, compaction preserves exactly the rows (no loss, no dup, no
+    re-celling) and leaves one file per populated cell."""
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        _count_files,
+        compact_postings,
+        write_posting_batch,
+    )
+
+    root = str(tmp_path_factory.mktemp("cprop") / "p")
+    for b in range(n_batches):
+        part = [r for i, r in enumerate(rows) if i % n_batches == b]
+        if part:
+            write_posting_batch(_posting_df(spark, part).repartition(2), root, b)
+    stats = compact_postings(spark, root, file_threshold=0, min_input_dirs=1)
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == sorted(rows)
+    if stats["compacted"]:
+        assert _count_files(spark, root) == len({c for _, c in rows})
