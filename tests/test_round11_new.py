@@ -413,3 +413,60 @@ def test_compact_postings_content_neutral_property(
     assert got == sorted(rows)
     if stats["compacted"]:
         assert _count_files(spark, root) == len({c for _, c in rows})
+
+
+def test_interchange_good_split_parity_cached_vs_uncached(spark, tmp_path):
+    """The uncached good split (DROPMALFORMED) and the persisted-mode good
+    split (PERMISSIVE + corrupt-IS-NULL) must select EXACTLY the same
+    rows in the presence of corrupt, ragged, and type-broken lines — the
+    two formulations are interchangeable by contract."""
+    from pyspark import StorageLevel
+
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 2) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    jpath = str(tmp_path / "j")
+    write_corpus_jsonl(docs, jpath, n_shards=1)
+    with open(f"{jpath}/part-bad.json", "w") as fh:
+        fh.write('NOT JSON\n{"doc_id": "notanint", "text": 5}\n{"doc_id": 99}\n')
+    g_un, q_un = read_corpus_jsonl(spark, jpath)
+    g_ca, q_ca, raw = read_corpus_jsonl(
+        spark, jpath, storage_level=StorageLevel.MEMORY_AND_DISK, return_raw=True
+    )
+    try:
+        key = lambda df: sorted(  # noqa: E731
+            (r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()
+        )
+        assert key(g_un) == key(g_ca)
+        assert q_un.count() == q_ca.count()
+    finally:
+        raw.unpersist(blocking=True)
+
+    tdf = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    tpath = str(tmp_path / "t")
+    write_tbl(tdf, tpath, n_shards=1)
+    with open(f"{tpath}/part-bad.csv", "w") as fh:
+        fh.write("notanint|x|1.0\n3|short\n4|ok|9.5|extra\n5|fine|7.25\n")
+    g_un, q_un = read_tbl(spark, tpath, tdf.schema)
+    g_ca, q_ca, raw = read_tbl(
+        spark, tpath, tdf.schema,
+        storage_level=StorageLevel.MEMORY_AND_DISK, return_raw=True,
+    )
+    try:
+        keyt = lambda df: sorted(  # noqa: E731
+            (r["id"], r["s"], r["v"]) for r in df.collect()
+        )
+        assert keyt(g_un) == keyt(g_ca)
+        assert q_un.count() == q_ca.count()
+    finally:
+        raw.unpersist(blocking=True)
