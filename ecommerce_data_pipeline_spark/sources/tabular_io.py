@@ -23,6 +23,15 @@ Wire-format contract (round 11 — pinned explicitly on both directions):
   ``ignoreLeading/TrailingWhiteSpace=false`` (Spark's CSV writer trims
   by default; its reader does not — an asymmetry that silently mutates
   padded strings).
+- **dbgen's trailing delimiter**: genuine dbgen output terminates EVERY
+  line with the field separator (``1|alpha|1.5|``). A schema-pinned
+  reader sees that as one extra column and quarantines the whole file —
+  pass ``dbgen_trailing_delimiter=True`` to parse the trailing empty
+  token (and require it to be empty: a line with junk after the final
+  pipe still quarantines). ``write_tbl(trailing_delimiter=True)`` emits
+  the canonical dbgen shape (this mode writes empty strings unquoted,
+  so null/empty distinction is out of contract there — dbgen data has
+  neither).
 - Embedded newlines: ``.tbl`` is a line-oriented format; dbgen data
   never embeds newlines. The writer quotes them (valid CSV), but the
   default line-splittable reader would mis-split such rows — pass
@@ -48,18 +57,34 @@ from pyspark.sql.types import StringType, StructField, StructType
 TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
 NULL_TOKEN = "\\N"
 _CORRUPT = "_corrupt_record"
+_TRAILING = "_trailing"
 
 
-def write_tbl(df: DataFrame, path: str, n_shards: int = 32) -> None:
+def write_tbl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    trailing_delimiter: bool = False,
+) -> None:
     """Write ``df`` as ``n_shards`` headerless pipe-delimited files.
 
     NULL is written as ``\\N`` so the reader can distinguish it from an
     empty string (which Spark writes quoted, ``""``). Whitespace
     preservation is pinned explicitly: Spark's CSV WRITER trims
     leading/trailing whitespace by default (the reader does not), which
-    would silently mutate padded strings in transit."""
+    would silently mutate padded strings in transit.
+    ``trailing_delimiter=True`` emits dbgen's canonical line shape
+    (every line ends with ``|``; empty strings write unquoted in this
+    mode — see the module docstring contract)."""
+    out = df
+    writer_extra = {}
+    if trailing_delimiter:
+        out = df.withColumn(_TRAILING, F.lit(""))
+        # Unquoted empty for the trailing token → a bare terminal pipe,
+        # byte-identical to dbgen output.
+        writer_extra["emptyValue"] = ""
     (
-        df.repartition(n_shards)
+        out.repartition(n_shards)
         .write.mode("overwrite")
         .option("sep", "|")
         .option("header", "false")
@@ -67,6 +92,7 @@ def write_tbl(df: DataFrame, path: str, n_shards: int = 32) -> None:
         .option("nullValue", NULL_TOKEN)
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        .options(**writer_extra)
         .csv(path)
     )
 
@@ -78,21 +104,26 @@ def read_tbl(
     storage_level: StorageLevel | None = None,
     return_raw: bool = False,
     multiline_strings: bool = False,
+    dbgen_trailing_delimiter: bool = False,
 ):
     """(good, quarantine): schema-pinned pipe-delimited read.
 
     Same contract as read_corpus_jsonl — PERMISSIVE + corrupt-record
     capture, good carries exactly ``schema``'s columns, NO caching by
     default (quarantine is a pay-per-use text-scan reparse; see the
-    module docstring for null/empty/newline wire rules and the
-    ``multiline_strings`` constraints)."""
+    module docstring for null/empty/newline/trailing-delimiter wire
+    rules and the ``multiline_strings`` constraints)."""
     if multiline_strings and storage_level is None:
         raise ValueError(
             "multiline_strings=True requires an explicit storage_level: "
             "the uncached quarantine path reparses per text LINE, which "
             "is wrong for quoted multi-line records"
         )
-    full = StructType(schema.fields + [StructField(_CORRUPT, StringType())])
+    parse_fields = list(schema.fields)
+    if dbgen_trailing_delimiter:
+        parse_fields.append(StructField(_TRAILING, StringType()))
+    parse_schema = StructType(parse_fields)
+    full = StructType(parse_fields + [StructField(_CORRUPT, StringType())])
     base_opts = {
         "sep": "|",
         "header": "false",
@@ -105,41 +136,60 @@ def read_tbl(
     opts = dict(
         base_opts, mode="PERMISSIVE", columnNameOfCorruptRecord=_CORRUPT
     )
+    # In dbgen mode a well-formed line parses the terminal empty token
+    # into _trailing as ""; anything non-empty after the final pipe is a
+    # malformed line and must quarantine, not silently drop data.
+    trailing_ok = (
+        (F.col(_TRAILING).isNull() | (F.col(_TRAILING) == ""))
+        if dbgen_trailing_delimiter
+        else F.lit(True)
+    )
     if storage_level is not None:
         reader = spark.read.schema(full).options(**opts)
         if multiline_strings:
             reader = reader.option("multiLine", "true")
         raw = reader.csv(path).persist(storage_level)
-        good = raw.filter(F.col(_CORRUPT).isNull()).select(
+        good = raw.filter(F.col(_CORRUPT).isNull() & trailing_ok).select(
             *[f.name for f in schema.fields]
         )
-        quarantine = raw.filter(F.col(_CORRUPT).isNotNull()).select(
-            F.col(_CORRUPT).alias("raw_line")
+        quarantine = raw.filter(
+            F.col(_CORRUPT).isNotNull() | ~trailing_ok
+        ).select(
+            F.coalesce(F.col(_CORRUPT), F.lit("<junk-after-trailing-|>"))
+            .alias("raw_line")
         )
     else:
         # Uncached good: DROPMALFORMED so no plan references the internal
         # corrupt column (a PERMISSIVE corrupt-filter breaks under column
         # pruning — count() prunes to corrupt-only, which Spark rejects on
         # uncached file scans). Same row set: both keep exactly the fully
-        # parseable lines.
+        # parseable lines (plus the empty-trailing check in dbgen mode).
         raw = good = (
-            spark.read.schema(schema)
+            spark.read.schema(parse_schema)
             .options(**base_opts)
             .option("mode", "DROPMALFORMED")
             .csv(path)
+            .filter(trailing_ok)
+            .select(*[f.name for f in schema.fields])
         )
         # Uncached quarantine: text scan + from_csv reparse with the same
         # options. Truly-empty lines are excluded to match the native csv
         # reader, which skips blank lines; a line quarantines when the
-        # reparse captures it in the corrupt column or yields no struct.
+        # reparse captures it in the corrupt column, yields no struct, or
+        # carries junk after the trailing delimiter in dbgen mode.
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
         )
         parsed = F.from_csv(F.col("value"), F.lit(schema_ddl), opts)
+        bad = parsed.isNull() | parsed[_CORRUPT].isNotNull()
+        if dbgen_trailing_delimiter:
+            bad = bad | (
+                parsed[_TRAILING].isNotNull() & (parsed[_TRAILING] != "")
+            )
         quarantine = (
             spark.read.text(path)
             .filter(F.length(F.col("value")) > 0)
-            .filter(parsed.isNull() | parsed[_CORRUPT].isNotNull())
+            .filter(bad)
             .select(F.col("value").alias("raw_line"))
         )
     if return_raw:

@@ -470,3 +470,63 @@ def test_interchange_good_split_parity_cached_vs_uncached(spark, tmp_path):
         assert q_un.count() == q_ca.count()
     finally:
         raw.unpersist(blocking=True)
+
+
+def test_tbl_dbgen_trailing_delimiter(spark, tmp_path):
+    """Drop-in dbgen compat: genuine dbgen files terminate every line
+    with the separator — dbgen_trailing_delimiter=True must parse them
+    cleanly (both storage modes), junk after the final pipe must
+    quarantine not silently drop, and write_tbl(trailing_delimiter=True)
+    must emit the canonical byte shape and round-trip."""
+    import os
+
+    from pyspark import StorageLevel
+
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    schema = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, s string, v double"
+    ).schema
+    # Hand-written dbgen-style file (the real-world ingest case).
+    src = str(tmp_path / "dbgen")
+    os.makedirs(src)
+    with open(f"{src}/orders.tbl", "w") as fh:
+        fh.write("1|alpha|1.5|\n2|beta|2.5|\n3|junky|3.5|EXTRA\n")
+    good, quar = read_tbl(spark, src, schema, dbgen_trailing_delimiter=True)
+    assert sorted((r["id"], r["s"], r["v"]) for r in good.collect()) == [
+        (1, "alpha", 1.5),
+        (2, "beta", 2.5),
+    ]
+    assert quar.count() == 1 and "EXTRA" in quar.collect()[0]["raw_line"]
+    # Persisted mode selects the same split.
+    g2, q2, raw = read_tbl(
+        spark, src, schema,
+        storage_level=StorageLevel.MEMORY_AND_DISK, return_raw=True,
+        dbgen_trailing_delimiter=True,
+    )
+    try:
+        assert sorted((r["id"], r["s"], r["v"]) for r in g2.collect()) == [
+            (1, "alpha", 1.5),
+            (2, "beta", 2.5),
+        ]
+        assert q2.count() == 1
+    finally:
+        raw.unpersist(blocking=True)
+    # Canonical write: every emitted line ends with a bare pipe.
+    df = spark.createDataFrame([(1, "x", 9.25), (2, "y", 0.5)], schema)
+    out = str(tmp_path / "w")
+    write_tbl(df, out, n_shards=1, trailing_delimiter=True)
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    assert lines and all(ln.endswith("|") and not ln.endswith('""|') for ln in lines)
+    back, bq = read_tbl(spark, out, schema, dbgen_trailing_delimiter=True)
+    assert bq.count() == 0
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "x", 9.25),
+        (2, "y", 0.5),
+    ]
