@@ -2401,3 +2401,59 @@ def q_retrieve_rerank_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "bm25_score", "dense_score", "rank")
     )
+
+
+@register(
+    "user_activity_similarity",
+    oracle="""
+WITH cnts AS (
+  SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM events),
+hours AS (SELECT unnest(generate_series(0, 23)) AS h),
+prof AS (
+  SELECT u.user_id, list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY hh.h) AS v
+  FROM users u CROSS JOIN hours hh
+  LEFT JOIN cnts c ON c.user_id = u.user_id AND c.h = hh.h
+  GROUP BY u.user_id),
+probes AS (SELECT user_id AS query_id, v AS qv FROM prof WHERE user_id % 50 = 0),
+scored AS (
+  SELECT p.query_id, f.user_id AS neighbor_id,
+    round(list_inner_product(p.qv, f.v)
+      / (sqrt(list_inner_product(p.qv, p.qv))
+         * sqrt(list_inner_product(f.v, f.v))), 4) AS cosine_sim
+  FROM probes p JOIN prof f ON f.user_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+)
+def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over BEHAVIORAL fingerprints (the
+    similarity-search-on-streams shape of the retrieved EDBT'19/SIGMOD'20
+    papers, re-expressed relationally): each user's activity becomes a
+    24-dim hour-of-day profile vector — ONE hash aggregation of 24
+    conditional sums, map-side partial, no pivot shuffle — and the top-3
+    most-similar users per probe ride the existing exact cosine engine
+    (WindowGroupLimit pre-reduce before the exchange). The point: once a
+    time series is reduced to a fixed-length profile, EVERY similarity
+    operator in the engine (exact, IVF, PQ, near-dup) applies to it
+    unchanged — vectors don't care whether they came from an embedding
+    model or a GROUP BY.
+
+    Scale: the profile table is |users| x 24 doubles (thousands of times
+    smaller than events); probes are a bounded modulus (the fixed-probe
+    policy, SCALE.md §10). Deterministic: round-4 cosine then id
+    tiebreak, identical in the DuckDB replay."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).cast("double")
+                for h in range(24)
+            ]
+        ).alias("profile")
+    )
+    probes = prof.filter(F.col("user_id") % 50 == 0)
+    return sim.cosine_topk(prof, probes, k=3, id_col="user_id", vec_col="profile")

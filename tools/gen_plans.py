@@ -175,6 +175,7 @@ AUDITED = [
     "dup_span_runs",
     "part_reachability_rcte",
     "linear_quality_classifier",
+    "user_activity_similarity",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

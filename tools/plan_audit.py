@@ -162,6 +162,10 @@ CARTESIAN_OK = {
     # cartesian is the exact-baseline column (cosine_topk's bounded
     # eval-probe broadcast — same class as eval_contamination_embedding)
     "eval_contamination_ivf",
+    # r11: bounded probe-set broadcast into cosine_topk over the
+    # |users|x24 profile table (same exact-top-k class as cosine_topk;
+    # WindowGroupLimit pre-reduces before the exchange)
+    "user_activity_similarity",
     "ann_recall_report",
     "pq_recall_report",
     "kmeans_ivf_topk",
