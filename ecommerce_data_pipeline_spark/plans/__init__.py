@@ -22,7 +22,8 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def scan_report(df: DataFrame) -> list[dict]:
-    """One dict per parquet scan in the plan: pushed filters + read schema.
+    """One dict per file scan in the plan (parquet/orc/csv/json/text):
+    pushed filters + read schema.
 
     Lets callers assert predicate pushdown ('PushedFilters: [...IsNotNull...]')
     and column pruning (ReadSchema contains only needed fields).
@@ -32,8 +33,11 @@ def scan_report(df: DataFrame) -> list[dict]:
     blocks = re.split(r"\n\n", text)
     for block in blocks:
         # Only the per-node detail blocks (the header tree also mentions
-        # "Scan parquet" but carries no scan metadata).
-        if "Scan parquet" not in block or "ReadSchema" not in block:
+        # "Scan <format>" but carries no scan metadata).
+        if (
+            not re.search(r"Scan (parquet|orc|csv|json|text)", block)
+            or "ReadSchema" not in block
+        ):
             continue
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
         schema = re.search(r"ReadSchema: (.+)", block)
@@ -66,7 +70,7 @@ def codegen_spans(df: DataFrame) -> int:
 
 
 def assert_pushed(df: DataFrame, fragment: str) -> None:
-    """Assert some parquet scan pushed a filter containing ``fragment``."""
+    """Assert some file scan pushed a filter containing ``fragment``."""
     scans = scan_report(df)
     for s in scans:
         if any(fragment in f for f in s["pushed_filters"]):

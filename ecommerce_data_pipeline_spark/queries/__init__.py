@@ -65,20 +65,22 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # linear_quality_classifier (fastText-style hashed-BoW inference as one
 # map stage — model-based filtering without a UDF) and
 # user_activity_similarity (hour-of-day behavioral fingerprints through
-# the exact cosine engine); (2) no
+# the exact cosine engine) and lineitem_orc_roundtrip (the second
+# built-in columnar lake format, certified content-neutral with an
+# in-query pushdown guard); (2) no
 # never-certified queries remain (first time); (3) the 8 r06-tail queries
 # that rolled past round 10's window, then the r07 cohort (47, oldest
-# cohort per tools/cert_age.py) in cert_age order. 11+8+31 = 50: the final
-# 16 r07 items (repetition_stats, revenue_by_nation, shard_assign,
-# silver_orders_clean, silver_payments_clean,
+# cohort per tools/cert_age.py) in cert_age order. 12+8+30 = 50: the final
+# 17 r07 items (redact_pii, repetition_stats, revenue_by_nation,
+# shard_assign, silver_orders_clean, silver_payments_clean,
 # simhash_pairs, sql_recent_purchase_minutes, stratified_sample,
 # streaming_fct_sales_minute, streaming_media_decode,
 # text_minhash_topk_join, token_stats, user_current_state,
 # user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-66 and roll to round 12 if the driver window stays at 50.
+# 51-67 and roll to round 12 if the driver window stays at 50.
 #
 # ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 16 above), (c) the r08 cohort (47 queries — `python
+# got no r11 row (the 17 above), (c) the r08 cohort (47 queries — `python
 # tools/cert_age.py`); r09+ follow.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
@@ -94,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
+    "lineitem_orc_roundtrip",
     # (2) oldest cohort first: the 8 r06-tail queries that rolled past
     # round 10's 50-row window (judge re-verified green at sf0.01 in r10)
     "source_capped_sample",
@@ -104,8 +107,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_quarter",
     "user_sessions",
     "variant_props_rollup",
-    # (3) the r07 cohort in cert_age order; items 32-47 land at
-    # positions 51-66 and roll to round 12 if the window stays at 50
+    # (3) the r07 cohort in cert_age order; items 31-47 land at
+    # positions 51-67 and roll to round 12 if the window stays at 50
     "audio_fingerprint_dedup",
     "bpe_encode_tokens",
     "bpe_merge_vocab",

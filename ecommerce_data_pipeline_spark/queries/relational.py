@@ -2290,3 +2290,63 @@ def q_order_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
         ).alias("gap_to_prev"),
     )
+
+
+@register(
+    "lineitem_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  {money_sum_sql("l_extendedprice")} AS total_price,
+  CAST(sum(l_orderkey % 1000000) AS BIGINT) AS order_checksum,
+  CAST(sum(l_partkey % 1000000) AS BIGINT) AS part_checksum
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def q_lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange, certified lossless on the HEAVIEST table: lineitem
+    is rewritten as zstd ORC (Spark's built-in second columnar lake
+    format — Hive-lineage warehouses still land data in it) and the
+    read-back's per-(returnflag, linestatus) counts, cents-exact price
+    sums, and key checksums must hash-match the oracle computed from the
+    ORIGINAL parquet. The query also guards that ORC scans keep the
+    pruning properties the engine relies on: a post-write filtered read
+    must carry a pushed filter AND a pruned read schema (asserted with
+    plans.assert_pushed on the live plan — data skipping is a property of
+    the format integration, not just the parquet path).
+
+    Scale: ORC write is one balanced shard per task; the read is a plain
+    columnar scan with predicate pushdown + column pruning — the same
+    scan contract as S3's parquet path, proven here on the second
+    format."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.plans import assert_pushed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        path = f"{root}/lineitem"
+        (
+            li.repartition(8)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(path)
+        )
+        back = spark.read.orc(path)
+        probe = back.filter(F.col("l_quantity") < 10).select(
+            "l_orderkey", "l_quantity"
+        )
+        assert_pushed(probe, "LessThan(l_quantity,10")
+        return (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                money_sum("l_extendedprice").alias("total_price"),
+                F.sum(F.col("l_orderkey") % 1000000).alias("order_checksum"),
+                F.sum(F.col("l_partkey") % 1000000).alias("part_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -56,6 +56,9 @@ SKIP_BUILD = {
     # (compaction plan audited in code: partition-pruned snapshot read,
     # repartition by cell, one file per cell)
     "ann_postings_compaction",
+    # r11: ORC write + pushdown guard run at build; final plan is the
+    # eager checkpoint of the read-back content aggregate
+    "lineitem_orc_roundtrip",
     # r11: z-order rewrite + layout guard run at build; final plan is the
     # eager checkpoint of the read-back content aggregate (layout job
     # audited in code: one quantile sample pass per column + one range
