@@ -18,14 +18,15 @@ round-10 version cached the full parsed corpus unconditionally — at the
 100 TB target that churns the block manager / spills ~the whole input to
 local executor disk even when the caller consumes only ``good``. Now:
 
-- default (``storage_level=None``): ``good`` is a plain schema-pinned
-  json scan; ``quarantine`` — only if the caller actually consumes it —
-  re-derives corrupt lines from an independent ``text`` scan +
-  ``from_json`` reparse (pay-per-use second scan instead of
-  materializing the corpus). The reparse exists because Spark refuses
-  uncached plans whose only referenced file column is the internal
-  corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-  COLUMN); it mirrors the native reader's semantics, including skipping
+- default (``storage_level=None``): one text scan + a ``from_json``
+  reparse of the FULL document struct decides the good/quarantine split.
+  Round 12 moved ``good`` off the native json scan: the native reader
+  runs malformed-detection AFTER column pruning, so a row broken only in
+  an unprojected field survives narrow projections while vanishing from
+  full-row reads — projection-dependent row sets. ``from_json`` with
+  non-empty options is never schema-pruned, so membership is decided on
+  the whole document for every projection; the reparse mirrors the
+  native reader's semantics otherwise, including skipping
   whitespace-only lines, which the json source silently drops.
 - explicit ``storage_level`` (e.g. ``StorageLevel.DISK_ONLY``): one
   shared parse persisted at that level, both splits served from it —
@@ -97,38 +98,33 @@ def read_corpus_jsonl(
     """
     full = _with_corrupt(schema)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    # Both modes parse via a from_json of the FULL struct over a text scan
+    # (round 12): the native json reader detects malformedness AFTER column
+    # pruning, so a row broken only in an unprojected field (e.g. a string
+    # where n_chars should be a long) survives ``select("doc_id")`` but
+    # vanishes from a full-row read — the same DataFrame yielding different
+    # row sets per projection. A from_json expression with non-empty
+    # options is exempt from schema pruning (OptimizeJsonExprs requires
+    # empty options), so the good/quarantine split is decided once, on the
+    # whole document, for every downstream projection. Whitespace-only
+    # lines are excluded to match the native json reader, which silently
+    # skips them.
+    parsed = F.from_json(F.col("value"), full, opts)
+    raw = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(F.col("value"), parsed.alias("_parsed"))
+    )
     if storage_level is not None:
-        raw = (
-            spark.read.schema(full).options(**opts).json(path).persist(storage_level)
-        )
-        good = raw.filter(F.col(_CORRUPT).isNull()).select(
-            *[f.name for f in schema.fields]
-        )
-        quarantine = raw.filter(F.col(_CORRUPT).isNotNull()).select(
-            F.col(_CORRUPT).alias("raw_line")
-        )
-    else:
-        # Uncached good: DROPMALFORMED, so no plan ever references the
-        # internal corrupt column (a PERMISSIVE corrupt-filter breaks under
-        # column pruning — e.g. count() prunes to corrupt-only, which Spark
-        # rejects on uncached file scans). Same row set as
-        # PERMISSIVE + corrupt-IS-NULL: both keep exactly the fully
-        # parseable lines.
-        raw = good = (
-            spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
-        )
-        # Uncached quarantine: independent text scan + from_json reparse
-        # (PERMISSIVE + corrupt capture). Whitespace-only lines are
-        # excluded to match the native json reader, which silently skips
-        # them; a line quarantines when the reparse either captures it in
-        # the corrupt column or cannot produce a struct at all.
-        parsed = F.from_json(F.col("value"), full, opts)
-        quarantine = (
-            spark.read.text(path)
-            .filter(F.trim(F.col("value")) != "")
-            .filter(parsed.isNull() | parsed[_CORRUPT].isNotNull())
-            .select(F.col("value").alias("raw_line"))
-        )
+        # One persisted (line, parsed-struct) frame serves both splits —
+        # parse cost paid once, raw lines retained for quarantine.
+        raw = raw.persist(storage_level)
+    p = F.col("_parsed")
+    bad = p.isNull() | p[_CORRUPT].isNotNull()
+    good = raw.filter(~bad).select(
+        *[p[f.name].alias(f.name) for f in schema.fields]
+    )
+    quarantine = raw.filter(bad).select(F.col("value").alias("raw_line"))
     if return_raw:
         return good, quarantine, raw
     return good, quarantine

@@ -45,6 +45,16 @@ Storage discipline matches corpus_io (round 11): NO caching by default;
 ``quarantine`` re-derives corrupt lines from a text scan + ``from_csv``
 reparse only if consumed. Pass ``storage_level`` (+ ``return_raw=True``
 for an unpersist handle) to share one persisted parse across both splits.
+
+Projection-independence (round 12): the line-oriented paths parse via a
+``from_csv`` of the FULL struct over a text scan, never the native csv
+reader's per-file malformed handling — the native reader detects
+malformedness AFTER column pruning, so a row broken only in an
+unprojected column survives ``select("id")`` but vanishes from a full-row
+read (the same DataFrame yielding different row sets per projection).
+``from_csv`` with non-empty options is exempt from schema pruning, so the
+good/quarantine split is decided once, on the whole row, for every
+downstream projection; quarantine always carries the true raw line.
 """
 
 from __future__ import annotations
@@ -122,7 +132,6 @@ def read_tbl(
     parse_fields = list(schema.fields)
     if dbgen_trailing_delimiter:
         parse_fields.append(StructField(_TRAILING, StringType()))
-    parse_schema = StructType(parse_fields)
     full = StructType(parse_fields + [StructField(_CORRUPT, StringType())])
     base_opts = {
         "sep": "|",
@@ -139,16 +148,27 @@ def read_tbl(
     # In dbgen mode a well-formed line parses the terminal empty token
     # into _trailing as ""; anything non-empty after the final pipe is a
     # malformed line and must quarantine, not silently drop data.
-    trailing_ok = (
-        (F.col(_TRAILING).isNull() | (F.col(_TRAILING) == ""))
-        if dbgen_trailing_delimiter
-        else F.lit(True)
-    )
-    if storage_level is not None:
-        reader = spark.read.schema(full).options(**opts)
-        if multiline_strings:
-            reader = reader.option("multiLine", "true")
-        raw = reader.csv(path).persist(storage_level)
+    if multiline_strings:
+        # Whole-file records (quoted embedded newlines): the ONLY mode
+        # that cannot reparse per text line, so it stays on the native
+        # multiLine csv reader, persisted (enforced above) — the persist
+        # materializes the FULL schema, so corrupt detection is
+        # projection-independent here too. Quarantine carries the corrupt
+        # record when the parser captured one; a trailing-junk-only row
+        # (dbgen mode) parsed fine, so no raw record exists — it
+        # quarantines as the documented placeholder.
+        trailing_ok = (
+            (F.col(_TRAILING).isNull() | (F.col(_TRAILING) == ""))
+            if dbgen_trailing_delimiter
+            else F.lit(True)
+        )
+        raw = (
+            spark.read.schema(full)
+            .options(**opts)
+            .option("multiLine", "true")
+            .csv(path)
+            .persist(storage_level)
+        )
         good = raw.filter(F.col(_CORRUPT).isNull() & trailing_ok).select(
             *[f.name for f in schema.fields]
         )
@@ -159,39 +179,39 @@ def read_tbl(
             .alias("raw_line")
         )
     else:
-        # Uncached good: DROPMALFORMED so no plan references the internal
-        # corrupt column (a PERMISSIVE corrupt-filter breaks under column
-        # pruning — count() prunes to corrupt-only, which Spark rejects on
-        # uncached file scans). Same row set: both keep exactly the fully
-        # parseable lines (plus the empty-trailing check in dbgen mode).
-        raw = good = (
-            spark.read.schema(parse_schema)
-            .options(**base_opts)
-            .option("mode", "DROPMALFORMED")
-            .csv(path)
-            .filter(trailing_ok)
-            .select(*[f.name for f in schema.fields])
-        )
-        # Uncached quarantine: text scan + from_csv reparse with the same
-        # options. Truly-empty lines are excluded to match the native csv
-        # reader, which skips blank lines; a line quarantines when the
-        # reparse captures it in the corrupt column, yields no struct, or
-        # carries junk after the trailing delimiter in dbgen mode.
+        # Line-oriented (default): text scan + from_csv reparse of the
+        # FULL struct. The native reader's DROPMALFORMED/PERMISSIVE
+        # detection runs AFTER column pruning — a row malformed only in
+        # an unprojected column silently survives narrow projections, so
+        # the same DataFrame yields different row sets per projection.
+        # A from_csv expression with non-empty options is never
+        # schema-pruned (OptimizeCsvJsonExprs requires empty options), so
+        # row membership is decided on the full struct regardless of what
+        # the caller selects. Bonus: quarantine always carries the TRUE
+        # raw line (the native path only has it for corrupt rows).
+        # Truly-empty lines are excluded to match the native csv reader,
+        # which skips blank lines.
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
         )
         parsed = F.from_csv(F.col("value"), F.lit(schema_ddl), opts)
-        bad = parsed.isNull() | parsed[_CORRUPT].isNotNull()
-        if dbgen_trailing_delimiter:
-            bad = bad | (
-                parsed[_TRAILING].isNotNull() & (parsed[_TRAILING] != "")
-            )
-        quarantine = (
+        raw = (
             spark.read.text(path)
             .filter(F.length(F.col("value")) > 0)
-            .filter(bad)
-            .select(F.col("value").alias("raw_line"))
+            .select(F.col("value"), parsed.alias("_parsed"))
         )
+        if storage_level is not None:
+            # One persisted (line, parsed-struct) frame serves both
+            # splits — parse cost paid once, raw lines retained.
+            raw = raw.persist(storage_level)
+        p = F.col("_parsed")
+        bad = p.isNull() | p[_CORRUPT].isNotNull()
+        if dbgen_trailing_delimiter:
+            bad = bad | (p[_TRAILING].isNotNull() & (p[_TRAILING] != ""))
+        good = raw.filter(~bad).select(
+            *[p[f.name].alias(f.name) for f in schema.fields]
+        )
+        quarantine = raw.filter(bad).select(F.col("value").alias("raw_line"))
     if return_raw:
         return good, quarantine, raw
     return good, quarantine

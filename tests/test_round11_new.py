@@ -416,8 +416,8 @@ def test_compact_postings_content_neutral_property(
 
 
 def test_interchange_good_split_parity_cached_vs_uncached(spark, tmp_path):
-    """The uncached good split (DROPMALFORMED) and the persisted-mode good
-    split (PERMISSIVE + corrupt-IS-NULL) must select EXACTLY the same
+    """The uncached good split and the persisted-mode good split (both a
+    full-struct reparse since round 12) must select EXACTLY the same
     rows in the presence of corrupt, ragged, and type-broken lines — the
     two formulations are interchangeable by contract."""
     from pyspark import StorageLevel
