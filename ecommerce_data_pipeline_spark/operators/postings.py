@@ -21,11 +21,29 @@ micro-batch. Two classic lakehouse problems follow, both solved here:
    the inputs it read — concurrent appends that land mid-compaction are
    untouched and survive for the next pass. This is what Delta's OPTIMIZE
    does (the reference README recommends exactly that at README.md:295);
-   without a transaction log the rename-then-delete window is
-   non-transactional: a crash between the two can leave BOTH the compacted
-   and input dirs (duplicate rows until a re-run removes the stale inputs
-   — detectable because the compacted dir name records nothing newer than
-   its inputs). With delta-spark present, prefer OPTIMIZE.
+   with delta-spark present, prefer OPTIMIZE.
+
+   **Crash safety (round 12)**: without a transaction log the
+   rename-then-delete commit is non-transactional — a crash between the
+   two leaves BOTH the compacted dir and (some of) its inputs, i.e.
+   duplicated postings. The compactor therefore writes a
+   ``_consumed_inputs`` manifest (JSON list of the input ``batch=`` dir
+   names) INTO the output before the rename, so the rename atomically
+   publishes the compacted data together with the record of what it
+   replaced. ``repair_postings`` — run automatically as a
+   ``compact_postings`` pre-pass — deletes any ``batch=`` dir named in a
+   surviving manifest (stale inputs a crash failed to remove) plus any
+   orphaned ``.compact-tmp-*`` dir (a crash before the rename; invisible
+   to readers either way). Net effect: the duplicate window self-heals on
+   the next compaction instead of being re-compacted into the new
+   snapshot, and a crash before the rename costs nothing. Single-writer
+   assumption: at most one compactor/repairer runs at a time (appends may
+   be concurrent — they are untouched). Concurrent READERS racing the
+   input deletion can hit FileNotFoundException on a file listed before
+   the delete — no data is at risk (the compacted dir already contains
+   every row), so probe jobs that may race a compactor should set
+   ``spark.sql.files.ignoreMissingFiles=true`` or simply retry; a
+   transactional log (Delta) is the real fix where available.
 
 All filesystem operations go through the Hadoop FileSystem API (via the
 JVM gateway), so the operator works identically on HDFS/S3/local — never
@@ -38,9 +56,12 @@ before, during, and after compaction.
 
 from __future__ import annotations
 
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_consumed_inputs"
 
 
 def write_batch_output(
@@ -98,6 +119,75 @@ def _count_files(spark: SparkSession, root: str) -> int:
     return n
 
 
+def _write_manifest(spark: SparkSession, dir_path: str, inputs: list[str]) -> None:
+    jvm, fs, _ = _fs(spark, dir_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{dir_path}/{_MANIFEST}"), True)
+    try:
+        out.write(bytearray(json.dumps(sorted(inputs)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_manifest(spark: SparkSession, dir_path: str) -> list[str] | None:
+    jvm, fs, _ = _fs(spark, dir_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    p = Path(f"{dir_path}/{_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+    finally:
+        stream.close()
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def _delete_dirs(spark: SparkSession, root: str, names: list[str]) -> None:
+    jvm, fs, _ = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    for d in names:
+        fs.delete(Path(f"{root}/{d}"), True)
+
+
+def repair_postings(spark: SparkSession, root: str) -> dict:
+    """Self-heal the compactor's crash window (see module docstring).
+
+    Deletes (a) every ``batch=`` dir named in a surviving compacted dir's
+    ``_consumed_inputs`` manifest — stale inputs a crash between the
+    rename and the input deletion failed to remove, whose rows are
+    duplicates of the compacted output — and (b) orphaned
+    ``.compact-tmp-*`` dirs from a crash before the rename (never visible
+    to readers; pure garbage). Idempotent; assumes no compactor is
+    running concurrently. Returns
+    ``{removed_stale_inputs, removed_tmp_dirs}``.
+    """
+    jvm, fs, path = _fs(spark, root)
+    removed_inputs: list[str] = []
+    removed_tmps: list[str] = []
+    if not fs.exists(path):
+        return {"removed_stale_inputs": [], "removed_tmp_dirs": []}
+    names = [st.getPath().getName() for st in fs.listStatus(path)]
+    compacted = sorted(n for n in names if n.startswith("batch=compact-"))
+    live = set(names)
+    for c in compacted:
+        consumed = _read_manifest(spark, f"{root}/{c}")
+        if not consumed:
+            continue  # pre-manifest dir (or unreadable): nothing to act on
+        stale = [d for d in consumed if d in live and d != c]
+        _delete_dirs(spark, root, stale)
+        removed_inputs.extend(stale)
+        live -= set(stale)
+    tmps = [n for n in names if n.startswith(".compact-tmp-") and n in live]
+    _delete_dirs(spark, root, tmps)
+    removed_tmps.extend(tmps)
+    return {
+        "removed_stale_inputs": sorted(removed_inputs),
+        "removed_tmp_dirs": sorted(removed_tmps),
+    }
+
+
 def compact_postings(
     spark: SparkSession,
     root: str,
@@ -112,9 +202,13 @@ def compact_postings(
     files — compaction that rewrites one big file into another is pure
     write amplification. Inputs are pruned by partition value, so the read
     never touches batches that arrive mid-compaction; those are left in
-    place for the next pass. Returns stats:
-    ``{compacted, n_input_dirs, n_files_before, n_files_after, output_dir}``.
+    place for the next pass. Runs ``repair_postings`` first, so a previous
+    run's crash window self-heals before the new snapshot is taken (never
+    re-compacting duplicated rows). Returns stats:
+    ``{compacted, n_input_dirs, n_files_before, n_files_after, output_dir,
+    repair}``.
     """
+    repair = repair_postings(spark, root)
     inputs = _list_batch_dirs(spark, root)
     n_before = _count_files(spark, root)
     stats = {
@@ -123,6 +217,7 @@ def compact_postings(
         "n_files_before": n_before,
         "n_files_after": n_before,
         "output_dir": None,
+        "repair": repair,
     }
     if len(inputs) < min_input_dirs or n_before <= file_threshold:
         return stats
@@ -142,12 +237,16 @@ def compact_postings(
         .partitionBy("cell")
         .parquet(f"{root}/{tmp_name}")
     )
+    # Commit protocol: manifest INTO the tmp dir first, then one rename
+    # publishes data + manifest atomically, then delete the inputs. A
+    # crash after the rename leaves the manifest in place for
+    # repair_postings to finish the deletes on the next run.
+    _write_manifest(spark, f"{root}/{tmp_name}", inputs)
     jvm, fs, path = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.rename(Path(f"{root}/{tmp_name}"), Path(f"{root}/{out_name}")):
         raise IOError(f"compact_postings: rename to {out_name} failed")
-    for d in inputs:
-        fs.delete(Path(f"{root}/{d}"), True)
+    _delete_dirs(spark, root, inputs)
     stats.update(
         compacted=True,
         n_files_after=_count_files(spark, root),

@@ -48,97 +48,38 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# Round 11 (policy applied): (1) queries whose plan/contract changed this
-# round — the two interchange round-trips (readers rebuilt: cache now
-# opt-in, good = DROPMALFORMED scan, .tbl null/empty wire pinned) and
-# streaming_ann_assign + streaming_incremental_dedup (per-batch
-# idempotent posting writes replace the blind appends — the r10 ADVICE
-# bug class, swept across both foreachBatch sinks) — plus brand-new
-# ann_postings_compaction (the OPTIMIZE analogue, r10 ask #3),
-# eval_contamination_ivf (IVF-routed contamination with exact-agreement
-# column, r10 ask #4), and zorder_orders_layout (the previously
-# test-only zorder operator bound as a certified query per the
-# dead-operator policy) and dup_span_runs (longest duplicated-span run —
-# the Lee-et-al trim-planning twin of duplicate_ngram_spans) and
-# part_reachability_rcte (WITH RECURSIVE BFS — Spark 4's new SQL
-# surface, oracle is the identical SQL text on DuckDB) and
-# linear_quality_classifier (fastText-style hashed-BoW inference as one
-# map stage — model-based filtering without a UDF) and
-# user_activity_similarity (hour-of-day behavioral fingerprints through
-# the exact cosine engine) and lineitem_orc_roundtrip (the second
-# built-in columnar lake format, certified content-neutral with an
-# in-query pushdown guard); (2) no
-# never-certified queries remain (first time); (3) the 8 r06-tail queries
-# that rolled past round 10's window, then the r07 cohort (47, oldest
-# cohort per tools/cert_age.py) in cert_age order. 12+8+30 = 50: the final
-# 17 r07 items (redact_pii, repetition_stats, revenue_by_nation,
-# shard_assign, silver_orders_clean, silver_payments_clean,
-# simhash_pairs, sql_recent_purchase_minutes, stratified_sample,
-# streaming_fct_sales_minute, streaming_media_decode,
-# text_minhash_topk_join, token_stats, user_current_state,
-# user_decayed_value, value_drift_psi, video_frame_topk) sit at positions
-# 51-67 and roll to round 12 if the driver window stays at 50.
+# ROUND 12 (policy applied): (1) queries new or plan/contract-changed this
+# round — streaming_postings_lifecycle (NEW: stream → compact mid-stream →
+# resume → probe, certifying the reader contract across the full
+# lifecycle, r11 ask #4), orders_tbl_multiline_roundtrip (NEW: the quoted
+# multi-line leg of the .tbl contract, r11 ask #5),
+# ann_postings_compaction (compactor gained the consumed-inputs manifest
+# + repair pre-pass closing the crash window — r11 ask #1/ADVICE), and
+# corpus_jsonl_roundtrip + orders_tbl_roundtrip (both interchange readers
+# rebuilt on a projection-independent full-struct reparse — r11 ADVICE
+# high); (2) the 17 r07-tail queries that rolled past round 11's window
+# (r11 ask #2); (3) the r08 cohort (46 queries, oldest remaining per
+# tools/cert_age.py) in cert_age order — the first 28 fit; the final 18
+# (ivf_pq_topk, kmeans_ivf_topk, knn_label_accuracy_ivf,
+# language_temperature_sample, local_supplier_revenue,
+# markup_extract_text, media_embedding_topk, min_cost_part_supplier,
+# mmr_diverse_topk, multitouch_attribution, order_payments_enriched,
+# part_profit_by_nation_year, pq_recall_report,
+# returnflag_priority_lateness, tokenizer_fertility_by_lang,
+# video_scene_cuts, vocab_growth_curve, zipf_slope) sit at positions
+# 51-68 and roll to round 13 if the driver window stays at 50.
 #
-# ROUND 12 PLAN: front-load (a) any r11 red, (b) whichever r07 tail items
-# got no r11 row (the 17 above), (c) the r08 cohort (47 queries — `python
-# tools/cert_age.py`); r09+ follow.
+# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 18 r08-tail items
+# above, (c) the r09 cohort (50 queries — `python tools/cert_age.py`).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
+    "streaming_postings_lifecycle",
+    "orders_tbl_multiline_roundtrip",
     "ann_postings_compaction",
-    "eval_contamination_ivf",
-    "zorder_orders_layout",
-    "dup_span_runs",
-    "part_reachability_rcte",
-    "linear_quality_classifier",
-    "user_activity_similarity",
-    "streaming_ann_assign",
-    "streaming_incremental_dedup",
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
-    "lineitem_orc_roundtrip",
-    # (2) oldest cohort first: the 8 r06-tail queries that rolled past
-    # round 10's 50-row window (judge re-verified green at sf0.01 in r10)
-    "source_capped_sample",
-    "streaming_replay_dedup",
-    "streaming_session_windows",
-    "table_time_travel",
-    "token_budget_mixture",
-    "top_supplier_quarter",
-    "user_sessions",
-    "variant_props_rollup",
-    # (3) the r07 cohort in cert_age order; items 31-47 land at
-    # positions 51-67 and roll to round 12 if the window stays at 50
-    "audio_fingerprint_dedup",
-    "bpe_encode_tokens",
-    "bpe_merge_vocab",
-    "cart_totals",
-    "catalog_search_page",
-    "cosine_topk",
-    "decode_media_features",
-    "dedup_rate_by_source",
-    "dormant_rich_customers",
-    "embedding_near_dup_pairs",
-    "events_json_props",
-    "events_minute_users",
-    "events_value_quantiles",
-    "exact_dedup",
-    "fct_sales_minute",
-    "fingerprint",
-    "frame_sample_plan",
-    "freshness_by_type",
-    "image_phash_dedup",
-    "language_id",
-    "language_id_confusion",
-    "late_sole_blame_suppliers",
-    "lineitem_pricing_summary",
-    "ngram_contamination",
-    "ngram_jaccard_pairs",
-    "notification_emails",
-    "order_status_current",
-    "orders_kafka_encoded",
-    "priority_late_orders",
-    "quality_score",
+    # (2) the 17 r07-tail queries (oldest cohort; rolled past r11's window)
     "redact_pii",
     "repetition_stats",
     "revenue_by_nation",
@@ -156,6 +97,35 @@ _DRIVER_PRIORITY: list[str] = [
     "user_decayed_value",
     "value_drift_psi",
     "video_frame_topk",
+    # (3) the r08 cohort in cert_age order (first 28 of 46)
+    "above_avg_orders",
+    "approx_distinct_users",
+    "approx_users_sketch_rollup",
+    "asof_tolerance_attribution",
+    "bitext_margin_pairs",
+    "bm25_search",
+    "boilerplate_segment_report",
+    "char_entropy_quality",
+    "clean_purchase_days",
+    "corpus_stats_by_source",
+    "curriculum_interleave",
+    "customer_spend_quartiles",
+    "customers_without_orders",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "dedup_incremental_assign",
+    "doc_length_histogram",
+    "dominant_promo_part_shippers",
+    "duplicate_ngram_spans",
+    "edit_distance_near_dup",
+    "events_hourly_window",
+    "events_incremental_2h",
+    "events_last_hour",
+    "events_minute_fact",
+    "events_resampled_locf",
+    "events_value_quantiles_approx",
+    "important_parts_by_nation",
+    "inventory_counters",
     # (4) remaining r08+-certified cohorts follow in registration order.
 ]
 

@@ -622,6 +622,79 @@ def q_orders_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "orders_tbl_multiline_roundtrip",
+    oracle="""
+SELECT o_orderpriority || chr(10) || o_orderstatus AS note,
+  count(*) AS n_orders,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_tbl_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quoted multi-line leg of the ``.tbl`` interchange contract,
+    certified lossless (round-11 VERDICT ask #5): a note column with an
+    EMBEDDED NEWLINE in every row (priority + LF + status) is written
+    through ``write_tbl`` (which quotes newlines — valid CSV) and read
+    back with ``multiline_strings=True`` (whole-file records, explicit
+    storage level as the mode requires). The result groups BY the
+    multiline note itself, so the driver's value hash compares the exact
+    post-round-trip text — a reader that split records on the embedded
+    newline, lost it, or mangled the quoting diverges immediately. The
+    query asserts zero quarantined lines and full row-count recovery.
+
+    Scale boundary (by design): multiLine reads each file as one
+    unsplittable unit — this is the modest-landing-file path, not the
+    100 TB scan (the line-splittable default is; see tabular_io)."""
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from ecommerce_data_pipeline_spark.sources.tabular_io import (
+        read_tbl,
+        write_tbl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    doc = orders.select(
+        "o_orderkey",
+        F.concat_ws("\n", "o_orderpriority", "o_orderstatus").alias("note"),
+    )
+    n_src = doc.count()
+    root = tempfile.mkdtemp(prefix="orders_tbl_ml_")
+    try:
+        write_tbl(doc, f"{root}/orders", n_shards=4)
+        good, quarantine, raw = read_tbl(
+            spark,
+            f"{root}/orders",
+            doc.schema,
+            multiline_strings=True,
+            storage_level=StorageLevel.MEMORY_AND_DISK,
+            return_raw=True,
+        )
+        try:
+            n_bad = quarantine.count()
+            if n_bad:
+                raise AssertionError(f"{n_bad} multiline rows quarantined")
+            result = (
+                good.groupBy("note")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_back = good.count()
+            if n_back != n_src:
+                raise AssertionError(f"row loss: {n_back} != {n_src}")
+            return result
+        finally:
+            raw.unpersist(blocking=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # One SQL text serves BOTH engines: recursive CTEs are ANSI (DuckDB has
 # always had them; Spark gained them in 4.0), and the probe in
 # tests/test_round11_new.py pins that the two engines' recursive UNION ALL

@@ -64,6 +64,17 @@ SKIP_BUILD = {
     # audited in code: one quantile sample pass per column + one range
     # shuffle, no UDF in the Morton key)
     "zorder_orders_layout",
+    # r12: full write→compact-mid-stream→resume lifecycle runs at build;
+    # final plan is the eager checkpoint of the per-cell aggregate (each
+    # stage reuses already-audited machinery: streaming_ann_assign's
+    # foreachBatch map stage, ann_postings_compaction's partition-pruned
+    # one-file-per-cell rewrite + manifest/repair pre-pass)
+    "streaming_postings_lifecycle",
+    # r12: multiline .tbl write+read-back executes at build; final plan is
+    # the eager checkpoint of the grouped note/count/checksum aggregate
+    # (multiLine read is the documented whole-file landing path, not the
+    # 100 TB scan)
+    "orders_tbl_multiline_roundtrip",
     # r8: watermarked windowed-count drain + rank-on-read
     "streaming_trending_topk",
     # r9: update-mode drain maintaining the gold top-k via foreachBatch

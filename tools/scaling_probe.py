@@ -74,6 +74,7 @@ HEAVY = {
     # contamination, z-order layout rewrite, duplicated-span runs)
     "ann_postings_compaction": "embeddings",
     "eval_contamination_ivf": "embeddings",
+    "streaming_postings_lifecycle": "embeddings",
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
     "part_reachability_rcte": "lineitem",
