@@ -238,12 +238,60 @@ class ParquetTable:
         # footer-sampling cost is parallelized and paid at planning time.
         return spark.read.option("mergeSchema", "true").parquet(self.path)
 
+    def repair_swap(self) -> dict:
+        """Self-heal ``overwrite``'s swap crash window (the same
+        non-transactional-commit class as the posting compactor's
+        manifest/repair — operators/postings.py).
+
+        The commit point of a plain-parquet ``overwrite`` is the rename of
+        the staged ``__tmp_*`` dir onto ``self.path``. A crash BEFORE that
+        — after the current table was renamed aside to ``__old_*`` —
+        leaves the table path missing with the old dir holding the last
+        committed state: roll back by renaming it into place (the staged
+        tmp never committed, so rollback is the deterministic contract).
+        Uncommitted ``__tmp_*`` stages and ``__old_*`` leftovers from a
+        crash after the commit point are garbage — removed. Runs
+        automatically at the start of every plain-parquet ``overwrite``;
+        idempotent; single-writer assumption (readers racing a writer
+        should not call this). Returns
+        ``{restored, removed_old, removed_tmp}``."""
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        stats = {"restored": None, "removed_old": [], "removed_tmp": []}
+        if self.use_delta or not os.path.isdir(parent):
+            return stats
+        olds = [
+            d for d in os.listdir(parent) if d.startswith(f"{base}__old_")
+        ]
+        tmps = [
+            d for d in os.listdir(parent) if d.startswith(f"{base}__tmp_")
+        ]
+        if olds and not os.path.exists(self.path):
+            # Crash between the two renames: restore the most recent
+            # pre-image (with repair-on-every-overwrite at most one old
+            # can exist; mtime breaks the unreachable tie).
+            newest = max(
+                olds, key=lambda d: os.path.getmtime(os.path.join(parent, d))
+            )
+            os.rename(os.path.join(parent, newest), self.path)
+            stats["restored"] = newest
+            olds.remove(newest)
+        for d in olds:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            stats["removed_old"].append(d)
+        for d in tmps:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            stats["removed_tmp"].append(d)
+        return stats
+
     def overwrite(self, df: DataFrame) -> None:
         """Bootstrap write (operator S8: mode=overwrite, overwriteSchema).
 
         Atomic: materialize to a sibling temp dir, then swap directories, so
         readers never observe a partial table. Delta tables get atomicity
-        from the transaction log instead — a plain overwrite commit.
+        from the transaction log instead — a plain overwrite commit. A
+        crash inside the swap self-heals on the next overwrite (or an
+        explicit ``repair_swap()``) — see that method for the contract.
         """
         if self.use_delta:
             writer = (
@@ -255,6 +303,7 @@ class ParquetTable:
                 writer = writer.partitionBy(*self.partition_by)
             writer.save(self.path)
             return
+        self.repair_swap()
         self._archive()
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")

@@ -190,3 +190,75 @@ def test_repair_postings_removes_orphan_tmp_and_is_idempotent(
     assert sorted(
         r["vec_id"] for r in spark.read.parquet(root).collect()
     ) == [1, 2]
+
+
+def test_table_overwrite_swap_crash_self_heals(spark, tmp_path, monkeypatch):
+    """Class sweep of the round-12 crash-window fix: Table.overwrite's
+    rename-aside → rename-into-place swap has the same
+    non-transactional-commit shape as the posting compactor. A crash
+    between the two renames used to leave the table path MISSING (readers
+    fail) with the old data stranded in a __old_* sibling. repair_swap —
+    run automatically by the next overwrite — must roll back to the last
+    committed state, and clean uncommitted stages/leftovers."""
+    from ecommerce_data_pipeline_spark import lake
+
+    path = str(tmp_path / "t")
+    t = lake.ParquetTable(path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    t.overwrite(df1)
+
+    # Crash between rename(path, old) and rename(tmp, path).
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        state["n"] += 1
+        if state["n"] == 1 and dst.startswith(f"{path}__old_"):
+            raise OSError("simulated crash between swap renames")
+
+    monkeypatch.setattr(lake.os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.overwrite(df2)
+    monkeypatch.undo()
+    assert not os.path.exists(path)  # the observable outage
+
+    # Explicit repair restores the last committed state (rollback: the
+    # staged tmp never reached the commit point).
+    stats = lake.ParquetTable(path).repair_swap()
+    assert stats["restored"] and stats["removed_tmp"]
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == [1, 2]
+
+    # And the automatic pre-pass: crash again, then just overwrite —
+    # the new write must land cleanly with no strays left behind.
+    state["n"] = 0
+    monkeypatch.setattr(lake.os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.overwrite(df2)
+    monkeypatch.undo()
+    t.overwrite(df2)
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == [3]
+    parent = str(tmp_path)
+    strays = [d for d in os.listdir(parent) if "__old_" in d or "__tmp_" in d]
+    assert strays == []
+
+
+def test_table_repair_swap_noop_on_healthy_table(spark, tmp_path):
+    """repair_swap on a healthy table (and a crash AFTER the commit point,
+    which leaves only a stray __old_ dir) must never touch the live data."""
+    from ecommerce_data_pipeline_spark import lake
+
+    path = str(tmp_path / "t")
+    t = lake.ParquetTable(path)
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t.overwrite(df)
+    assert t.repair_swap() == {
+        "restored": None, "removed_old": [], "removed_tmp": []
+    }
+    os.makedirs(f"{path}__old_deadbeef")
+    stats = t.repair_swap()
+    assert stats["removed_old"] == [f"{os.path.basename(path)}__old_deadbeef"]
+    assert [r["id"] for r in spark.read.parquet(path).collect()] == [1]
