@@ -138,26 +138,16 @@ def assign_cells(
     ).withColumn("cell", _cell_expr(F.col("v"), centroids))
 
 
-def multiprobe_topk(
-    vectors: DataFrame,
+def multiprobe_route(
     queries: DataFrame,
     centroids: list[list[float]],
-    k: int = 5,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF multi-probe ANN: score each query against the vectors of its
-    ``nprobe`` nearest cells. Recall grows with nprobe; work per query is
-    ~nprobe/k_cells of the corpus. Same output shape as cosine_topk.
-    """
-    from pyspark.sql.window import Window
-
-    corpus = assign_cells(vectors, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("v").alias("n_vec"),
-        "cell",
-    ).withColumn("nn", _norm(F.col("n_vec")))
+    """(query_id, q_vec, qn, cell): each query exploded to its ``nprobe``
+    nearest centroid cells — the IVF routing stage, one map over the
+    queries against k×dim broadcast centroid literals."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
@@ -167,7 +157,7 @@ def multiprobe_topk(
             _dist2_col(F.col("q_vec"), c).alias("d"), i.alias("cell")
         ),
     )
-    probed = qv.withColumn(
+    return qv.withColumn(
         "cell",
         F.explode(
             F.transform(
@@ -175,8 +165,19 @@ def multiprobe_topk(
             )
         ),
     ).withColumn("qn", _norm(F.col("q_vec")))
+
+
+def topk_within_cells(corpus: DataFrame, probed: DataFrame, k: int = 5) -> DataFrame:
+    """Score routed probes against a cell-assigned corpus and keep the
+    top-k per probe. ``corpus`` carries (neighbor_id, n_vec, cell) —
+    from ``assign_cells`` or read back from a cell-partitioned posting
+    layout (operators/postings.py) — and ``probed`` is
+    ``multiprobe_route`` output. Same output shape as cosine_topk."""
+    from pyspark.sql.window import Window
+
     scored = (
-        corpus.join(F.broadcast(probed), "cell")
+        corpus.withColumn("nn", _norm(F.col("n_vec")))
+        .join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
@@ -195,6 +196,30 @@ def multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF multi-probe ANN: score each query against the vectors of its
+    ``nprobe`` nearest cells. Recall grows with nprobe; work per query is
+    ~nprobe/k_cells of the corpus. Same output shape as cosine_topk.
+    Composition of ``multiprobe_route`` + ``topk_within_cells`` over an
+    in-memory ``assign_cells`` corpus; ``ivf_postings_probe`` runs the
+    same composition against the on-disk posting layout instead."""
+    corpus = assign_cells(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("n_vec"),
+        "cell",
+    )
+    probed = multiprobe_route(queries, centroids, nprobe, id_col, vec_col)
+    return topk_within_cells(corpus, probed, k)
 
 
 def int8_quantize(

@@ -59,23 +59,24 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # rebuilt on a projection-independent full-struct reparse — r11 ADVICE
 # high); (2) the 17 r07-tail queries that rolled past round 11's window
 # (r11 ask #2); (3) the r08 cohort (46 queries, oldest remaining per
-# tools/cert_age.py) in cert_age order — the first 28 fit; the final 18
-# (ivf_pq_topk, kmeans_ivf_topk, knn_label_accuracy_ivf,
+# tools/cert_age.py) in cert_age order — the first 27 fit; the final 19
+# (inventory_counters, ivf_pq_topk, kmeans_ivf_topk, knn_label_accuracy_ivf,
 # language_temperature_sample, local_supplier_revenue,
 # markup_extract_text, media_embedding_topk, min_cost_part_supplier,
 # mmr_diverse_topk, multitouch_attribution, order_payments_enriched,
 # part_profit_by_nation_year, pq_recall_report,
 # returnflag_priority_lateness, tokenizer_fertility_by_lang,
-# video_scene_cuts, vocab_growth_curve, zipf_slope) sit at positions
-# 51-68 and roll to round 13 if the driver window stays at 50.
+# video_scene_cuts, vocab_growth_curve, zipf_slope) roll to round 13
+# if the driver window stays at 50.
 #
-# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 18 r08-tail items
+# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 19 r08-tail items
 # above, (c) the r09 cohort (50 queries — `python tools/cert_age.py`).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
     "streaming_postings_lifecycle",
     "orders_tbl_multiline_roundtrip",
+    "ivf_postings_probe",
     "ann_postings_compaction",
     "corpus_jsonl_roundtrip",
     "orders_tbl_roundtrip",
@@ -97,7 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_decayed_value",
     "value_drift_psi",
     "video_frame_topk",
-    # (3) the r08 cohort in cert_age order (first 28 of 46)
+    # (3) the r08 cohort in cert_age order (first 27 of 46)
     "above_avg_orders",
     "approx_distinct_users",
     "approx_users_sketch_rollup",
@@ -125,7 +126,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_resampled_locf",
     "events_value_quantiles_approx",
     "important_parts_by_nation",
-    "inventory_counters",
     # (4) remaining r08+-certified cohorts follow in registration order.
 ]
 

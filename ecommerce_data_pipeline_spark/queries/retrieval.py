@@ -1267,6 +1267,113 @@ def q_streaming_postings_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ivf_postings_probe_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3, topk: int = 5
+) -> str:
+    """DuckDB twin of the disk-layout probe: full k-means replay, probe
+    routing to the nprobe nearest cells, within-cell top-k — the posting
+    layout is content-neutral storage, so probing THROUGH it must equal
+    probing the in-memory assignment."""
+    parts = _kmeans_cells_sql(k, iters, dim)
+    parts.append(
+        "qv AS (SELECT vec_id, v FROM emb WHERE vec_id % 50 = 0)"
+    )
+    d2 = _d2_sql
+    parts.append(
+        f"""probe AS (
+  SELECT qid, qvec, cell FROM (
+    SELECT q.vec_id AS qid, q.v AS qvec, c.cell,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {d2('q.v', 'c.v')}, c.cell) AS prn
+    FROM qv q CROSS JOIN c{iters} c) WHERE prn <= {nprobe}
+)"""
+    )
+    cos = (
+        "round(list_inner_product({q}, {n})"
+        " / (sqrt(list_inner_product({q}, {q}))"
+        " * sqrt(list_inner_product({n}, {n}))), 4)"
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+    {cos.format(q='p.qvec', n='a.v')} AS cosine_sim,
+    CAST(row_number() OVER (PARTITION BY p.qid
+                       ORDER BY {cos.format(q='p.qvec', n='a.v')} DESC,
+                                a.vec_id) AS INT) AS rank
+  FROM probe p JOIN a{iters} a ON a.cell = p.cell
+  WHERE a.vec_id <> p.qid) WHERE rank <= {topk}
+"""
+
+
+@register("ivf_postings_probe", oracle=_ivf_postings_probe_oracle_sql())
+def q_ivf_postings_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k answered THROUGH the on-disk posting layout — the
+    consumer that the cell-partitioned/compacted layout exists for, now
+    certified end-to-end: the corpus's (vec_id, vector, cell) postings
+    are written as micro-batch dirs and compacted to one file per cell
+    (operators/postings.py), probes route to their nprobe nearest cells
+    via broadcast centroid literals (multiprobe_route), and the search
+    reads ONLY the probed cells' directories — a static partition-pruning
+    `cell IN (...)` filter over the layout, so a probe touches
+    ~nprobe/k_cells of the FILES, not just of the rows (the claim the
+    compaction docstring makes; tests/test_round12_new.py pins the
+    PartitionFilters in the physical plan). Results must hash-match the
+    oracle's in-memory replay — the layout is certified content-neutral
+    storage for the search, not just for counts.
+
+    The probed-cell set is k_cells-bounded (≤8 here) — the one driver
+    round-trip, same k-bounded collect discipline as the registry's other
+    audited collects."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        compact_postings,
+        write_posting_batch,
+    )
+    from ecommerce_data_pipeline_spark.operators.quantize import (
+        assign_cells,
+        kmeans_fit,
+        multiprobe_route,
+        topk_within_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    assigned = assign_cells(emb, centroids)  # (vec_id, v, cell)
+    root = tempfile.mkdtemp(prefix="ivf_postings_")
+    try:
+        out = f"{root}/postings"
+        for b in range(2):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 2 == b), out, b
+            )
+        stats = compact_postings(spark, out, file_threshold=2)
+        if not stats["compacted"]:
+            raise AssertionError(f"layout not compacted: {stats}")
+        probed = multiprobe_route(probes, centroids, nprobe=3)
+        cells = sorted(
+            r["cell"] for r in probed.select("cell").distinct().collect()
+        )  # k_cells-bounded (≤8)
+        corpus = (
+            spark.read.parquet(out)
+            .where(F.col("cell").isin(cells))  # static partition pruning
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("n_vec"),
+                F.col("cell").cast("int").alias("cell"),
+            )
+        )
+        return topk_within_cells(corpus, probed, k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _eval_contamination_ivf_oracle_sql(
     k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3
 ) -> str:

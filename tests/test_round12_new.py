@@ -262,3 +262,31 @@ def test_table_repair_swap_noop_on_healthy_table(spark, tmp_path):
     stats = t.repair_swap()
     assert stats["removed_old"] == [f"{os.path.basename(path)}__old_deadbeef"]
     assert [r["id"] for r in spark.read.parquet(path).collect()] == [1]
+
+
+def test_postings_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The layout's reason to exist: a probe restricted to its routed
+    cells must PRUNE the scan to those cells' directories (static
+    partition pruning on the discovered `cell` column), not read the
+    whole layout and filter rows. Pinned on the physical plan's
+    PartitionFilters."""
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        write_posting_batch,
+    )
+
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "vec_id long, cell int"
+    )
+    write_posting_batch(df, root, 0)
+    pruned = spark.read.parquet(root).where(F.col("cell").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the isin lands in PartitionFilters (directory pruning), leaving no
+    # row-level data filter on cell
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
+    got = sorted(
+        (r["vec_id"], int(r["cell"])) for r in pruned.collect()
+    )
+    assert got == sorted((i, i % 4) for i in range(40) if i % 4 in (1, 3))

@@ -70,6 +70,10 @@ SKIP_BUILD = {
     # foreachBatch map stage, ann_postings_compaction's partition-pruned
     # one-file-per-cell rewrite + manifest/repair pre-pass)
     "streaming_postings_lifecycle",
+    # r12: posting write+compaction execute at build; final plan is the
+    # partition-pruned cell-scan join certified by the pruning test
+    # (tests/test_round12_new.py) and the oracle equality
+    "ivf_postings_probe",
     # r12: multiline .tbl write+read-back executes at build; final plan is
     # the eager checkpoint of the grouped note/count/checksum aggregate
     # (multiLine read is the documented whole-file landing path, not the

@@ -75,6 +75,7 @@ HEAVY = {
     "ann_postings_compaction": "embeddings",
     "eval_contamination_ivf": "embeddings",
     "streaming_postings_lifecycle": "embeddings",
+    "ivf_postings_probe": "embeddings",
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
     "part_reachability_rcte": "lineitem",
