@@ -290,3 +290,48 @@ def test_postings_probe_scan_is_partition_pruned(spark, tmp_path):
         (r["vec_id"], int(r["cell"])) for r in pruned.collect()
     )
     assert got == sorted((i, i % 4) for i in range(40) if i % 4 in (1, 3))
+
+
+def test_compact_postings_multigeneration_crash(spark, tmp_path, monkeypatch):
+    """Generation 2 compaction consumes generation 1's compacted dir as an
+    input; a crash in gen-2's delete phase must still self-heal (the gen-2
+    manifest names the gen-1 compact dir AND the fresh batch dirs)."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    root = str(tmp_path / "p")
+    gen1 = [(i, i % 2) for i in range(10)]
+    gen2 = [(100 + i, i % 2) for i in range(10)]
+    for b in range(2):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in gen1 if r[0] % 2 == b])
+            .repartition(2), root, b,
+        )
+    s1 = postings.compact_postings(spark, root, file_threshold=2)
+    assert s1["compacted"]
+    for b in range(2, 4):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in gen2 if r[0] % 2 == b % 2])
+            .repartition(2), root, b,
+        )
+
+    real_delete = postings._delete_dirs
+
+    def crashing_delete(spark_, root_, names):
+        if names:
+            real_delete(spark_, root_, names[:1])
+            raise IOError("simulated gen-2 crash")
+        real_delete(spark_, root_, names)
+
+    monkeypatch.setattr(postings, "_delete_dirs", crashing_delete)
+    with pytest.raises(IOError, match="simulated gen-2 crash"):
+        postings.compact_postings(spark, root, file_threshold=2)
+    monkeypatch.undo()
+
+    stats = postings.compact_postings(spark, root, file_threshold=0,
+                                      min_input_dirs=1)
+    assert stats["repair"]["removed_stale_inputs"]
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == sorted(gen1 + gen2)
