@@ -38,12 +38,20 @@ micro-batch. Two classic lakehouse problems follow, both solved here:
    the next compaction instead of being re-compacted into the new
    snapshot, and a crash before the rename costs nothing. Single-writer
    assumption: at most one compactor/repairer runs at a time (appends may
-   be concurrent — they are untouched). Concurrent READERS racing the
-   input deletion can hit FileNotFoundException on a file listed before
-   the delete — no data is at risk (the compacted dir already contains
-   every row), so probe jobs that may race a compactor should set
-   ``spark.sql.files.ignoreMissingFiles=true`` or simply retry; a
-   transactional log (Delta) is the real fix where available.
+   be concurrent — they are untouched).
+
+   **Reader safety (round 12)**: the default delete-at-commit mode is
+   only safe when no reader races the compactor — a reader that lists
+   before the commit rename and scans after the deletes loses rows even
+   with ``ignoreMissingFiles`` (the compacted dir was never in its file
+   index). ``compact_postings(..., retain_inputs=True)`` is the
+   OPTIMIZE/VACUUM split that closes this: the commit only tombstones the
+   consumed inputs in the manifest, ``read_postings`` serves
+   snapshot-consistent reads by excluding tombstoned dirs (nothing
+   deletes a non-tombstoned dir, so a listed snapshot is stable), and
+   ``vacuum_postings(root, min_age_sec)`` reclaims tombstoned dirs once
+   older than the longest-running reader — exactly Delta VACUUM's
+   retention contract, which IS the real fix where delta-spark exists.
 
 All filesystem operations go through the Hadoop FileSystem API (via the
 JVM gateway), so the operator works identically on HDFS/S3/local — never
@@ -105,31 +113,50 @@ def _list_batch_dirs(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
-def _count_files(spark: SparkSession, root: str) -> int:
+def _count_files(
+    spark: SparkSession, root: str, dirs: list[str] | None = None
+) -> int:
+    """Data files under ``root`` (or only under the named ``batch=`` dirs
+    when ``dirs`` is given — the live, reader-visible subset)."""
     jvm, fs, path = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(path):
         return 0
+    roots = [path] if dirs is None else [
+        Path(f"{root}/{d}") for d in dirs if fs.exists(Path(f"{root}/{d}"))
+    ]
     n = 0
-    it = fs.listFiles(path, True)
-    while it.hasNext():
-        f = it.next()
-        name = f.getPath().getName()
-        if not name.startswith(("_", ".")):
-            n += 1
+    for r in roots:
+        it = fs.listFiles(r, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
     return n
 
 
-def _write_manifest(spark: SparkSession, dir_path: str, inputs: list[str]) -> None:
+def _write_manifest(
+    spark: SparkSession,
+    dir_path: str,
+    inputs: list[str],
+    retained: bool = False,
+) -> None:
     jvm, fs, _ = _fs(spark, dir_path)
     Path = jvm.org.apache.hadoop.fs.Path
     out = fs.create(Path(f"{dir_path}/{_MANIFEST}"), True)
+    payload = {"inputs": sorted(inputs), "retained": retained}
     try:
-        out.write(bytearray(json.dumps(sorted(inputs)).encode("utf-8")))
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         out.close()
 
 
-def _read_manifest(spark: SparkSession, dir_path: str) -> list[str] | None:
+def _read_manifest(spark: SparkSession, dir_path: str) -> dict | None:
+    """Return ``{"inputs": [...], "retained": bool, "mtime_ms": int}`` for
+    the dir's ``_consumed_inputs`` manifest, or None if absent. Accepts
+    the legacy plain-list format (pre-retention manifests), which always
+    meant delete-immediately (``retained=False``)."""
     jvm, fs, _ = _fs(spark, dir_path)
     Path = jvm.org.apache.hadoop.fs.Path
     p = Path(f"{dir_path}/{_MANIFEST}")
@@ -141,7 +168,11 @@ def _read_manifest(spark: SparkSession, dir_path: str) -> list[str] | None:
         jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
     finally:
         stream.close()
-    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    data = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    if isinstance(data, list):
+        data = {"inputs": data, "retained": False}
+    data["mtime_ms"] = fs.getFileStatus(p).getModificationTime()
+    return data
 
 
 def _delete_dirs(spark: SparkSession, root: str, names: list[str]) -> None:
@@ -155,11 +186,14 @@ def repair_postings(spark: SparkSession, root: str) -> dict:
     """Self-heal the compactor's crash window (see module docstring).
 
     Deletes (a) every ``batch=`` dir named in a surviving compacted dir's
-    ``_consumed_inputs`` manifest — stale inputs a crash between the
-    rename and the input deletion failed to remove, whose rows are
-    duplicates of the compacted output — and (b) orphaned
-    ``.compact-tmp-*`` dirs from a crash before the rename (never visible
-    to readers; pure garbage). Idempotent; assumes no compactor is
+    delete-immediately (``retained=False``) ``_consumed_inputs`` manifest
+    — stale inputs a crash between the rename and the input deletion
+    failed to remove, whose rows are duplicates of the compacted output —
+    and (b) orphaned ``.compact-tmp-*`` dirs from a crash before the
+    rename (never visible to readers; pure garbage). ``retained=True``
+    manifests are deliberate OPTIMIZE/VACUUM-style tombstones, NOT crash
+    leftovers — their inputs are left for ``vacuum_postings`` to reclaim
+    after the retention window. Idempotent; assumes no compactor is
     running concurrently. Returns
     ``{removed_stale_inputs, removed_tmp_dirs}``.
     """
@@ -172,10 +206,10 @@ def repair_postings(spark: SparkSession, root: str) -> dict:
     compacted = sorted(n for n in names if n.startswith("batch=compact-"))
     live = set(names)
     for c in compacted:
-        consumed = _read_manifest(spark, f"{root}/{c}")
-        if not consumed:
-            continue  # pre-manifest dir (or unreadable): nothing to act on
-        stale = [d for d in consumed if d in live and d != c]
+        manifest = _read_manifest(spark, f"{root}/{c}")
+        if not manifest or manifest["retained"]:
+            continue  # pre-manifest dir, or a deliberate retention tombstone
+        stale = [d for d in manifest["inputs"] if d in live and d != c]
         _delete_dirs(spark, root, stale)
         removed_inputs.extend(stale)
         live -= set(stale)
@@ -188,11 +222,115 @@ def repair_postings(spark: SparkSession, root: str) -> dict:
     }
 
 
+def _consumed_dirs(spark: SparkSession, root: str) -> set[str]:
+    """The union of ``batch=`` dir names consumed by LIVE compacted dirs'
+    manifests — dirs whose rows are duplicated by a published compaction
+    and must be excluded from snapshot reads and from later compactions
+    (whether they linger from a crash or from deliberate retention)."""
+    consumed: set[str] = set()
+    for d in _list_batch_dirs(spark, root):
+        if not d.startswith("batch=compact-"):
+            continue
+        manifest = _read_manifest(spark, f"{root}/{d}")
+        if manifest:
+            consumed.update(n for n in manifest["inputs"] if n != d)
+    return consumed
+
+
+def vacuum_postings(
+    spark: SparkSession, root: str, min_age_sec: float = 0.0
+) -> dict:
+    """Reclaim inputs consumed by retention-mode compactions
+    (``compact_postings(..., retain_inputs=True)``) once their manifest is
+    at least ``min_age_sec`` old — Delta VACUUM's contract, minus the log:
+    pick a retention no shorter than the longest reader, and no snapshot
+    listed before the compaction commit can still be scanning when its
+    files disappear. Crash-safe by idempotence: a kill mid-delete leaves
+    the manifest in place, so the next vacuum finishes the job. Returns
+    ``{removed, kept_young}``.
+    """
+    import time
+
+    jvm, fs, path = _fs(spark, root)
+    removed: list[str] = []
+    kept: list[str] = []
+    if not fs.exists(path):
+        return {"removed": [], "kept_young": []}
+    now_ms = time.time() * 1000.0
+    # Fixpoint loop, leaf-tombstones first: a consumed dir that is ITSELF
+    # a compact dir still tombstoning live inputs must outlive them — if
+    # it were deleted first, its manifest (the only record of those
+    # inputs) would vanish and its tombstones would be orphaned as
+    # permanent duplicates. Each pass deletes only unblocked stale dirs;
+    # the next pass unblocks their tombstoner. Terminates: every pass
+    # either deletes something or stops.
+    while True:
+        live = set(_list_batch_dirs(spark, root))
+        manifests = {}
+        for c in sorted(n for n in live if n.startswith("batch=compact-")):
+            m = _read_manifest(spark, f"{root}/{c}")
+            if m and m["retained"]:
+                manifests[c] = m
+        blocked = {
+            c
+            for c, m in manifests.items()
+            if any(d in live and d != c for d in m["inputs"])
+        }
+        kept = []
+        deleted_this_pass: list[str] = []
+        for c, m in manifests.items():
+            stale = [d for d in m["inputs"] if d in live and d != c]
+            if not stale:
+                continue
+            if now_ms - m["mtime_ms"] < min_age_sec * 1000.0:
+                kept.extend(stale)
+                continue
+            safe = [d for d in stale if d not in blocked]
+            _delete_dirs(spark, root, safe)
+            deleted_this_pass.extend(safe)
+            live -= set(safe)
+        removed.extend(deleted_this_pass)
+        if not deleted_this_pass:
+            break
+    return {"removed": sorted(removed), "kept_young": sorted(set(kept))}
+
+
+def read_postings(spark: SparkSession, root: str) -> DataFrame:
+    """Manifest-aware snapshot read of a posting root.
+
+    ``spark.read.parquet(root)`` is only exact when no compaction is
+    mid-flight: between the compactor's commit rename and its input
+    deletes — a window that is permanent under
+    ``retain_inputs=True`` — the root holds BOTH the compacted dir and
+    the inputs it consumed, and a raw read double-counts them. This
+    reader lists the ``batch=`` dirs, drops every dir named in a live
+    compacted dir's manifest (its rows are in the compacted output by the
+    commit protocol), and scans the remainder with ``basePath=root`` so
+    the ``batch``/``cell`` partition columns survive. Nothing deletes a
+    non-consumed dir, so the selected snapshot is stable; as
+    belt-and-braces the scan sets ``ignoreMissingFiles`` for readers that
+    outlive the vacuum retention window (the retention itself — sized to
+    the longest reader, exactly Delta VACUUM's contract — is the real
+    guarantee). Cell-pruned probes should filter on ``cell`` as usual;
+    the filter stays a partition-directory prune under this read shape.
+    """
+    dirs = _list_batch_dirs(spark, root)
+    selected = sorted(set(dirs) - _consumed_dirs(spark, root))
+    if not selected:
+        raise ValueError(f"read_postings: no live batch= dirs under {root}")
+    return (
+        spark.read.option("basePath", root)
+        .option("ignoreMissingFiles", "true")
+        .parquet(*[f"{root}/{d}" for d in selected])
+    )
+
+
 def compact_postings(
     spark: SparkSession,
     root: str,
     file_threshold: int = 8,
     min_input_dirs: int = 2,
+    retain_inputs: bool = False,
 ) -> dict:
     """Consolidate a snapshot of ``batch=*`` posting directories into one
     ``batch=compact-*`` directory with one parquet file per cell.
@@ -204,13 +342,30 @@ def compact_postings(
     never touches batches that arrive mid-compaction; those are left in
     place for the next pass. Runs ``repair_postings`` first, so a previous
     run's crash window self-heals before the new snapshot is taken (never
-    re-compacting duplicated rows). Returns stats:
-    ``{compacted, n_input_dirs, n_files_before, n_files_after, output_dir,
-    repair}``.
+    re-compacting duplicated rows).
+
+    ``retain_inputs=True`` is the reader-safe OPTIMIZE/VACUUM split: the
+    consumed inputs are NOT deleted at commit — the manifest tombstones
+    them (``retained=True``) and ``vacuum_postings(root, min_age_sec)``
+    reclaims them once older than the longest reader. Snapshot-consistent
+    reads then go through ``read_postings`` (a raw
+    ``spark.read.parquet(root)`` would double-count tombstoned dirs);
+    in-flight raw readers never hit FileNotFoundException because nothing
+    is deleted in their face. With the default ``retain_inputs=False``
+    the inputs are deleted at commit (raw reads stay exact, modulo the
+    crash window repair_postings heals), which is only safe when no
+    reader can race the compactor. Consumed-but-live dirs from earlier
+    retained compactions are excluded from the new snapshot either way —
+    their rows are already in a published compact dir.
+
+    Returns stats: ``{compacted, n_input_dirs, n_files_before,
+    n_files_after, output_dir, repair}`` — file counts cover the LIVE
+    (non-tombstoned) dirs, i.e. what a snapshot reader opens.
     """
     repair = repair_postings(spark, root)
-    inputs = _list_batch_dirs(spark, root)
-    n_before = _count_files(spark, root)
+    consumed = _consumed_dirs(spark, root)
+    inputs = [d for d in _list_batch_dirs(spark, root) if d not in consumed]
+    n_before = _count_files(spark, root, inputs)
     stats = {
         "compacted": False,
         "n_input_dirs": len(inputs),
@@ -241,15 +396,21 @@ def compact_postings(
     # publishes data + manifest atomically, then delete the inputs. A
     # crash after the rename leaves the manifest in place for
     # repair_postings to finish the deletes on the next run.
-    _write_manifest(spark, f"{root}/{tmp_name}", inputs)
+    _write_manifest(spark, f"{root}/{tmp_name}", inputs, retained=retain_inputs)
     jvm, fs, path = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.rename(Path(f"{root}/{tmp_name}"), Path(f"{root}/{out_name}")):
         raise IOError(f"compact_postings: rename to {out_name} failed")
-    _delete_dirs(spark, root, inputs)
+    if not retain_inputs:
+        _delete_dirs(spark, root, inputs)
+    live_after = [
+        d
+        for d in _list_batch_dirs(spark, root)
+        if d not in _consumed_dirs(spark, root)
+    ]
     stats.update(
         compacted=True,
-        n_files_after=_count_files(spark, root),
+        n_files_after=_count_files(spark, root, live_after),
         output_dir=out_name,
     )
     return stats

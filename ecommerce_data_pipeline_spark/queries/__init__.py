@@ -70,10 +70,12 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # if the driver window stays at 50.
 #
 # ROUND 13 PLAN: front-load (a) any r12 red, (b) the 19 r08-tail items
-# above, (c) the r09 cohort (50 queries — `python tools/cert_age.py`).
+# above plus important_parts_by_nation (rolled when postings_vacuum_read
+# took its slot), (c) the r09 cohort (`python tools/cert_age.py`).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
+    "postings_vacuum_read",
     "streaming_postings_lifecycle",
     "orders_tbl_multiline_roundtrip",
     "ivf_postings_probe",
@@ -125,8 +127,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_minute_fact",
     "events_resampled_locf",
     "events_value_quantiles_approx",
-    "important_parts_by_nation",
     # (4) remaining r08+-certified cohorts follow in registration order.
+    # (important_parts_by_nation rolled to round 13 when
+    # postings_vacuum_read took the 50th slot.)
 ]
 
 

@@ -1132,6 +1132,91 @@ def q_ann_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_POSTINGS_VACUUM_READ_ORACLE = """
+SELECT CAST((vec_id // 4) % 8 AS INT) AS cell, count(*) AS n_vecs,
+  CAST(sum(vec_id % 1000000) AS BIGINT) AS id_checksum
+FROM embeddings GROUP BY 1
+"""
+
+
+@register("postings_vacuum_read", oracle=_POSTINGS_VACUUM_READ_ORACLE)
+def q_postings_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-safe OPTIMIZE/VACUUM lifecycle of the posting layout
+    (operators/postings.py round 12): retained compaction tombstones its
+    inputs in the manifest instead of deleting them, ``read_postings``
+    serves snapshot-consistent reads by excluding tombstoned dirs, and
+    ``vacuum_postings`` reclaims them after the retention window. The
+    query ingests the corpus as four micro-batch posting writes (cells
+    assigned by a plain hash so the oracle certifies STORAGE, not
+    clustering), compacts with ``retain_inputs=True``, asserts the
+    tombstoned window is real (a raw root read double-counts while
+    ``read_postings`` is exact), vacuums at zero retention, and returns
+    per-cell counts/checksums of the post-vacuum snapshot read — any row
+    lost, duplicated, or re-celled anywhere in the lifecycle breaks the
+    oracle hash.
+
+    Scale: delete-at-commit compaction is only safe with no concurrent
+    readers; at 100 TB a probe fleet is ALWAYS scanning, so the
+    production shape is exactly this retention split (Delta
+    OPTIMIZE+VACUUM where the log exists). The reader pays one manifest
+    listing per snapshot — O(compact dirs), driver-side metadata — and
+    cell-filter pushdown still prunes partition directories."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        compact_postings,
+        read_postings,
+        vacuum_postings,
+        write_posting_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Cell key decorrelated from the batch key (vec_id % 4), so every
+    # micro-batch spans every cell and compaction has real fan-in.
+    assigned = emb.select(
+        "vec_id", F.expr("CAST((vec_id DIV 4) % 8 AS INT)").alias("cell")
+    )
+    n_total = assigned.count()
+    root = tempfile.mkdtemp(prefix="postings_vacuum_")
+    try:
+        out = f"{root}/postings"
+        for i in range(4):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 4 == i), out, i
+            )
+        stats = compact_postings(
+            spark, out, file_threshold=4, retain_inputs=True
+        )
+        if not stats["compacted"] or (
+            stats["n_files_after"] >= stats["n_files_before"]
+        ):
+            raise AssertionError(f"compaction did not consolidate: {stats}")
+        raw_during = spark.read.parquet(out).count()
+        snap_during = read_postings(spark, out).count()
+        if raw_during != 2 * n_total or snap_during != n_total:
+            raise AssertionError(
+                "tombstone window wrong: raw="
+                f"{raw_during} snapshot={snap_during} expected {n_total}"
+            )
+        vac = vacuum_postings(spark, out, min_age_sec=0)
+        if len(vac["removed"]) != 4:
+            raise AssertionError(f"vacuum did not reclaim inputs: {vac}")
+        back = read_postings(spark, out)
+        if spark.read.parquet(out).count() != n_total:
+            raise AssertionError("raw read inexact after vacuum")
+        return (
+            back.groupBy(F.col("cell").cast("int").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(F.col("vec_id") % 1000000).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _streaming_postings_lifecycle_oracle_sql(
     k: int = 8, iters: int = 3, dim: int = 64
 ) -> str:

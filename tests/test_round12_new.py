@@ -335,3 +335,176 @@ def test_compact_postings_multigeneration_crash(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(root).select("vec_id", "cell").collect()
     )
     assert got == sorted(gen1 + gen2)
+
+
+def test_retained_compaction_read_postings_and_vacuum(spark, tmp_path):
+    """OPTIMIZE/VACUUM split: retain_inputs=True tombstones the consumed
+    dirs instead of deleting them (raw root reads double-count during the
+    retention window — that's why readers go through read_postings), the
+    manifest-aware read_postings stays exact throughout, repair_postings
+    leaves the tombstones alone, and vacuum_postings reclaims them only
+    past the retention age."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    rows = [(i, i % 4) for i in range(40)]
+    root = str(tmp_path / "p")
+    for b in range(4):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 4 == b]), root, b
+        )
+    expected = sorted(rows)
+
+    stats = postings.compact_postings(
+        spark, root, file_threshold=2, retain_inputs=True
+    )
+    assert stats["compacted"]
+    # Tombstoned inputs are still on disk: a raw read double-counts...
+    raw = spark.read.parquet(root).count()
+    assert raw == 2 * len(rows)
+    # ...while the manifest-aware snapshot read is exact,
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in postings.read_postings(spark, root)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == expected
+    # live-file stats ignore the tombstoned dirs (one file per cell).
+    assert stats["n_files_after"] < stats["n_files_before"]
+
+    # repair treats retained tombstones as deliberate, not crash debris.
+    rep = postings.repair_postings(spark, root)
+    assert rep["removed_stale_inputs"] == []
+    assert spark.read.parquet(root).count() == raw
+
+    # Young tombstones survive a retention-bounded vacuum...
+    vac = postings.vacuum_postings(spark, root, min_age_sec=3600)
+    assert vac["removed"] == [] and len(vac["kept_young"]) == 4
+    # ...and a zero-retention vacuum reclaims them; raw reads are exact
+    # again and read_postings is unchanged.
+    vac = postings.vacuum_postings(spark, root, min_age_sec=0)
+    assert len(vac["removed"]) == 4
+    assert spark.read.parquet(root).count() == len(rows)
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in postings.read_postings(spark, root)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == expected
+    # Idempotent once reclaimed.
+    assert postings.vacuum_postings(spark, root, 0) == {
+        "removed": [], "kept_young": []
+    }
+
+
+def test_read_postings_exact_inside_crash_window(spark, tmp_path, monkeypatch):
+    """Even in delete-at-commit mode, read_postings dedups the
+    rename-to-delete crash window (compacted dir + stale inputs both
+    live) BEFORE any repair runs — the manifest exclusion is the reader's
+    own consistency, not just the repairer's."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    rows = [(i, i % 3) for i in range(30)]
+    root = str(tmp_path / "p")
+    for b in range(3):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 3 == b]), root, b
+        )
+
+    def no_delete(spark_, root_, names):
+        if names:
+            raise IOError("simulated crash before any delete")
+
+    monkeypatch.setattr(postings, "_delete_dirs", no_delete)
+    with pytest.raises(IOError, match="simulated crash"):
+        postings.compact_postings(spark, root, file_threshold=2)
+    monkeypatch.undo()
+
+    assert spark.read.parquet(root).count() == 2 * len(rows)  # the window
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in postings.read_postings(spark, root)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_second_generation_compaction_skips_tombstoned_inputs(
+    spark, tmp_path
+):
+    """A gen-2 compaction while gen-1's tombstoned inputs still linger
+    must snapshot only the LIVE dirs (gen-1's compact dir + fresh
+    batches) — re-compacting a tombstoned dir would bake its duplicates
+    into the new snapshot permanently."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    gen1 = [(i, i % 3) for i in range(0, 30)]
+    gen2 = [(i, i % 3) for i in range(30, 48)]
+    root = str(tmp_path / "p")
+    for b in range(3):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in gen1 if r[0] % 3 == b]), root, b
+        )
+    postings.compact_postings(spark, root, file_threshold=2,
+                              retain_inputs=True)
+    for b in range(3, 6):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in gen2 if r[0] % 3 == b - 3]),
+            root, b,
+        )
+    stats = postings.compact_postings(
+        spark, root, file_threshold=0, min_input_dirs=1, retain_inputs=True
+    )
+    # gen-1 compact + 3 fresh batches; gen-1's 3 tombstoned inputs excluded.
+    assert stats["compacted"] and stats["n_input_dirs"] == 4
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in postings.read_postings(spark, root)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == sorted(gen1 + gen2)
+    # Vacuum reclaims both generations' tombstones; content unchanged.
+    vac = postings.vacuum_postings(spark, root, min_age_sec=0)
+    assert len(vac["removed"]) == 7  # 3 gen-1 inputs + gen-1 compact + 3
+    assert spark.read.parquet(root).count() == len(gen1) + len(gen2)
+
+
+def test_legacy_plain_list_manifest_still_repairs(spark, tmp_path):
+    """Pre-retention manifests were a bare JSON list (implicitly
+    delete-at-commit); repair must still honor them."""
+    import json as _json
+
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    rows = [(i, i % 2) for i in range(20)]
+    root = str(tmp_path / "p")
+    for b in range(2):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 2 == b]), root, b
+        )
+    postings.compact_postings(spark, root, file_threshold=1,
+                              retain_inputs=True)
+    # Rewrite the manifest in the legacy format.
+    compact = [
+        d for d in os.listdir(root) if d.startswith("batch=compact-")
+    ][0]
+    manifest = os.path.join(root, compact, "_consumed_inputs")
+    with open(manifest) as f:
+        inputs = _json.load(f)["inputs"]
+    with open(manifest, "w") as f:
+        _json.dump(inputs, f)
+    # Drop the Hadoop local-FS sidecar checksum invalidated by the
+    # out-of-band rewrite (real legacy manifests carry a matching crc).
+    crc = os.path.join(root, compact, "._consumed_inputs.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    rep = postings.repair_postings(spark, root)
+    assert sorted(rep["removed_stale_inputs"]) == sorted(inputs)
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(root).select("vec_id", "cell").collect()
+    )
+    assert got == sorted(rows)

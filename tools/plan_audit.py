@@ -74,6 +74,10 @@ SKIP_BUILD = {
     # partition-pruned cell-scan join certified by the pruning test
     # (tests/test_round12_new.py) and the oracle equality
     "ivf_postings_probe",
+    # r12: retained compaction + vacuum execute at build; final plan is
+    # the grouped count/checksum over the manifest-aware snapshot read
+    # (reader-safety certified by the raw-vs-snapshot assertions inside)
+    "postings_vacuum_read",
     # r12: multiline .tbl write+read-back executes at build; final plan is
     # the eager checkpoint of the grouped note/count/checksum aggregate
     # (multiLine read is the documented whole-file landing path, not the

@@ -76,6 +76,7 @@ HEAVY = {
     "eval_contamination_ivf": "embeddings",
     "streaming_postings_lifecycle": "embeddings",
     "ivf_postings_probe": "embeddings",
+    "postings_vacuum_read": "embeddings",
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
     "part_reachability_rcte": "lineitem",
