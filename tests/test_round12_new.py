@@ -508,3 +508,24 @@ def test_legacy_plain_list_manifest_still_repairs(spark, tmp_path):
         for r in spark.read.parquet(root).select("vec_id", "cell").collect()
     )
     assert got == sorted(rows)
+
+
+def test_read_postings_cell_filter_stays_partition_pruned(spark, tmp_path):
+    """The manifest-aware snapshot read (explicit dir paths + basePath)
+    must not cost the layout its point: a cell filter still lands in the
+    scan's PartitionFilters, pruning whole cell directories."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    rows = [(i, (i // 4) % 8) for i in range(80)]
+    root = str(tmp_path / "p")
+    for b in range(4):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 4 == b]), root, b
+        )
+    postings.compact_postings(spark, root, file_threshold=2,
+                              retain_inputs=True)
+    probe = postings.read_postings(spark, root).where(F.col("cell") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0].split("PartitionFilters")[1].split("]")[0]
+    assert probe.count() == sum(1 for _, c in rows if c == 3)
