@@ -529,3 +529,83 @@ def test_read_postings_cell_filter_stays_partition_pruned(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0].split("PartitionFilters")[1].split("]")[0]
     assert probe.count() == sum(1 for _, c in rows if c == 3)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(
+        ["append", "compact_retain", "compact_delete", "crash_compact",
+         "vacuum0", "vacuum_inf", "repair"]
+    ),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_OPS)
+def test_read_postings_exact_under_any_lifecycle(spark, tmp_path_factory, ops):
+    """Property: read_postings returns EXACTLY the appended rows after
+    every prefix of any append/compact/crash/vacuum/repair sequence —
+    snapshot consistency can't depend on which maintenance ops ran, in
+    what order, or whether one of them crashed mid-delete."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    root = str(tmp_path_factory.mktemp("prop") / "p")
+    expected: set[tuple[int, int]] = set()
+    next_batch = 0
+
+    def append():
+        nonlocal next_batch
+        rows = [
+            (100 * next_batch + i, ((100 * next_batch + i) // 2) % 3)
+            for i in range(8)
+        ]
+        postings.write_posting_batch(_posting_df(spark, rows), root,
+                                     next_batch)
+        expected.update(rows)
+        next_batch += 1
+
+    def crash_compact():
+        real = postings._delete_dirs
+
+        def boom(spark_, root_, names):
+            if names:
+                raise IOError("prop-sim crash")
+            real(spark_, root_, names)
+
+        postings._delete_dirs = boom
+        try:
+            postings.compact_postings(spark, root, file_threshold=0,
+                                      min_input_dirs=1)
+        except IOError:
+            pass
+        finally:
+            postings._delete_dirs = real
+
+    for op in ["append"] + ops:  # guarantee at least one live dir
+        if op == "append":
+            append()
+        elif op == "compact_retain":
+            postings.compact_postings(spark, root, file_threshold=0,
+                                      min_input_dirs=1, retain_inputs=True)
+        elif op == "compact_delete":
+            postings.compact_postings(spark, root, file_threshold=0,
+                                      min_input_dirs=1)
+        elif op == "crash_compact":
+            crash_compact()
+        elif op == "vacuum0":
+            postings.vacuum_postings(spark, root, min_age_sec=0)
+        elif op == "vacuum_inf":
+            postings.vacuum_postings(spark, root, min_age_sec=1e9)
+        elif op == "repair":
+            postings.repair_postings(spark, root)
+        got = {
+            (r["vec_id"], int(r["cell"]))
+            for r in postings.read_postings(spark, root)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert got == expected, f"after {op}: {len(got)} vs {len(expected)}"
