@@ -59,7 +59,10 @@ JVM gateway), so the operator works identically on HDFS/S3/local — never
 
 Layout contract: ``root/batch=<id>/cell=<c>/part-*.parquet`` — uniform
 two-level partitioning, so ``spark.read.parquet(root)`` discovery works
-before, during, and after compaction.
+before, during, and after a delete-at-commit compaction. Under
+``retain_inputs=True`` the tombstoned inputs stay on disk until vacuum,
+so snapshot-exact reads go through ``read_postings`` (raw root reads
+double-count the retention window).
 """
 
 from __future__ import annotations
