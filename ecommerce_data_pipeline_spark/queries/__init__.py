@@ -71,7 +71,9 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 #
 # ROUND 13 PLAN: front-load (a) any r12 red, (b) the 19 r08-tail items
 # above plus important_parts_by_nation (rolled when postings_vacuum_read
-# took its slot), (c) the r09 cohort (`python tools/cert_age.py`).
+# took its slot; ALL 20 locally oracle-verified at sf0.01 in round 12 —
+# rotation logistics, not a coverage gap), (c) the r09 cohort
+# (`python tools/cert_age.py`).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
