@@ -69,14 +69,16 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # video_scene_cuts, vocab_growth_curve, zipf_slope) roll to round 13
 # if the driver window stays at 50.
 #
-# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 19 r08-tail items
-# above plus important_parts_by_nation (rolled when postings_vacuum_read
-# took its slot; ALL 20 locally oracle-verified at sf0.01 in round 12 —
-# rotation logistics, not a coverage gap), (c) the r09 cohort
-# (`python tools/cert_age.py`).
+# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 21 rolled r08-tail
+# items — the 19 listed above plus important_parts_by_nation and
+# events_value_quantiles_approx (rolled when postings_vacuum_read and
+# quarantine_recovery took their slots; ALL 21 locally oracle-verified
+# at sf0.01 in round 12 — rotation logistics, not a coverage gap),
+# (c) the r09 cohort (`python tools/cert_age.py`).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (1) new this round / plan or contract changed this round
+    "quarantine_recovery",
     "postings_vacuum_read",
     "streaming_postings_lifecycle",
     "orders_tbl_multiline_roundtrip",
@@ -128,10 +130,10 @@ _DRIVER_PRIORITY: list[str] = [
     "events_last_hour",
     "events_minute_fact",
     "events_resampled_locf",
-    "events_value_quantiles_approx",
     # (4) remaining r08+-certified cohorts follow in registration order.
-    # (important_parts_by_nation rolled to round 13 when
-    # postings_vacuum_read took the 50th slot.)
+    # (important_parts_by_nation and events_value_quantiles_approx rolled
+    # to round 13 when postings_vacuum_read and quarantine_recovery took
+    # their slots; both locally oracle-verified at sf0.01 this round.)
 ]
 
 

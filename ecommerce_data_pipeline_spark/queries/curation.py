@@ -1236,3 +1236,106 @@ def q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "quarantine_recovery",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_recovered
+FROM documents GROUP BY source
+""",
+)
+def q_quarantine_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine replay, certified lossless: the fix-forward recovery
+    workflow every schema-enforced ingest eventually needs. A JSONL dump
+    is written with a type drift injected into 1/7 of the lines
+    (``n_chars`` serialized as a quoted string — the upstream-producer
+    regression shape); the strict-schema read quarantines exactly those
+    lines as raw text (sources/corpus_io.py contract: quarantine carries
+    the TRUE raw line, which is what makes replay possible at all), and
+    the recovery pass reparses the quarantine under the relaxed schema
+    and casts back. Good ∪ recovered must hash-match the oracle computed
+    from the ORIGINAL parquet per source — a dropped, duplicated, or
+    miscast line anywhere in quarantine→replay breaks the equality. The
+    query asserts the quarantine caught exactly the drifted lines and
+    that recovery drained it completely.
+
+    Scale: quarantine is pay-per-use (an independent text scan, no
+    corpus-wide cache), so the replay costs one pass over the BAD lines
+    plus their reparse — at a crawl's 1e-6 corruption rate that is MBs,
+    not TBs; the relaxed reparse is the same pruning-exempt full-struct
+    ``from_json`` discipline as the reader itself."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from ecommerce_data_pipeline_spark.sources.corpus_io import (
+        read_corpus_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_total = docs.count()
+    drifted = F.col("doc_id") % 7 == 0
+    lines = docs.select(
+        F.when(
+            drifted,
+            F.to_json(
+                F.struct(
+                    "doc_id",
+                    "source",
+                    F.col("n_chars").cast("string").alias("n_chars"),
+                )
+            ),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "source", "n_chars")))
+        .alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="quarantine_recovery_")
+    try:
+        src = f"{root}/dump"
+        lines.repartition(4).write.mode("overwrite").text(src)
+        strict = StructType.fromDDL(
+            "doc_id long, source string, n_chars long"
+        )
+        good, quarantine = read_corpus_jsonl(spark, src, schema=strict)
+        n_bad = quarantine.count()
+        n_expected_bad = docs.filter(drifted).count()
+        if n_bad != n_expected_bad:
+            raise AssertionError(
+                f"quarantine caught {n_bad}, expected {n_expected_bad}"
+            )
+        relaxed = F.from_json(
+            F.col("raw_line"), "doc_id long, source string, n_chars string"
+        )
+        recovered = quarantine.select(
+            relaxed["doc_id"].alias("doc_id"),
+            relaxed["source"].alias("source"),
+            relaxed["n_chars"].cast("long").alias("n_chars"),
+        ).where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        n_rec = recovered.count()
+        if n_rec != n_bad:
+            raise AssertionError(f"recovered {n_rec} of {n_bad} quarantined")
+        merged = good.select("doc_id", "source", "n_chars").unionByName(
+            recovered
+        )
+        if merged.count() != n_total:
+            raise AssertionError("good + recovered != original corpus")
+        return (
+            merged.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum((F.col("doc_id") % 7 == 0).cast("long")).alias(
+                    "n_recovered"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

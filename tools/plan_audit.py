@@ -78,6 +78,10 @@ SKIP_BUILD = {
     # the grouped count/checksum over the manifest-aware snapshot read
     # (reader-safety certified by the raw-vs-snapshot assertions inside)
     "postings_vacuum_read",
+    # r12: corrupt-dump write + strict read + quarantine replay execute
+    # at build; final plan is the grouped union of good + recovered
+    # (recovery completeness asserted inside, oracle hash on the result)
+    "quarantine_recovery",
     # r12: multiline .tbl write+read-back executes at build; final plan is
     # the eager checkpoint of the grouped note/count/checksum aggregate
     # (multiLine read is the documented whole-file landing path, not the

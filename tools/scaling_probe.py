@@ -77,6 +77,8 @@ HEAVY = {
     "streaming_postings_lifecycle": "embeddings",
     "ivf_postings_probe": "embeddings",
     "postings_vacuum_read": "embeddings",
+    # quarantine_recovery measured 1.58 s flat (alpha -0.00) in round 12
+    # — below the 2.5 s heavy-tier bar, so not tracked here.
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
     "part_reachability_rcte": "lineitem",
