@@ -609,3 +609,48 @@ def test_read_postings_exact_under_any_lifecycle(spark, tmp_path_factory, ops):
             .collect()
         }
         assert got == expected, f"after {op}: {len(got)} vs {len(expected)}"
+
+
+def test_vacuum_crash_mid_delete_finishes_on_next_run(
+    spark, tmp_path, monkeypatch
+):
+    """vacuum_postings' crash contract: a kill mid-delete leaves the
+    manifest in place, so the next vacuum finishes the reclaim — no state
+    where a tombstoned dir becomes unreachable, and snapshot reads stay
+    exact throughout."""
+    from ecommerce_data_pipeline_spark.operators import postings
+
+    rows = [(i, (i // 4) % 4) for i in range(40)]
+    root = str(tmp_path / "p")
+    for b in range(4):
+        postings.write_posting_batch(
+            _posting_df(spark, [r for r in rows if r[0] % 4 == b]), root, b
+        )
+    postings.compact_postings(spark, root, file_threshold=2,
+                              retain_inputs=True)
+    real = postings._delete_dirs
+
+    def crashing_delete(spark_, root_, names):
+        if names:
+            real(spark_, root_, names[:1])
+            raise IOError("simulated vacuum crash")
+        real(spark_, root_, names)
+
+    monkeypatch.setattr(postings, "_delete_dirs", crashing_delete)
+    with pytest.raises(IOError, match="simulated vacuum crash"):
+        postings.vacuum_postings(spark, root, min_age_sec=0)
+    monkeypatch.undo()
+
+    # Partially reclaimed: some tombstones gone, some linger; snapshot
+    # reads are exact either way.
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in postings.read_postings(spark, root)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == sorted(rows)
+    vac = postings.vacuum_postings(spark, root, min_age_sec=0)
+    assert len(vac["removed"]) == 3  # the crashed run removed 1 of 4
+    assert spark.read.parquet(root).count() == len(rows)
+    assert postings.vacuum_postings(spark, root, 0)["removed"] == []
