@@ -53,6 +53,25 @@ micro-batch. Two classic lakehouse problems follow, both solved here:
    older than the longest-running reader — exactly Delta VACUUM's
    retention contract, which IS the real fix where delta-spark exists.
 
+   Reader-vs-vacuum contract (round 13, test-pinned): an in-flight
+   ``read_postings`` scan survives a concurrent vacuum EXACTLY even at
+   zero retention — it selects only non-tombstoned dirs and vacuum
+   deletes only tombstoned dirs, disjoint by construction. Only RAW
+   ``spark.read.parquet(root)`` readers depend on the retention window:
+   one whose file index predates the compaction commit references the
+   input dirs and fails loudly (FileNotFoundException) if vacuum
+   reclaims them mid-scan — so size ``min_age_sec`` to the longest raw
+   reader, Delta VACUUM's own rule.
+
+   **Tombstone inheritance (round 13)**: every new manifest records the
+   TRANSITIVE closure of consumed dirs — when an input is itself a
+   retained compact dir still tombstoning live dirs, those are consumed
+   (and, in delete mode, deleted tombstoned-dirs-first) too. Otherwise a
+   delete-mode compaction after a retained one would remove the
+   tombstoner together with the only manifest naming its tombstones,
+   leaving their rows permanently double-counted with nothing for
+   repair or vacuum to act on.
+
 All filesystem operations go through the Hadoop FileSystem API (via the
 JVM gateway), so the operator works identically on HDFS/S3/local — never
 ``os.listdir``, which only sees the driver's local disk.
@@ -185,20 +204,104 @@ def _delete_dirs(spark: SparkSession, root: str, names: list[str]) -> None:
         fs.delete(Path(f"{root}/{d}"), True)
 
 
+def _manifest_map(
+    spark: SparkSession, root: str, dirs: list[str] | set[str]
+) -> dict[str, dict]:
+    """``name -> manifest`` for every ``batch=compact-`` dir in ``dirs``.
+
+    Reads manifests ONLY for dirs present in the caller's single listing,
+    so the (dirs, manifests) pair is an internally consistent snapshot: a
+    retained compaction committing after the listing is invisible on both
+    sides (its output dir unlisted, its tombstones unread) and the caller
+    simply sees the pre-compaction snapshot — instead of the
+    lost-rows race a second independent listing would open (dirs without
+    the new compact dir, consumed WITH its inputs)."""
+    out: dict[str, dict] = {}
+    for d in dirs:
+        if d.startswith("batch=compact-"):
+            m = _read_manifest(spark, f"{root}/{d}")
+            if m:
+                out[d] = m
+    return out
+
+
+def _expand_consumed(
+    seeds: list[str] | set[str], manifests: dict[str, dict], live: set[str]
+) -> set[str]:
+    """Transitive closure of consumption over live dirs: when a consumed
+    dir is ITSELF a compact dir whose manifest tombstones live inputs,
+    those inputs are consumed too — their rows survive only at the head
+    of the compaction chain. Consuming a tombstoner without inheriting
+    its tombstones would orphan them as permanent duplicates the moment
+    the tombstoner's manifest is deleted."""
+    out: set[str] = set()
+    frontier = [d for d in seeds if d in live]
+    while frontier:
+        d = frontier.pop()
+        if d in out:
+            continue
+        out.add(d)
+        m = manifests.get(d)
+        if m:
+            frontier.extend(
+                n for n in m["inputs"] if n in live and n != d and n not in out
+            )
+    return out
+
+
+def _delete_leaf_first(
+    spark: SparkSession,
+    root: str,
+    names: set[str],
+    manifests: dict[str, dict],
+) -> list[str]:
+    """Delete ``names`` in tombstoned-before-tombstoner order: a compact
+    dir is deleted only after every live dir its manifest tombstones is
+    gone, so a crash at ANY point leaves every surviving duplicate still
+    covered by a surviving manifest (the next repair finishes the job —
+    no orphaned tombstones, even for pre-closure legacy manifests).
+    Returns the deletion order actually used."""
+    jvm, fs, path = _fs(spark, root)
+    live = {st.getPath().getName() for st in fs.listStatus(path)}
+    remaining = set(names)
+    order: list[str] = []
+    while remaining:
+        ready = [
+            d
+            for d in sorted(remaining)
+            if not any(
+                n in live and n != d and n in remaining
+                for n in manifests.get(d, {}).get("inputs", [])
+            )
+        ]
+        if not ready:  # defensive: manifests can't cycle, but never hang
+            ready = sorted(remaining)
+        _delete_dirs(spark, root, ready)
+        live -= set(ready)
+        remaining -= set(ready)
+        order.extend(ready)
+    return order
+
+
 def repair_postings(spark: SparkSession, root: str) -> dict:
     """Self-heal the compactor's crash window (see module docstring).
 
-    Deletes (a) every ``batch=`` dir named in a surviving compacted dir's
-    delete-immediately (``retained=False``) ``_consumed_inputs`` manifest
-    — stale inputs a crash between the rename and the input deletion
-    failed to remove, whose rows are duplicates of the compacted output —
-    and (b) orphaned ``.compact-tmp-*`` dirs from a crash before the
-    rename (never visible to readers; pure garbage). ``retained=True``
-    manifests are deliberate OPTIMIZE/VACUUM-style tombstones, NOT crash
-    leftovers — their inputs are left for ``vacuum_postings`` to reclaim
-    after the retention window. Idempotent; assumes no compactor is
-    running concurrently. Returns
-    ``{removed_stale_inputs, removed_tmp_dirs}``.
+    Deletes (a) every ``batch=`` dir consumed — directly or through the
+    transitive tombstone closure — by a surviving compacted dir's
+    delete-immediately (``retained=False``) ``_consumed_inputs`` manifest:
+    stale inputs a crash between the rename and the input deletion failed
+    to remove, whose rows are duplicates of the compacted output. The
+    closure matters when a consumed input is itself a retained compact
+    dir still tombstoning live dirs (a legacy pre-closure manifest names
+    only the tombstoner): those dirs' rows are in the chain head too, and
+    deletion runs tombstoned-dirs-first so a crash mid-repair never
+    removes a manifest that still covers live duplicates. Also deletes
+    (b) orphaned ``.compact-tmp-*`` dirs from a crash before the rename
+    (never visible to readers; pure garbage). ``retained=True`` manifests
+    are deliberate OPTIMIZE/VACUUM-style tombstones, NOT crash leftovers
+    — their inputs are left for ``vacuum_postings`` to reclaim after the
+    retention window. Idempotent; assumes no compactor is running
+    concurrently. Returns ``{removed_stale_inputs, removed_tmp_dirs}``.
     """
     jvm, fs, path = _fs(spark, root)
     removed_inputs: list[str] = []
@@ -206,16 +309,18 @@ def repair_postings(spark: SparkSession, root: str) -> dict:
     if not fs.exists(path):
         return {"removed_stale_inputs": [], "removed_tmp_dirs": []}
     names = [st.getPath().getName() for st in fs.listStatus(path)]
-    compacted = sorted(n for n in names if n.startswith("batch=compact-"))
     live = set(names)
-    for c in compacted:
-        manifest = _read_manifest(spark, f"{root}/{c}")
-        if not manifest or manifest["retained"]:
-            continue  # pre-manifest dir, or a deliberate retention tombstone
-        stale = [d for d in manifest["inputs"] if d in live and d != c]
-        _delete_dirs(spark, root, stale)
-        removed_inputs.extend(stale)
-        live -= set(stale)
+    manifests = _manifest_map(spark, root, live)
+    for c in sorted(manifests):
+        manifest = manifests[c]
+        if manifest["retained"]:
+            continue  # a deliberate retention tombstone, vacuum's job
+        seeds = [d for d in manifest["inputs"] if d in live and d != c]
+        stale = _expand_consumed(seeds, manifests, live) - {c}
+        removed_inputs.extend(
+            _delete_leaf_first(spark, root, stale, manifests)
+        )
+        live -= stale
     tmps = [n for n in names if n.startswith(".compact-tmp-") and n in live]
     _delete_dirs(spark, root, tmps)
     removed_tmps.extend(tmps)
@@ -225,18 +330,21 @@ def repair_postings(spark: SparkSession, root: str) -> dict:
     }
 
 
-def _consumed_dirs(spark: SparkSession, root: str) -> set[str]:
-    """The union of ``batch=`` dir names consumed by LIVE compacted dirs'
-    manifests — dirs whose rows are duplicated by a published compaction
-    and must be excluded from snapshot reads and from later compactions
-    (whether they linger from a crash or from deliberate retention)."""
+def _consumed_dirs(
+    spark: SparkSession, root: str, dirs: list[str] | set[str]
+) -> set[str]:
+    """The union of ``batch=`` dir names consumed by the manifests of the
+    compacted dirs in ``dirs`` — dirs whose rows are duplicated by a
+    published compaction and must be excluded from snapshot reads and
+    from later compactions (whether they linger from a crash or from
+    deliberate retention). ``dirs`` MUST be the caller's own single
+    listing: deriving both the dir set and the consumed set from one
+    listing keeps the snapshot internally consistent under a racing
+    retained compaction (see ``_manifest_map``)."""
+    manifests = _manifest_map(spark, root, dirs)
     consumed: set[str] = set()
-    for d in _list_batch_dirs(spark, root):
-        if not d.startswith("batch=compact-"):
-            continue
-        manifest = _read_manifest(spark, f"{root}/{d}")
-        if manifest:
-            consumed.update(n for n in manifest["inputs"] if n != d)
+    for d, manifest in manifests.items():
+        consumed.update(n for n in manifest["inputs"] if n != d)
     return consumed
 
 
@@ -316,9 +424,15 @@ def read_postings(spark: SparkSession, root: str) -> DataFrame:
     the longest reader, exactly Delta VACUUM's contract — is the real
     guarantee). Cell-pruned probes should filter on ``cell`` as usual;
     the filter stays a partition-directory prune under this read shape.
+
+    One listing, both sides: the consumed set is derived from manifests of
+    compact dirs IN that same listing (``_consumed_dirs(..., dirs)``), so
+    a retained compaction committing mid-read leaves us the consistent
+    pre-compaction snapshot — never the lost-rows combination of
+    "compact dir unlisted but its inputs excluded".
     """
     dirs = _list_batch_dirs(spark, root)
-    selected = sorted(set(dirs) - _consumed_dirs(spark, root))
+    selected = sorted(set(dirs) - _consumed_dirs(spark, root, dirs))
     if not selected:
         raise ValueError(f"read_postings: no live batch= dirs under {root}")
     return (
@@ -366,8 +480,10 @@ def compact_postings(
     (non-tombstoned) dirs, i.e. what a snapshot reader opens.
     """
     repair = repair_postings(spark, root)
-    consumed = _consumed_dirs(spark, root)
-    inputs = [d for d in _list_batch_dirs(spark, root) if d not in consumed]
+    dirs = _list_batch_dirs(spark, root)
+    manifests = _manifest_map(spark, root, dirs)
+    consumed = _consumed_dirs(spark, root, dirs)
+    inputs = [d for d in dirs if d not in consumed]
     n_before = _count_files(spark, root, inputs)
     stats = {
         "compacted": False,
@@ -398,18 +514,32 @@ def compact_postings(
     # Commit protocol: manifest INTO the tmp dir first, then one rename
     # publishes data + manifest atomically, then delete the inputs. A
     # crash after the rename leaves the manifest in place for
-    # repair_postings to finish the deletes on the next run.
-    _write_manifest(spark, f"{root}/{tmp_name}", inputs, retained=retain_inputs)
+    # repair_postings to finish the deletes on the next run. The manifest
+    # records the TRANSITIVE closure: if an input is a retained compact
+    # dir, the still-live dirs IT tombstones are consumed too — their
+    # rows live on only through this new head, and its manifest must say
+    # so before the tombstoner (and its manifest) can be deleted.
+    consumed_closure = _expand_consumed(inputs, manifests, set(dirs))
+    _write_manifest(
+        spark,
+        f"{root}/{tmp_name}",
+        sorted(consumed_closure),
+        retained=retain_inputs,
+    )
     jvm, fs, path = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.rename(Path(f"{root}/{tmp_name}"), Path(f"{root}/{out_name}")):
         raise IOError(f"compact_postings: rename to {out_name} failed")
     if not retain_inputs:
-        _delete_dirs(spark, root, inputs)
+        # Delete the whole closure, tombstoned-dirs-first: every surviving
+        # duplicate stays covered by a surviving manifest at any crash
+        # point (the new head's manifest names them all).
+        _delete_leaf_first(spark, root, consumed_closure, manifests)
+    dirs_after = _list_batch_dirs(spark, root)
     live_after = [
         d
-        for d in _list_batch_dirs(spark, root)
-        if d not in _consumed_dirs(spark, root)
+        for d in dirs_after
+        if d not in _consumed_dirs(spark, root, dirs_after)
     ]
     stats.update(
         compacted=True,

@@ -364,6 +364,16 @@ def bpe_merge_vocab(
     localCheckpoint on the (tiny) vocab truncates the growing lineage so
     round k never replans rounds 1..k-1.
 
+    POLICY BOUND (SCALE.md §10): each round is one Spark job + one
+    driver round-trip + one localCheckpoint, so wall-clock is linear in
+    ``rounds`` with a per-round floor of job-scheduling overhead — fine
+    at rounds≈10-100, hours of pure scheduling at a production 30k-merge
+    vocab. At that scale, train on a fixed-size SAMPLED corpus (the merge
+    table converges long before the full corpus is needed — vocabulary
+    frequencies are what matter, and a ~1e6-word sample pins them) and/or
+    cap ``rounds``; the application stage (bpe_encode_tokens) is already
+    the scale-safe pure projection and handles the full corpus.
+
     Segmentations are delimited strings (",c1,,c2,," form — words are
     [a-z]+ so ',' can never occur in a symbol) and a merge applies as one
     literal ``replace(seg, ",a,,b,", ",ab,")``: both Spark and DuckDB

@@ -48,92 +48,81 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 12 (policy applied): (1) queries new or plan/contract-changed this
-# round — streaming_postings_lifecycle (NEW: stream → compact mid-stream →
-# resume → probe, certifying the reader contract across the full
-# lifecycle, r11 ask #4), orders_tbl_multiline_roundtrip (NEW: the quoted
-# multi-line leg of the .tbl contract, r11 ask #5),
-# ann_postings_compaction (compactor gained the consumed-inputs manifest
-# + repair pre-pass closing the crash window — r11 ask #1/ADVICE), and
-# corpus_jsonl_roundtrip + orders_tbl_roundtrip (both interchange readers
-# rebuilt on a projection-independent full-struct reparse — r11 ADVICE
-# high); (2) the 17 r07-tail queries that rolled past round 11's window
-# (r11 ask #2); (3) the r08 cohort (46 queries, oldest remaining per
-# tools/cert_age.py) in cert_age order — the first 27 fit; the final 19
-# (inventory_counters, ivf_pq_topk, kmeans_ivf_topk, knn_label_accuracy_ivf,
-# language_temperature_sample, local_supplier_revenue,
-# markup_extract_text, media_embedding_topk, min_cost_part_supplier,
-# mmr_diverse_topk, multitouch_attribution, order_payments_enriched,
-# part_profit_by_nation_year, pq_recall_report,
-# returnflag_priority_lateness, tokenizer_fertility_by_lang,
-# video_scene_cuts, vocab_growth_curve, zipf_slope) roll to round 13
-# if the driver window stays at 50.
-#
-# ROUND 13 PLAN: front-load (a) any r12 red, (b) the 21 rolled r08-tail
-# items — the 19 listed above plus important_parts_by_nation and
-# events_value_quantiles_approx (rolled when postings_vacuum_read and
-# quarantine_recovery took their slots; ALL 21 locally oracle-verified
-# at sf0.01 in round 12 — rotation logistics, not a coverage gap),
-# (c) the r09 cohort (`python tools/cert_age.py`).
+# ROUND 13 (policy applied): (1) the four postings-backed queries whose
+# operator CONTRACT changed this round — compact_postings now writes the
+# transitive tombstone closure into every manifest and delete mode
+# removes the whole closure leaf-first (ADVICE r12 high: delete-after-
+# retained used to orphan tombstones as permanent duplicates), and
+# read_postings derives dirs + consumed from ONE listing (ADVICE r12
+# medium: the double-listing race could silently drop rows) — so their
+# certifications must be refreshed against the new code; (2) the 21
+# rolled r08-tail queries (r12 ask #2 remainder; all 21 locally
+# oracle-verified at sf0.01 in round 12 and 9 of them judge-verified);
+# (3) the r09 cohort (50 queries, tools/cert_age.py) in cert_age order —
+# the first 25 fit the 50-slot window; the remaining 25
+# (purchase_and_error_users .. winsorized_event_stats) roll to round 14.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (1) new this round / plan or contract changed this round
-    "quarantine_recovery",
+    # (1) new this round / operator contract changed this round
+    # (postings tombstone-closure fix): postings_delete_after_retain is
+    # the NEW certified leg of the ADVICE r12 high fix — delete-mode
+    # compaction after a retained one must inherit tombstones.
+    "postings_delete_after_retain",
     "postings_vacuum_read",
     "streaming_postings_lifecycle",
-    "orders_tbl_multiline_roundtrip",
-    "ivf_postings_probe",
     "ann_postings_compaction",
-    "corpus_jsonl_roundtrip",
-    "orders_tbl_roundtrip",
-    # (2) the 17 r07-tail queries (oldest cohort; rolled past r11's window)
-    "redact_pii",
-    "repetition_stats",
-    "revenue_by_nation",
-    "shard_assign",
-    "silver_orders_clean",
-    "silver_payments_clean",
-    "simhash_pairs",
-    "sql_recent_purchase_minutes",
-    "stratified_sample",
-    "streaming_fct_sales_minute",
-    "streaming_media_decode",
-    "text_minhash_topk_join",
-    "token_stats",
-    "user_current_state",
-    "user_decayed_value",
-    "value_drift_psi",
-    "video_frame_topk",
-    # (3) the r08 cohort in cert_age order (first 27 of 46)
-    "above_avg_orders",
-    "approx_distinct_users",
-    "approx_users_sketch_rollup",
-    "asof_tolerance_attribution",
-    "bitext_margin_pairs",
-    "bm25_search",
-    "boilerplate_segment_report",
-    "char_entropy_quality",
-    "clean_purchase_days",
-    "corpus_stats_by_source",
-    "curriculum_interleave",
-    "customer_spend_quartiles",
-    "customers_without_orders",
-    "dedup_canonical_docs",
-    "dedup_clusters",
-    "dedup_incremental_assign",
-    "doc_length_histogram",
-    "dominant_promo_part_shippers",
-    "duplicate_ngram_spans",
-    "edit_distance_near_dup",
-    "events_hourly_window",
-    "events_incremental_2h",
-    "events_last_hour",
-    "events_minute_fact",
-    "events_resampled_locf",
-    # (4) remaining r08+-certified cohorts follow in registration order.
-    # (important_parts_by_nation and events_value_quantiles_approx rolled
-    # to round 13 when postings_vacuum_read and quarantine_recovery took
-    # their slots; both locally oracle-verified at sf0.01 this round.)
+    "ivf_postings_probe",
+    # (2) the 21 rolled r08-tail queries (oldest cohort)
+    "events_value_quantiles_approx",
+    "important_parts_by_nation",
+    "inventory_counters",
+    "ivf_pq_topk",
+    "kmeans_ivf_topk",
+    "knn_label_accuracy_ivf",
+    "language_temperature_sample",
+    "local_supplier_revenue",
+    "markup_extract_text",
+    "media_embedding_topk",
+    "min_cost_part_supplier",
+    "mmr_diverse_topk",
+    "multitouch_attribution",
+    "order_payments_enriched",
+    "part_profit_by_nation_year",
+    "pq_recall_report",
+    "returnflag_priority_lateness",
+    "tokenizer_fertility_by_lang",
+    "video_scene_cuts",
+    "vocab_growth_curve",
+    "zipf_slope",
+    # (3) the r09 cohort in cert_age order (first 25 of 50)
+    "cdc_chunk_dedup",
+    "contrastive_pairs",
+    "conversion_lag",
+    "copurchase_lift",
+    "corpus_profile_sets",
+    "corpus_snapshot_diff",
+    "curated_training_set",
+    "customer_rfm_segments",
+    "embedding_drift_by_label",
+    "event_path_trigrams",
+    "event_transition_gaps",
+    "events_quarantine",
+    "incremental_view_refresh",
+    "ivf_pq_rerank_topk",
+    "media_resize_plan",
+    "minute_anomalies",
+    "nation_trade_flows",
+    "ndcg_label_retrieval",
+    "order_count_distribution",
+    "order_items_revenue",
+    "orders_status_pivot",
+    "paid_orders_recent",
+    "part_pagerank",
+    "parts_with_shipments",
+    # (payment_reconciliation rolls to round 14: the new
+    # postings_delete_after_retain certification took its slot)
+    # (4) remaining cohorts follow in registration order; queries
+    # certified in round 12 go last via their registration position.
 ]
 
 

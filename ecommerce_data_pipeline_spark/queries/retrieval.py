@@ -1217,6 +1217,92 @@ def q_postings_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register("postings_delete_after_retain", oracle=_POSTINGS_VACUUM_READ_ORACLE)
+def q_postings_delete_after_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone inheritance across compaction modes (ADVICE r12 high,
+    fixed round 13): a delete-mode compaction that consumes a RETAINED
+    compact dir whose tombstoned inputs are still on disk must inherit
+    those tombstones — write the transitive closure into its manifest and
+    delete the whole closure leaf-first. Pre-fix, this exact sequence
+    deleted the tombstoner together with the only manifest naming its
+    tombstones, permanently double-counting every row (8 in, 16 out) with
+    repair and vacuum both powerless.
+
+    The query replays the production sequence on real data: four
+    micro-batch posting writes → retained compaction (OPTIMIZE-style,
+    inputs tombstoned but live) → two MORE micro-batches land during the
+    retention window → delete-mode compaction over the whole root. It
+    asserts the retention window was real (raw read double-counts wave 1
+    while the snapshot read is exact), then that the delete-mode commit
+    collapsed the layout to a SINGLE batch dir whose raw AND snapshot
+    reads both equal the full corpus — no orphaned duplicate anywhere —
+    and returns per-cell counts/checksums of the final layout for the
+    oracle hash.
+
+    Scale: this is the mode transition a real lakehouse performs daily
+    (retention-window OPTIMIZE while probes scan, then a maintenance
+    window delete-mode rewrite); the closure manifest is O(compact-chain
+    length) driver-side metadata, never data."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        _list_batch_dirs,
+        compact_postings,
+        read_postings,
+        write_posting_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", F.expr("CAST((vec_id DIV 4) % 8 AS INT)").alias("cell")
+    )
+    n_total = assigned.count()
+    n_wave1 = assigned.filter(F.col("vec_id") % 6 < 4).count()
+    root = tempfile.mkdtemp(prefix="postings_del_ret_")
+    try:
+        out = f"{root}/postings"
+        for i in range(4):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 6 == i), out, i
+            )
+        s1 = compact_postings(
+            spark, out, file_threshold=4, retain_inputs=True
+        )
+        if not s1["compacted"]:
+            raise AssertionError(f"retained compaction skipped: {s1}")
+        # Retention window live: wave 1 double-counted raw, snapshot exact.
+        if spark.read.parquet(out).count() != n_wave1 + n_wave1:
+            raise AssertionError("tombstone window missing before wave 2")
+        for i in (4, 5):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 6 == i), out, i
+            )
+        if read_postings(spark, out).count() != n_total:
+            raise AssertionError("snapshot read inexact during retention")
+        s2 = compact_postings(spark, out, file_threshold=0, min_input_dirs=1)
+        if not s2["compacted"]:
+            raise AssertionError(f"delete-mode compaction skipped: {s2}")
+        live = _list_batch_dirs(spark, out)
+        if live != [s2["output_dir"]]:
+            raise AssertionError(
+                f"closure not fully reclaimed: {live} vs {s2['output_dir']}"
+            )
+        if spark.read.parquet(out).count() != n_total:
+            raise AssertionError("raw read inexact after delete-mode commit")
+        back = read_postings(spark, out)
+        return (
+            back.groupBy(F.col("cell").cast("int").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(F.col("vec_id") % 1000000).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _streaming_postings_lifecycle_oracle_sql(
     k: int = 8, iters: int = 3, dim: int = 64
 ) -> str:

@@ -602,13 +602,18 @@ def test_read_postings_exact_under_any_lifecycle(spark, tmp_path_factory, ops):
             postings.vacuum_postings(spark, root, min_age_sec=1e9)
         elif op == "repair":
             postings.repair_postings(spark, root)
-        got = {
+        # Multiset, not set: a set compare is blind to duplicated rows —
+        # exactly the failure mode of a tombstoner deleted while its
+        # tombstoned inputs survive (the r12 delete-after-retain bug).
+        got = sorted(
             (r["vec_id"], int(r["cell"]))
             for r in postings.read_postings(spark, root)
             .select("vec_id", "cell")
             .collect()
-        }
-        assert got == expected, f"after {op}: {len(got)} vs {len(expected)}"
+        )
+        assert got == sorted(expected), (
+            f"after {op}: {len(got)} vs {len(expected)}"
+        )
 
 
 def test_vacuum_crash_mid_delete_finishes_on_next_run(
