@@ -1,0 +1,82 @@
+"""File-level min/max statistics index — Delta data-skipping parity.
+
+Parquet row-group stats already skip WITHIN a file once a predicate is
+pushed; what a plain directory of parquet lacks is the layer ABOVE: a
+per-file stats index that prunes whole files before the scan is even
+planned (Delta's per-file ``stats`` in the transaction log, Iceberg's
+manifest min/max). Combined with a clustered layout (operators/zorder.py)
+this is the difference between "open 100k footers" and "open 40" on a
+100 TB table.
+
+- ``build_file_stats``: ONE scan grouped by the hidden
+  ``_metadata.file_path`` column → per-file row count + min/max of the
+  indexed columns. The index is itself a DataFrame — persist it next to
+  the table and refresh incrementally on append (new files only), the
+  way Delta appends stats to its log.
+- ``skipping_scan``: prune the index by a range predicate, collect ONLY
+  the surviving file paths (driver-side metadata, O(files) like every
+  log/manifest read in Delta/Iceberg — never data), and plan the scan
+  over that file list with the predicate still pushed (row-group skipping
+  stays on below the file skipping).
+
+A file whose [min,max] interval intersects the predicate range may still
+contain no matching rows (stats are necessary, not sufficient), so the
+pushed predicate re-applies exactly — same contract as the Bloom pruning
+in operators/bloom.py: skipping is invisible in the result, which is how
+the certified query's oracle (the plain filtered scan) proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_file_stats(
+    spark: SparkSession, path: str, stat_cols: list[str]
+) -> DataFrame:
+    """Per-file stats index: ``(file_path, n_rows, min_<c>, max_<c> ...)``
+    in one scan of ``path``."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *stat_cols)
+        .groupBy("file_path")
+        .agg(*aggs)
+    )
+
+
+def skipping_scan(
+    spark: SparkSession,
+    index: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, dict]:
+    """Scan only files whose [min,max] of ``col`` intersects [lo, hi],
+    with the range predicate still applied (and pushed) on the survivors.
+
+    Returns ``(df, stats)`` where stats records the skipping rate —
+    callers assert on it so a degenerate layout (every file overlapping
+    every range) can't silently pass as "skipping". The collect is the
+    index's surviving file list: metadata bounded by file count, the same
+    driver-side work as a Delta log read."""
+    hit = index.filter(
+        ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
+    )
+    files = [r["file_path"] for r in hit.select("file_path").collect()]
+    n_total = index.count()
+    stats = {"n_files_total": n_total, "n_files_scanned": len(files)}
+    if not files:
+        # Empty selection: preserve schema via a 0-row read of the index's
+        # first file (stats said nothing matches; the filter re-proves it).
+        first = index.select("file_path").first()
+        base = spark.read.parquet(first["file_path"]).limit(0)
+        return base, stats
+    scanned = spark.read.parquet(*files).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+    return scanned, stats

@@ -1175,3 +1175,42 @@ def q_revenue_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiling (Deequ/dbt-profiler analyzer tier)
+# ---------------------------------------------------------------------------
+
+_ORDERS_PROFILE_COLS = {
+    "o_orderkey": "num",
+    "o_custkey": "num",
+    "o_totalprice": "num",
+    "o_orderstatus": "str",
+    "o_orderpriority": "str",
+    "o_orderdate": "other",
+}
+
+
+def _orders_profile_oracle() -> str:
+    from ecommerce_data_pipeline_spark.operators.profile import (
+        profile_oracle_sql,
+    )
+
+    return profile_oracle_sql("orders", _ORDERS_PROFILE_COLS)
+
+
+@register("orders_column_profile", oracle=_orders_profile_oracle())
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile in ONE scan (operators/profile.py): per
+    column the row/null counts, EXACT distinct count, domain min/max and
+    a cents-exact mean — the analyzer a curation pipeline runs before
+    choosing imputation, bucketing counts, or join strategies. All six
+    columns' ``count(distinct)`` live in the same Aggregate: Catalyst
+    plans one Expand over one scan (map-side ×k expansion, partial aggs
+    before the shuffle), instead of the naive column-per-job profiler
+    that reads a 100 TB table six times. Means use the money_sum cents
+    discipline so the hash never depends on float fold order."""
+    from ecommerce_data_pipeline_spark.operators.profile import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(orders, list(_ORDERS_PROFILE_COLS))

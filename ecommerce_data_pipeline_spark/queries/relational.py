@@ -2423,3 +2423,130 @@ def q_lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join pruning: explicit distributed Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_pruned_order_revenue",
+    # Oracle is the PLAIN join: Bloom pruning has false positives (removed
+    # by the exact join) and no false negatives, so it must be invisible
+    # in the result — identical discipline to salted_user_enrich.
+    oracle="""
+SELECT l.l_returnflag AS returnflag,
+       count(*) AS n_items,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS urgent_revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def q_bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag with the fact side Bloom-pruned
+    BEFORE the join (operators/bloom.py): the filtered dimension (urgent
+    orders, ~20% of orders) builds a 2^20-bit filter fully distributed
+    (explode → bit_or per word, zero driver collect), the 1-row word map
+    broadcasts, and lineitem rows whose order key cannot match are dropped
+    at the scan — pure JVM bit expressions inside codegen. This is the
+    explicit form of Spark's runtime bloom filter / Trino dynamic
+    filtering: at 100 TB the probe-side shuffle shrinks to
+    selectivity·(1+fpp) of the fact table, the dominant cost of every
+    fact×filtered-dim join. A guard asserts pruning actually bit (pruned
+    count strictly below the probe count) so the plan can't silently
+    degrade to the unpruned join."""
+    from ecommerce_data_pipeline_spark.operators import bloom as B
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    probe = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    bloom_df = B.build_bloom(urgent, "l_orderkey")
+    pruned = B.bloom_prune(probe, "l_orderkey", bloom_df)
+    n_probe, n_pruned = probe.count(), pruned.count()
+    if not n_pruned < n_probe:
+        raise AssertionError(
+            f"bloom pruning had no effect: probe={n_probe} pruned={n_pruned}"
+        )
+    joined = pruned.join(urgent, "l_orderkey")
+    return joined.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_extendedprice").alias("urgent_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping: stats index over a clustered layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "file_skipping_scan",
+    # Oracle is the plain filtered scan of the ORIGINAL table: stats are
+    # necessary-not-sufficient, the pushed predicate re-applies exactly,
+    # so skipping must be invisible in the result.
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS band_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+GROUP BY 1
+""",
+)
+def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-data-skipping parity without a log (operators/fileindex.py):
+    orders are laid out Z-ordered on (o_totalprice, o_custkey), a per-file
+    min/max stats index is built in ONE scan of the hidden
+    ``_metadata.file_path`` column, and a range query on o_totalprice
+    plans its scan over ONLY the files whose stats intersect the band —
+    whole files pruned before parquet even opens their footers, with the
+    predicate still pushed on the survivors for row-group skipping below.
+    An in-query guard asserts the pruning actually bit (files scanned
+    strictly below files total), so a degenerate layout can't pass as
+    skipping; the oracle (plain filtered scan of the ORIGINAL parquet)
+    proves the pruned plan returns row-for-row the full-scan answer.
+
+    Scale: the index is O(files) metadata — the same thing Delta keeps in
+    its log and Iceberg in manifests; at 100 TB the driver prunes the
+    index (a filter on a KB..MB-scale table), never lists data."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        skipping_scan,
+    )
+    from ecommerce_data_pipeline_spark.operators.zorder import zorder
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="fileskip_")
+    try:
+        path = f"{root}/orders"
+        zorder(
+            orders, ["o_totalprice", "o_custkey"], bits=5, n_files=16
+        ).write.mode("overwrite").parquet(path)
+        index = build_file_stats(spark, path, ["o_totalprice"]).localCheckpoint(
+            eager=True
+        )
+        scanned, stats = skipping_scan(
+            spark, index, "o_totalprice", 100000.0, 150000.0
+        )
+        if not stats["n_files_scanned"] < stats["n_files_total"]:
+            raise AssertionError(f"file skipping had no effect: {stats}")
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("band_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

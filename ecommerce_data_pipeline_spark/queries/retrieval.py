@@ -2870,3 +2870,68 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = prof.filter(F.col("user_id") % 50 == 0)
     return sim.cosine_topk(prof, probes, k=3, id_col="user_id", vec_col="profile")
+
+
+@register("postings_inflight_reader", oracle=_POSTINGS_VACUUM_READ_ORACLE)
+def q_postings_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reader-vs-vacuum concurrency contract as a certified query
+    (VERDICT r12 ask #4's query leg; test twin at
+    tests/test_round13_new.py::test_inflight_read_postings_survives_vacuum):
+    a ``read_postings`` snapshot scan whose file index is resolved BEFORE
+    ``vacuum_postings(min_age_sec=0)`` runs completes EXACTLY after it.
+    The contract holds by construction — the snapshot selects only
+    non-tombstoned dirs and vacuum deletes only tombstoned dirs, disjoint
+    sets — and the oracle hash certifies the completed scan row-for-row.
+
+    Sequence: 4 micro-batch posting writes → retained compaction
+    (tombstones live) → snapshot reader materializes its plan + file
+    index → zero-retention vacuum reclaims all 4 inputs under the reader
+    → the reader's scan completes and is hashed. At 100 TB this is the
+    invariant that lets maintenance vacuum run while a probe fleet scans:
+    snapshot readers never reference reclaimable files, so retention only
+    has to outlive RAW readers (the contrapositive is pinned by
+    test_inflight_raw_reader_is_why_retention_exists)."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.postings import (
+        compact_postings,
+        read_postings,
+        vacuum_postings,
+        write_posting_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", F.expr("CAST((vec_id DIV 4) % 8 AS INT)").alias("cell")
+    )
+    root = tempfile.mkdtemp(prefix="postings_inflight_")
+    try:
+        out = f"{root}/postings"
+        for i in range(4):
+            write_posting_batch(
+                assigned.filter(F.col("vec_id") % 4 == i), out, i
+            )
+        stats = compact_postings(
+            spark, out, file_threshold=4, retain_inputs=True
+        )
+        if not stats["compacted"]:
+            raise AssertionError(f"compaction did not run: {stats}")
+        # Snapshot reader: force analysis + file-index resolution NOW,
+        # before the vacuum — this is the in-flight scan.
+        snap = read_postings(spark, out)
+        snap.explain()
+        vac = vacuum_postings(spark, out, min_age_sec=0)
+        if len(vac["removed"]) != 4:
+            raise AssertionError(f"vacuum did not reclaim inputs: {vac}")
+        # Complete the in-flight scan AFTER the vacuum; hash it.
+        return (
+            snap.groupBy(F.col("cell").cast("int").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(F.col("vec_id") % 1000000).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

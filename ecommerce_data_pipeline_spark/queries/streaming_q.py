@@ -1064,3 +1064,93 @@ def _register_streaming_trending_topk_merge() -> None:
 
 
 _register_streaming_trending_topk_merge()
+
+
+# ---------------------------------------------------------------------------
+# State Data Source reader: inspect a checkpoint's state store (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_state_inspect",
+    # The state store of a streaming dropDuplicates IS the distinct-key
+    # set, so the oracle recomputes it directly from the batch table.
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS state_keys,
+       CAST(sum(DISTINCT event_id) % 1000000007 AS BIGINT) AS key_checksum
+FROM events
+WHERE user_id % 7 = 0
+GROUP BY 1
+""",
+)
+def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state-store introspection via Spark 4's State Data
+    Source: run a checkpointed streaming ``dropDuplicates`` over a file
+    stream (multiple availableNow micro-batches), then read the
+    checkpoint's state back with ``spark.read.format("statestore")`` and
+    prove the state keys are EXACTLY the distinct (event_type, event_id)
+    pairs of the batch input — per-type counts and an id checksum hash-
+    matched against the oracle.
+
+    This is the debugging/repair surface a 100 TB streaming deployment
+    needs: state bloat diagnosis ("which keys live in the dedup store?"),
+    watermark-eviction audits, and offline state repair all start from
+    reading the store as a DataFrame instead of attaching a debugger to
+    the stream. The read is partition-parallel (one task per state-store
+    partition) and never replays the stream. (Reference parity: the
+    reference's checkpointed streaming jobs — e.g.
+    analytics/spark/jobs/bronze_orders_raw.py — expose no comparable
+    state introspection; this is a Spark-4-native extension.)"""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    slice_df = ev.select("event_id", "event_type")
+    root = tempfile.mkdtemp(prefix="stream_state_")
+    # Stateful ops pin their state-partition count at stream start; 8 is
+    # right-sized for the fixture key space (same tuning note as
+    # streaming_replay_dedup) and makes the state read 8 tasks.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        slice_df.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        deduped = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .dropDuplicates(["event_type", "event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ck)
+        result = (
+            state.groupBy(F.col("key.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("state_keys"),
+                (F.sum("key.event_id") % F.lit(1000000007))
+                .cast("long")
+                .alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Cross-check: the state key-set must equal the sink's row set —
+        # dropDuplicates emits exactly one row per state key.
+        n_state = result.agg(F.sum("state_keys")).collect()[0][0]
+        n_sink = spark.read.parquet(out).count()
+        if n_state != n_sink:
+            raise AssertionError(
+                f"state/sink divergence: state_keys={n_state} sink={n_sink}"
+            )
+        return result
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

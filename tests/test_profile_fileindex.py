@@ -1,0 +1,93 @@
+"""Round-13 additions, part 3: single-pass column profiling
+(operators/profile.py) and the file-level stats-skipping index
+(operators/fileindex.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.fileindex import (
+    build_file_stats,
+    skipping_scan,
+)
+from ecommerce_data_pipeline_spark.operators.profile import column_profile
+
+
+def test_column_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (2, 30.0, None), (3, 20.5, "b")],
+        "k int, v double, s string",
+    )
+    prof = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert set(prof) == {"k", "v", "s"}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["ndv"] == 3
+    assert prof["k"]["min_num"] == 1.0 and prof["k"]["max_num"] == 3.0
+    assert prof["k"]["avg_num"] == 2.0
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["ndv"] == 3
+    # cents-exact mean over non-null values: (10 + 30 + 20.5) / 3
+    assert prof["v"]["avg_num"] == round(60.5 / 3, 6)
+    assert prof["v"]["min_str"] is None
+    assert prof["s"]["ndv"] == 2 and prof["s"]["n_nulls"] == 1
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None and prof["s"]["avg_num"] is None
+
+
+def test_column_profile_one_scan(spark):
+    """The whole profile is ONE job over one Aggregate: the physical plan
+    contains exactly one scan of the source (Catalyst's multi-distinct
+    rewrite uses Expand, not re-reads)."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+    )
+    prof = column_profile(df)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 1000") == 1
+    assert "Expand" in plan  # the multi-count-distinct single-pass shape
+    with pytest.raises(ValueError, match="not in frame"):
+        column_profile(df, ["a", "missing"])
+
+
+def test_file_stats_index_and_skipping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 4 files with disjoint k ranges: [0,25), [25,50), ...
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(path)
+
+    index = build_file_stats(spark, path, ["k"])
+    rows = index.collect()
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == 100
+    # Every file's stats are tight: max-min spans 1/4 of the domain.
+    assert all(r["max_k"] - r["min_k"] < 30 for r in rows)
+
+    scanned, stats = skipping_scan(spark, index, "k", 30, 40)
+    assert stats["n_files_total"] == 4 and stats["n_files_scanned"] == 1
+    got = sorted(r["k"] for r in scanned.collect())
+    assert got == list(range(30, 41))
+
+    # Band straddling two files.
+    scanned2, stats2 = skipping_scan(spark, index, "k", 20, 30)
+    assert stats2["n_files_scanned"] == 2
+    assert sorted(r["k"] for r in scanned2.collect()) == list(range(20, 31))
+
+    # Band outside the domain: zero files, schema preserved, zero rows.
+    empty, stats3 = skipping_scan(spark, index, "k", 1000, 2000)
+    assert stats3["n_files_scanned"] == 0
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_skipping_scan_keeps_pushdown(spark, tmp_path):
+    """Below the file pruning, the range predicate still reaches the
+    parquet scan of the surviving files (row-group skipping stays on)."""
+    path = str(tmp_path / "t2")
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        path
+    )
+    index = build_file_stats(spark, path, ["k"])
+    scanned, _ = skipping_scan(spark, index, "k", 10, 20)
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(k,10" in plan and "LessThanOrEqual(k,20" in plan

@@ -176,6 +176,13 @@ AUDITED = [
     "part_reachability_rcte",
     "linear_quality_classifier",
     "user_activity_similarity",
+    # round-13 additions (bloom-pruned join: the probe side must show the
+    # bit-test filter BELOW the join — a BroadcastNestedLoopJoin of the
+    # 1-row word map followed by the filtered scan feeding the equi-join;
+    # profiler: ONE scan + Expand for all count-distincts, never one job
+    # per column)
+    "bloom_pruned_order_revenue",
+    "orders_column_profile",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -208,6 +208,10 @@ CARTESIAN_OK = {
     # exact-top-k class as cosine_topk; probe side doc_id%10)
     "bitext_margin_pairs",
     "ccnet_quality_buckets",
+    # r13: the Bloom word-map is ONE row (map<int,bigint> bounded by
+    # n_bits/64 entries) broadcast-nested-loop joined onto the probe —
+    # bytes per executor, the runtime-filter shape; never data x data
+    "bloom_pruned_order_revenue",
     "token_budget_mixture",
     "forecast_revenue_change",
     "nation_market_share",
