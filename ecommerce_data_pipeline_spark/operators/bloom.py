@@ -7,20 +7,29 @@ Engines answer with runtime filters (Spark's
 ``spark.sql.optimizer.runtime.bloomFilter.enabled``, Trino dynamic
 filtering); this module is the same idea as an explicit, plan-visible
 operator, built from pure JVM expressions so it composes with whole-stage
-codegen and never leaves the executors:
+codegen and never leaves the executors in the hot path:
 
 1. **Build** (``build_bloom``): distinct build-side keys → ``n_hashes``
    bit positions each (``xxhash64(key, seed)`` per seed — independent
    hashes from the seed column participating in the hash) → per-64-bit-word
-   ``bit_or`` aggregate → ONE row holding the filter as a sparse
-   ``map<int, bigint>``. The filter size is bounded by ``n_bits`` (default
-   1 MiB of words), never by the data; nothing is collected to the driver.
-2. **Prune** (``bloom_prune``): broadcast the 1-row filter to every
-   executor (a broadcast nested-loop join of a single row — bytes, not
-   data) and keep only probe rows whose ``n_hashes`` bits are ALL set.
-   False positives pass (removed by the exact join that follows); false
-   negatives are impossible, so the pruned join is row-for-row identical
-   to the unpruned join — which is exactly how it is certified
+   ``bit_or`` aggregate → ONE row holding the filter as a dense
+   ``array<bigint>``. Fully distributed; the reduction is bounded by
+   ``n_bits``, never by the data.
+2. **Prune** (``bloom_prune``): densify the filter into ONE row holding
+   a flat ``array<bigint>`` of ``n_bits/64`` words (a filter-sized range
+   join — still fully distributed, zero driver collect) and broadcast
+   that row onto the probe; rows whose ``n_hashes`` bits are not ALL set
+   are dropped BEFORE any exchange. The probe is O(1) per hash —
+   ``element_at`` on an indexed array — inside whole-stage codegen.
+   (Two slower variants were measured and rejected in round 13: a
+   broadcast MAP value — ``element_at`` on a map is a LINEAR scan of
+   16 Ki entries per row, 13 s on the bench query — and a driver-side
+   dense LITERAL — PySpark expands a 16 Ki-element ``lit`` into a 16 Ki-
+   node expression tree that Catalyst re-walks per analysis, 50 s.)
+   False positives pass
+   (removed by the exact join that follows); false negatives are
+   impossible, so the pruned join is row-for-row identical to the
+   unpruned join — which is exactly how it is certified
    (`bloom_pruned_order_revenue`'s oracle is the PLAIN join).
 3. **Join** (``bloom_pruned_join``): prune, then the exact equi-join.
 
@@ -59,13 +68,17 @@ def build_bloom(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
-    """1-row DataFrame ``(bloom: map<int,bigint>)`` — the Bloom filter of
-    ``df[key]``'s distinct values as sparse 64-bit words.
+    """1-row DataFrame ``(bloom: array<bigint>)`` — the Bloom filter of
+    ``df[key]``'s distinct values as a DENSE n_bits/64-word array.
 
     Fully distributed: distinct → explode seeds → word/bit split →
-    ``bit_or`` per word. The final single-row ``map_from_entries`` is
-    bounded by n_bits/64 entries (16 Ki words at the default), a filter-
-    sized — not data-sized — reduction.
+    ``bit_or`` per word → gap-fill against ``range(n_words)`` (a
+    broadcast join of two filter-sized frames) → one ordered
+    ``collect_list`` into the single array row. Every stage is bounded
+    by n_bits/64 (16 Ki words at the default) — a filter-sized, never
+    data-sized, reduction, and the dense ARRAY makes the probe-side
+    ``element_at`` an O(1) indexed access. Null keys set no bits (a null
+    never equi-joins).
     """
     pos = _bit_positions(F.col("__k"), F.col("__seed"), n_bits)
     words = (
@@ -90,26 +103,31 @@ def build_bloom(
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__word"))
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__w"), F.col("__word")))
+    n_words = (n_bits + 63) // 64
+    slots = df.sparkSession.range(n_words).select(F.col("id").cast("int"))
+    dense = slots.join(F.broadcast(words), slots["id"] == words["__w"], "left")
+    return dense.select(
+        F.struct(
+            F.col("id").alias("i"),
+            F.coalesce(F.col("__word"), F.lit(0).cast("long")).alias("w"),
+        ).alias("__e")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("__e")), lambda e: e["w"]
         ).alias("bloom")
     )
 
 
 def might_contain(
-    key: Column, bloom: Column, n_bits: int, n_hashes: int
+    key: Column, words: Column, n_bits: int, n_hashes: int
 ) -> Column:
-    """True iff all ``n_hashes`` bits for ``key`` are set in ``bloom``
-    (a ``map<int,bigint>`` word map). Pure JVM expression — stays inside
-    whole-stage codegen."""
+    """True iff all ``n_hashes`` bits for ``key`` are set in ``words``
+    (a dense ``array<bigint>`` word column, 1-indexed lookups). Pure
+    JVM, O(1) per hash — stays inside whole-stage codegen."""
 
     def one(seed: int) -> Column:
         pos = _bit_positions(key, seed, n_bits)
-        word = F.coalesce(
-            F.element_at(bloom, (pos / F.lit(64)).cast("int")),
-            F.lit(0).cast("long"),
-        )
+        word = F.element_at(words, (pos / F.lit(64)).cast("int") + F.lit(1))
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
@@ -127,10 +145,11 @@ def bloom_prune(
 ) -> DataFrame:
     """Filter ``probe`` down to rows whose ``key`` might be in the filter.
 
-    The 1-row filter rides a broadcast nested-loop join (bytes per
-    executor); the probe scan then filters BEFORE any exchange, which is
-    the entire point — pruned rows never reach the shuffle. No false
-    negatives: every actual match survives.
+    The 1-row dense-array filter rides a broadcast nested-loop join
+    (filter bytes per executor, zero driver collect); the probe then
+    filters BEFORE any exchange, which is the entire point — pruned rows
+    never reach the shuffle. No false negatives: every actual match
+    survives.
     """
     tagged = probe.crossJoin(F.broadcast(bloom_df))
     kept = tagged.where(

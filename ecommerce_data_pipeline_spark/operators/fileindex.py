@@ -49,6 +49,51 @@ def build_file_stats(
     )
 
 
+def update_file_stats(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Incremental index refresh on append: scan ONLY files not yet in
+    ``index`` (an anti-join of the listing against the index's
+    ``file_path`` column — the listing is driver metadata, the stats scan
+    touches new files' data only) and union their stats in. This is how
+    the index stays O(new files) per refresh instead of re-profiling
+    100 TB on every append — the exact shape of Delta appending per-file
+    stats to its log at commit time.
+
+    Immutable-file assumption (same as Delta/Iceberg): a file's stats
+    never change once written; rewrites produce NEW paths (our layout
+    jobs — zorder, compaction — always do), so anti-join by path is
+    sufficient and a vanished file simply stops matching at scan time.
+    """
+    listing = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    fresh_paths = [
+        r["file_path"]
+        for r in listing.join(
+            index.select("file_path"), "file_path", "left_anti"
+        ).collect()
+    ]
+    if not fresh_paths:
+        return index
+    fresh = spark.read.parquet(*fresh_paths)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    fresh_stats = (
+        fresh.select(F.col("_metadata.file_path").alias("file_path"), *stat_cols)
+        .groupBy("file_path")
+        .agg(*aggs)
+    )
+    return index.unionByName(fresh_stats)
+
+
 def skipping_scan(
     spark: SparkSession,
     index: DataFrame,

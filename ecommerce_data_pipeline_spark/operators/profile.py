@@ -34,11 +34,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
 
-def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_ndv: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """One row per column: ``(col_name, n_rows, n_nulls, ndv, min_num,
     max_num, avg_num, min_str, max_str)`` — numeric stats null for string
     columns and vice versa. One scan, one Aggregate, regardless of how
-    many columns are profiled."""
+    many columns are profiled.
+
+    ``approx_ndv=True`` swaps exact ``count(distinct)`` for
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``):
+    the 100 TB default — the exact path's Expand shuffles one record per
+    distinct value per column, while the HLL sketch keeps the shuffle at
+    O(partitions × sketch bytes) and needs no Expand at all. Exact mode
+    stays the ORACLE-certified path (sketches aren't cross-engine
+    deterministic); the approx path is bound-tested instead
+    (tests/test_profile_fileindex.py)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else [f.name for f in df.schema.fields]
     unknown = [c for c in cols if c not in fields]
@@ -51,7 +65,13 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(F.col(c), rsd)
+                if approx_ndv
+                else F.count_distinct(F.col(c))
+            ).alias(f"__ndv_{c}")
+        )
         if isinstance(dt, NumericType):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))

@@ -67,10 +67,13 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` hash-bucketed (and optionally sorted) on the join
     key. Joins between tables bucketed with the SAME column set and bucket
-    count skip their exchanges entirely (see plan test)."""
+    count skip their exchanges entirely (see plan test). ``path`` makes
+    the table external (bucket FILES land there; only metadata stays in
+    the catalog) — callers that clean up with DROP TABLE + rmtree."""
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -78,6 +81,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -65,13 +65,16 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 _DRIVER_PRIORITY: list[str] = [
     # (0) brand-new this round, no driver row yet: the distributed
     # Bloom-filter pruned join (operators/bloom.py), the Spark-4 State
-    # Data Source reader, and the in-flight-reader-vs-vacuum contract
-    # as a certified query (VERDICT r12 ask #4's query leg).
+    # Data Source reader, the in-flight-reader-vs-vacuum contract as a
+    # certified query (VERDICT r12 ask #4's query leg), the single-pass
+    # column profiler, the file-stats skipping index, and the bucketed
+    # co-located join.
     "bloom_pruned_order_revenue",
     "streaming_state_inspect",
     "postings_inflight_reader",
     "orders_column_profile",
     "file_skipping_scan",
+    "bucketed_colocated_join",
     # (1) new this round / operator contract changed this round
     # (postings tombstone-closure fix): postings_delete_after_retain is
     # the NEW certified leg of the ADVICE r12 high fix — delete-mode
@@ -122,11 +125,10 @@ _DRIVER_PRIORITY: list[str] = [
     "minute_anomalies",
     "nation_trade_flows",
     "ndcg_label_retrieval",
-    "order_count_distribution",
-    # (order_items_revenue, orders_status_pivot, paid_orders_recent,
-    # part_pagerank, parts_with_shipments and payment_reconciliation roll
-    # to round 14: the five round-13 new queries and
-    # postings_delete_after_retain took their slots)
+    # (order_count_distribution, order_items_revenue, orders_status_pivot,
+    # paid_orders_recent, part_pagerank, parts_with_shipments and
+    # payment_reconciliation roll to round 14: the six round-13 new
+    # queries and postings_delete_after_retain took their slots)
     # (4) remaining cohorts follow in registration order; queries
     # certified in round 12 go last via their registration position.
 ]

@@ -2449,9 +2449,10 @@ def q_bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgent-order revenue by return flag with the fact side Bloom-pruned
     BEFORE the join (operators/bloom.py): the filtered dimension (urgent
     orders, ~20% of orders) builds a 2^20-bit filter fully distributed
-    (explode → bit_or per word, zero driver collect), the 1-row word map
-    broadcasts, and lineitem rows whose order key cannot match are dropped
-    at the scan — pure JVM bit expressions inside codegen. This is the
+    (explode → bit_or per word → dense-array gap fill, zero driver
+    collect), the 1-row word array broadcasts, and lineitem rows whose
+    order key cannot match are dropped at the scan — O(1) bit tests
+    inside codegen. This is the
     explicit form of Spark's runtime bloom filter / Trino dynamic
     filtering: at 100 TB the probe-side shuffle shrinks to
     selectivity·(1+fpp) of the fact table, the dominant cost of every
@@ -2466,7 +2467,9 @@ def q_bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey")
     )
     probe = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
-    bloom_df = B.build_bloom(urgent, "l_orderkey")
+    # Pin the (1-row) filter so the guard counts and the final agg reuse
+    # it instead of re-running the build per action.
+    bloom_df = B.build_bloom(urgent, "l_orderkey").localCheckpoint(eager=True)
     pruned = B.bloom_prune(probe, "l_orderkey", bloom_df)
     n_probe, n_pruned = probe.count(), pruned.count()
     if not n_pruned < n_probe:
@@ -2549,4 +2552,79 @@ def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "bucketed_colocated_join",
+    # Oracle is the plain join: bucketing is pure physical layout and
+    # must be invisible in the result — same discipline as the salted
+    # and Bloom-pruned variants of the join toolbox.
+    oracle=f"""
+SELECT l.l_returnflag AS returnflag, count(*) AS n_items,
+  {money_sum_sql("l.l_extendedprice")} AS flag_revenue,
+  CAST(sum(o.o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed layout
+    (operators/skew.py:write_bucketed): lineitem and orders are persisted
+    hash-bucketed on the order key with the SAME bucket count, so the
+    subsequent sort-merge join reads bucket files as pre-shuffled inputs —
+    the plan is guarded in-query to contain a SortMergeJoin and ZERO
+    Exchange (the bucket files ARE the shuffle, paid once at write time).
+    At 100 TB this converts every recurring join on the bucket key from a
+    full network shuffle of the fact table into a local merge per bucket —
+    the co-location contract Hive/Spark bucketing and Iceberg bucket
+    partition transforms exist for. Broadcast is disabled during the
+    guard so the assertion is about bucketing, never broadcast sizes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ecommerce_data_pipeline_spark.operators.skew import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    suffix = uuid.uuid4().hex[:8]
+    t_li, t_ord = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
+    try:
+        write_bucketed(
+            li, t_li, ["l_orderkey"], n_buckets=16,
+            sort_cols=["l_orderkey"], path=f"{root}/li",
+        )
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            t_ord, ["l_orderkey"], n_buckets=16,
+            sort_cols=["l_orderkey"], path=f"{root}/ord",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(t_li).join(spark.table(t_ord), "l_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            if "SortMergeJoin" not in plan or "Exchange" in plan:
+                raise AssertionError(
+                    "bucketed join not co-located: "
+                    + ("missing SortMergeJoin; " if "SortMergeJoin" not in plan else "")
+                    + ("Exchange present" if "Exchange" in plan else "")
+                )
+            return (
+                joined.groupBy(F.col("l_returnflag").alias("returnflag"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    money_sum("l_extendedprice").alias("flag_revenue"),
+                    F.sum(F.col("l_orderkey") % 1000000).alias("key_checksum"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
         shutil.rmtree(root, ignore_errors=True)

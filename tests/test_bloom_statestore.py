@@ -66,14 +66,14 @@ def test_bloom_null_keys_and_outer_refusal(spark):
 
 
 def test_bloom_build_is_distributed_and_bounded(spark):
-    """The filter is a 1-row map whose word count is bounded by
-    n_bits/64 regardless of data size, and the build plan contains no
-    driver-side collect (it is a plain agg the caller can broadcast)."""
-    n_bits = 1 << 12  # 64 words max
+    """The filter is a 1-row dense array of exactly n_bits/64 words
+    regardless of data size, and the build plan contains no driver-side
+    collect (it is a plain agg the caller can broadcast)."""
+    n_bits = 1 << 12  # 64 words
     many = spark.range(0, 5_000).select(F.col("id").alias("k"))
     bloom_df = B.build_bloom(many, "k", n_bits=n_bits)
     row = bloom_df.collect()[0]
-    assert len(row["bloom"]) <= n_bits // 64
+    assert len(row["bloom"]) == n_bits // 64
     # Oversaturated filter (5k keys × 3 hashes into 4096 bits): false
     # positives abound but MEMBERS still always pass — degraded
     # usefulness, never wrong.

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ecommerce_data_pipeline_spark.operators.fileindex import (
     build_file_stats,
     skipping_scan,
+    update_file_stats,
 )
 from ecommerce_data_pipeline_spark.operators.profile import column_profile
 
@@ -91,3 +92,53 @@ def test_skipping_scan_keeps_pushdown(spark, tmp_path):
     scanned, _ = skipping_scan(spark, index, "k", 10, 20)
     plan = scanned._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(k,10" in plan and "LessThanOrEqual(k,20" in plan
+
+
+def test_column_profile_approx_ndv_bound(spark):
+    """approx_ndv mode: HLL estimate within the documented rsd of the
+    exact NDV, with no Expand in the plan (the 100 TB scan shape)."""
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 5_000).alias("k"), (F.col("id") % 7).alias("b")
+    )
+    prof = column_profile(df, ["k", "b"], approx_ndv=True, rsd=0.02)
+    got = {r["col_name"]: r["ndv"] for r in prof.collect()}
+    assert abs(got["k"] - 5_000) <= 5_000 * 0.06  # 3x rsd margin
+    assert got["b"] == 7  # tiny cardinalities are exact in HLL++
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_update_file_stats_incremental(spark, tmp_path):
+    """Appending files refreshes the index by scanning ONLY the new
+    files; existing entries are reused verbatim and skipping still
+    works over the union."""
+    path = str(tmp_path / "t3")
+    spark.range(0, 50).select(F.col("id").alias("k")).repartitionByRange(
+        2, "k"
+    ).sortWithinPartitions("k").write.parquet(path)
+    index0 = build_file_stats(spark, path, ["k"]).localCheckpoint(eager=True)
+    assert index0.count() == 2
+
+    # Append a new range as new files.
+    spark.range(100, 150).select(F.col("id").alias("k")).repartitionByRange(
+        2, "k"
+    ).sortWithinPartitions("k").write.mode("append").parquet(path)
+
+    index1 = update_file_stats(spark, path, index0, ["k"])
+    assert index1.count() == 4
+    # Old entries survive untouched (same 2 rows), new cover [100,150).
+    old = {r["file_path"] for r in index0.collect()}
+    new_rows = [r for r in index1.collect() if r["file_path"] not in old]
+    assert len(new_rows) == 2
+    assert min(r["min_k"] for r in new_rows) == 100
+    assert max(r["max_k"] for r in new_rows) == 149
+
+    # No-op refresh returns the index unchanged.
+    index2 = update_file_stats(spark, path, index1, ["k"])
+    assert index2.count() == 4
+
+    scanned, stats = skipping_scan(spark, index1, "k", 120, 130)
+    # The appended files split [100,150) at a sampled range boundary; the
+    # band hits 1 or 2 of them but never the two original [0,50) files.
+    assert stats["n_files_total"] == 4 and stats["n_files_scanned"] <= 2
+    assert sorted(r["k"] for r in scanned.collect()) == list(range(120, 131))

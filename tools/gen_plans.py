@@ -177,8 +177,8 @@ AUDITED = [
     "linear_quality_classifier",
     "user_activity_similarity",
     # round-13 additions (bloom-pruned join: the probe side must show the
-    # bit-test filter BELOW the join — a BroadcastNestedLoopJoin of the
-    # 1-row word map followed by the filtered scan feeding the equi-join;
+    # O(1) bit-test filter BELOW the join, evaluated at the lineitem scan
+    # against the dense word-array literal — no extra join for the filter;
     # profiler: ONE scan + Expand for all count-distincts, never one job
     # per column)
     "bloom_pruned_order_revenue",

@@ -102,6 +102,24 @@ SKIP_BUILD = {
     # small-graph numpy peel runs there); per-round plan is one degree
     # groupBy + two semi-joins, audited in code
     "part_kcore",
+    # r13: full postings lifecycle (write → retained compact → in-flight
+    # snapshot → vacuum) runs at build; final plan is the eager
+    # checkpoint of the per-cell aggregate (reader/vacuum disjointness
+    # certified by the in-query guards and the oracle hash)
+    "postings_inflight_reader",
+    # r13: streaming dropDuplicates drain + statestore read run at build;
+    # final plan is the eager checkpoint of the per-type state aggregate
+    "streaming_state_inspect",
+    # r13: z-order rewrite + stats-index build + skipping scan run at
+    # build; final plan is the eager checkpoint of the band aggregate
+    # (pruning effectiveness asserted in-query; predicate pushdown on the
+    # survivor scan pinned by tests/test_profile_fileindex.py)
+    "file_skipping_scan",
+    # r13: bucketed saveAsTable writes + the zero-Exchange plan guard run
+    # at build; final plan is the eager checkpoint of the per-flag
+    # aggregate (co-location pinned by the in-query SortMergeJoin/no-
+    # Exchange assertion and tests/test_skew.py)
+    "bucketed_colocated_join",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
@@ -208,9 +226,9 @@ CARTESIAN_OK = {
     # exact-top-k class as cosine_topk; probe side doc_id%10)
     "bitext_margin_pairs",
     "ccnet_quality_buckets",
-    # r13: the Bloom word-map is ONE row (map<int,bigint> bounded by
-    # n_bits/64 entries) broadcast-nested-loop joined onto the probe —
-    # bytes per executor, the runtime-filter shape; never data x data
+    # r13: the Bloom filter is ONE row (dense array<bigint>, n_bits/64
+    # words) broadcast-nested-loop joined onto the probe — filter bytes
+    # per executor, the runtime-filter shape; never data x data
     "bloom_pruned_order_revenue",
     "token_budget_mixture",
     "forecast_revenue_change",
