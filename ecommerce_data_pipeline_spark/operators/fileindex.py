@@ -97,31 +97,45 @@ def update_file_stats(
 def skipping_scan(
     spark: SparkSession,
     index: DataFrame,
-    col: str,
-    lo,
-    hi,
+    col: str | dict,
+    lo=None,
+    hi=None,
 ) -> tuple[DataFrame, dict]:
-    """Scan only files whose [min,max] of ``col`` intersects [lo, hi],
-    with the range predicate still applied (and pushed) on the survivors.
+    """Scan only files whose stats intersect the predicate band(s), with
+    the range predicate still applied (and pushed) on the survivors.
+
+    ``col`` is either one column name with ``lo``/``hi``, or a dict
+    ``{col: (lo, hi), ...}`` of ANDed bands — the multi-column case is
+    what the Z-order layout exists for: every clustered dimension's
+    per-file span is tight, so conjunctive bands multiply their
+    selectivities at the FILE level (Delta stats-skipping over
+    OPTIMIZE ZORDER, same math).
 
     Returns ``(df, stats)`` where stats records the skipping rate —
     callers assert on it so a degenerate layout (every file overlapping
     every range) can't silently pass as "skipping". The collect is the
     index's surviving file list: metadata bounded by file count, the same
     driver-side work as a Delta log read."""
-    hit = index.filter(
-        ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
-    )
+    bands = col if isinstance(col, dict) else {col: (lo, hi)}
+    keep = None
+    for c, (blo, bhi) in bands.items():
+        cond = ~(
+            (F.col(f"max_{c}") < F.lit(blo)) | (F.col(f"min_{c}") > F.lit(bhi))
+        )
+        keep = cond if keep is None else (keep & cond)
+    hit = index.filter(keep)
     files = [r["file_path"] for r in hit.select("file_path").collect()]
     n_total = index.count()
     stats = {"n_files_total": n_total, "n_files_scanned": len(files)}
+    pred = None
+    for c, (blo, bhi) in bands.items():
+        cond = (F.col(c) >= F.lit(blo)) & (F.col(c) <= F.lit(bhi))
+        pred = cond if pred is None else (pred & cond)
     if not files:
         # Empty selection: preserve schema via a 0-row read of the index's
         # first file (stats said nothing matches; the filter re-proves it).
         first = index.select("file_path").first()
         base = spark.read.parquet(first["file_path"]).limit(0)
         return base, stats
-    scanned = spark.read.parquet(*files).filter(
-        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    )
+    scanned = spark.read.parquet(*files).filter(pred)
     return scanned, stats

@@ -142,3 +142,23 @@ def test_update_file_stats_incremental(spark, tmp_path):
     # band hits 1 or 2 of them but never the two original [0,50) files.
     assert stats["n_files_total"] == 4 and stats["n_files_scanned"] <= 2
     assert sorted(r["k"] for r in scanned.collect()) == list(range(120, 131))
+
+
+def test_skipping_scan_multi_column_bands(spark, tmp_path):
+    """Conjunctive bands over a two-column-clustered layout: file
+    selection is the AND of per-column stats intersections, and the
+    result equals the plain double filter."""
+    path = str(tmp_path / "t4")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("a"), (399 - F.col("id")).alias("b")
+    )
+    df.repartitionByRange(4, "a").sortWithinPartitions("a").write.parquet(path)
+    index = build_file_stats(spark, path, ["a", "b"])
+    scanned, stats = skipping_scan(spark, index, {"a": (50, 80), "b": (0, 400)})
+    assert stats["n_files_scanned"] == 1
+    got = sorted(r["a"] for r in scanned.collect())
+    assert got == list(range(50, 81))
+    # Contradictory bands: a in [50,80] forces b in [319,349]; demanding
+    # b <= 100 selects zero files and zero rows.
+    empty, stats2 = skipping_scan(spark, index, {"a": (50, 80), "b": (0, 100)})
+    assert stats2["n_files_scanned"] == 0 and empty.count() == 0

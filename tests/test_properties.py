@@ -321,3 +321,117 @@ def test_banded_hamming_pairs_matches_bruteforce(spark, sigs):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-13: Bloom pruning, file-stats skipping, profiler invariants
+# ---------------------------------------------------------------------------
+
+bloom_keys = st.tuples(
+    st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(bloom_keys)
+def test_bloom_pruned_join_equivalence_property(spark, keysets):
+    """For ANY build/probe key sets: the Bloom-pruned join equals the
+    plain join row-for-row (no false negatives; false positives removed
+    by the exact join), and pruning never keeps a row the filter was not
+    built for unless it is a hash collision — checked implicitly by the
+    equality."""
+    from ecommerce_data_pipeline_spark.operators.bloom import bloom_pruned_join
+
+    build_keys, probe_keys = keysets
+    build = spark.createDataFrame([(k, f"d{k}") for k in build_keys], "k long, v string")
+    probe = spark.createDataFrame([(k, k % 5) for k in probe_keys], "k long, x long")
+    plain = sorted(map(tuple, probe.join(build, "k").select("k", "x", "v").collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            bloom_pruned_join(probe, build, "k", n_bits=1 << 12)
+            .select("k", "x", "v")
+            .collect(),
+        )
+    )
+    assert pruned == plain
+
+
+skip_layout = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=0, max_value=500),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(skip_layout)
+def test_file_skipping_equals_plain_filter_property(spark, args):
+    """For ANY data and ANY [lo,hi] band: the stats-skipped scan returns
+    exactly the plain filtered scan (stats are necessary-not-sufficient;
+    the re-applied predicate closes the gap)."""
+    import tempfile
+    import shutil
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        skipping_scan,
+    )
+
+    vals, a, b = args
+    lo, hi = min(a, b), max(a, b)
+    root = tempfile.mkdtemp(prefix="prop_skip_")
+    try:
+        path = f"{root}/t"
+        spark.createDataFrame([(v,) for v in vals], "k long").repartition(
+            3
+        ).write.parquet(path)
+        index = build_file_stats(spark, path, ["k"])
+        scanned, stats = skipping_scan(spark, index, "k", lo, hi)
+        got = sorted(r["k"] for r in scanned.collect())
+        want = sorted(v for v in vals if lo <= v <= hi)
+        assert got == want
+        assert stats["n_files_scanned"] <= stats["n_files_total"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+profile_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-10_000_00, max_value=10_000_00)),
+        st.one_of(st.none(), st.text(alphabet="abcdef", max_size=4)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(profile_rows)
+def test_column_profile_matches_python_property(spark, rows):
+    """For ANY (nullable int cents, nullable short string) rows: the
+    one-pass profile equals the straightforward Python computation —
+    counts, nulls, exact NDV, min/max, cents-exact mean."""
+    from ecommerce_data_pipeline_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(None if c is None else c / 100.0, s) for c, s in rows],
+        "v double, s string",
+    )
+    prof = {r["col_name"]: r for r in column_profile(df).collect()}
+    nums = [c for c, _ in rows if c is not None]
+    strs = [s for _, s in rows if s is not None]
+    assert prof["v"]["n_rows"] == len(rows)
+    assert prof["v"]["n_nulls"] == sum(1 for c, _ in rows if c is None)
+    assert prof["v"]["ndv"] == len({c for c, _ in rows if c is not None})
+    assert prof["s"]["ndv"] == len(set(strs))
+    if nums:
+        assert prof["v"]["min_num"] == min(nums) / 100.0
+        assert prof["v"]["max_num"] == max(nums) / 100.0
+        assert prof["v"]["avg_num"] == round(
+            sum(nums) / 100.0 / len(nums), 6
+        )
+    if strs:
+        assert prof["s"]["min_str"] == min(strs)
+        assert prof["s"]["max_str"] == max(strs)
