@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_column_profile",
     "file_skipping_scan",
     "bucketed_colocated_join",
+    "streaming_file_index",
     # (1) new this round / operator contract changed this round
     # (postings tombstone-closure fix): postings_delete_after_retain is
     # the NEW certified leg of the ADVICE r12 high fix — delete-mode
@@ -124,11 +125,11 @@ _DRIVER_PRIORITY: list[str] = [
     "media_resize_plan",
     "minute_anomalies",
     "nation_trade_flows",
-    "ndcg_label_retrieval",
-    # (order_count_distribution, order_items_revenue, orders_status_pivot,
-    # paid_orders_recent, part_pagerank, parts_with_shipments and
-    # payment_reconciliation roll to round 14: the six round-13 new
-    # queries and postings_delete_after_retain took their slots)
+    # (ndcg_label_retrieval, order_count_distribution, order_items_revenue,
+    # orders_status_pivot, paid_orders_recent, part_pagerank,
+    # parts_with_shipments and payment_reconciliation roll to round 14:
+    # the seven round-13 new queries and postings_delete_after_retain
+    # took their slots)
     # (4) remaining cohorts follow in registration order; queries
     # certified in round 12 go last via their registration position.
 ]

@@ -2628,3 +2628,113 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "streaming_file_index",
+    # Oracle is the plain filtered scan of the ORIGINAL table — the
+    # streamed layout + incrementally maintained index must be invisible
+    # in the result (same discipline as file_skipping_scan).
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS band_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+GROUP BY 1
+""",
+)
+def q_streaming_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skipping index maintained UNDER streaming ingest — the
+    production steady state of operators/fileindex.py: orders arrive as a
+    checkpointed file stream, every micro-batch appends its rows to the
+    lake path and refreshes the stats index INCREMENTALLY
+    (``update_file_stats`` — only the batch's new files are scanned, the
+    Delta append-stats-at-commit shape), and after the drain the query
+    (a) asserts the incrementally maintained index is row-for-row the
+    full rebuild, and (b) answers a range band THROUGH the streamed index
+    with files pruned — hash-matched against the plain filtered scan of
+    the original table. At 100 TB this is why the index never becomes a
+    re-profiling job: refresh cost tracks ingest rate, not table size.
+
+    The per-batch index handoff is a 1-row-per-file localCheckpoint
+    (file-count-bounded metadata, same class as the posting manifests);
+    batch appends are plain parquet appends, so a retry could duplicate a
+    file's rows in the LAKE (exactly-once needs the posting layout's
+    overwrite-by-batch or Delta) — the availableNow drain here has no
+    retries and the full-rebuild equality plus the oracle hash prove the
+    end state."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        skipping_scan,
+        update_file_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="stream_fidx_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    state: dict = {"index": None}
+    try:
+        src, out, ck = f"{root}/src", f"{root}/lake", f"{root}/ckpt"
+        # Range-clustered arrival: each staged file covers a tight
+        # o_totalprice band (the ingest-ordered analogue — a time-keyed
+        # stream clusters on its cursor the same way). An unclustered
+        # arrival indexes fine but skips nothing; clustering is what
+        # makes stats selective (see zorder for the multi-column case).
+        orders.repartitionByRange(6, "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+            if state["index"] is None:
+                idx = build_file_stats(spark, out, ["o_totalprice"])
+            else:
+                idx = update_file_stats(
+                    spark, out, state["index"], ["o_totalprice"]
+                )
+            state["index"] = idx.localCheckpoint(eager=True)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        index = state["index"]
+        full = build_file_stats(spark, out, ["o_totalprice"])
+        got = sorted(map(tuple, index.collect()))
+        want = sorted(map(tuple, full.collect()))
+        if got != want:
+            raise AssertionError(
+                f"incremental index diverged from full rebuild: "
+                f"{len(got)} vs {len(want)} entries"
+            )
+        scanned, stats = skipping_scan(
+            spark, index, "o_totalprice", 100000.0, 150000.0
+        )
+        if not stats["n_files_scanned"] < stats["n_files_total"]:
+            raise AssertionError(f"file skipping had no effect: {stats}")
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("band_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

@@ -120,6 +120,10 @@ SKIP_BUILD = {
     # aggregate (co-location pinned by the in-query SortMergeJoin/no-
     # Exchange assertion and tests/test_skew.py)
     "bucketed_colocated_join",
+    # r13: streaming ingest + per-batch incremental index refresh run at
+    # build; final plan is the eager checkpoint of the band aggregate
+    # (incremental == full-rebuild equality asserted in-query)
+    "streaming_file_index",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
