@@ -1,0 +1,144 @@
+"""Join-strategy advisor — the measure-then-prescribe layer over the
+join toolbox.
+
+The repo carries four join tools beyond the planner's default shuffle
+join, each certified by its own registry query: broadcast (AQE picks it
+when it can SEE the size), salting (`operators/skew.py:salted_join`),
+bucketed co-location (`skew.py:write_bucketed`), and Bloom pruning
+(`operators/bloom.py`). Choosing between them is a statistics question —
+exactly the numbers `column_profile`/`skew_profile` measure. This module
+runs the bounded measurement (counts, key NDVs, hottest-key share — one
+aggregate per side plus one top-1 skew probe; never a data scan beyond
+that) and prescribes:
+
+1. ``broadcast``  — build side small enough to ship to every executor.
+2. ``salted``     — hottest probe key exceeds the skew threshold, so one
+                    reducer would own share×|probe| rows; AQE's skew
+                    split can't fix it when every hot row must meet the
+                    SAME dim row.
+3. ``bloom_prune``— build side too big to broadcast but its key set is
+                    far smaller than the probe's (a filtered dimension):
+                    prune the probe before its shuffle.
+4. ``shuffle``    — comparable sides, no skew: the planner's sort-merge
+                    join is already right. With ``recurring=True`` the
+                    verdict upgrades to ``bucketed`` — pay the shuffle
+                    once at write time (`write_bucketed`).
+
+This is what a cost-based optimizer does with ANALYZE statistics
+(Spark's CBO + `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`); the
+explicit operator exists because at 100 TB the stats are a deliberate,
+incremental artifact (see fileindex/profile) rather than an implicit
+planner cache — and because salting/Bloom aren't strategies Catalyst
+will ever pick on its own.
+
+Determinism: counts are exact; NDVs use HyperLogLog++
+(`approx_count_distinct`) whose register-max merge is order-insensitive,
+so the verdict is stable for fixed inputs regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class JoinAdvice:
+    strategy: str  # broadcast | salted | bloom_prune | bucketed | shuffle
+    reason: str
+    probe_rows: int
+    build_rows: int
+    probe_key_ndv: int
+    build_key_ndv: int
+    top_key_share: float
+    suggested_n_salts: int | None = None
+
+
+def advise_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.05,
+    bloom_ndv_ratio: float = 0.5,
+    recurring: bool = False,
+) -> JoinAdvice:
+    """Measure both sides and prescribe a join strategy.
+
+    Thresholds (all overridable): ``broadcast_rows`` approximates the
+    10 MB-class autoBroadcast budget in rows; ``skew_share`` is the
+    hottest-key fraction above which one reducer owns the join;
+    ``bloom_ndv_ratio`` is the build/probe key-NDV ratio below which
+    Bloom pruning pays (the filtered-dimension shape). The measurement
+    is two single-pass aggregates + one top-1 key probe — bounded work,
+    run it once and cache the advice next to the table like any other
+    statistic."""
+    p = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key, 0.02).alias("ndv"),
+    ).first()
+    b = build.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key, 0.02).alias("ndv"),
+    ).first()
+    probe_rows, probe_ndv = int(p["n"]), int(p["ndv"])
+    build_rows, build_ndv = int(b["n"]), int(b["ndv"])
+    top = (
+        probe.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc())
+        .limit(1)
+        .first()
+    )
+    top_share = (top["c"] / probe_rows) if (top and probe_rows) else 0.0
+
+    common = dict(
+        probe_rows=probe_rows,
+        build_rows=build_rows,
+        probe_key_ndv=probe_ndv,
+        build_key_ndv=build_ndv,
+        top_key_share=round(top_share, 4),
+    )
+    if build_rows <= broadcast_rows:
+        return JoinAdvice(
+            "broadcast",
+            f"build side {build_rows} rows fits the broadcast budget "
+            f"({broadcast_rows}); ship it, no probe shuffle at all",
+            **common,
+        )
+    if top_share >= skew_share:
+        parallelism = int(
+            probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        n_salts = max(2, min(parallelism, int(top_share * parallelism * 2)))
+        return JoinAdvice(
+            "salted",
+            f"hottest probe key owns {top_share:.1%} of rows (>= "
+            f"{skew_share:.0%}): one reducer would take the join — spread "
+            f"it over {n_salts} salts (operators/skew.py:salted_join)",
+            suggested_n_salts=n_salts,
+            **common,
+        )
+    if probe_ndv and build_ndv / probe_ndv <= bloom_ndv_ratio:
+        return JoinAdvice(
+            "bloom_prune",
+            f"build key NDV {build_ndv} is <= {bloom_ndv_ratio:.0%} of probe "
+            f"key NDV {probe_ndv} (filtered-dimension shape): Bloom-prune "
+            f"the probe before its shuffle (operators/bloom.py)",
+            **common,
+        )
+    if recurring:
+        return JoinAdvice(
+            "bucketed",
+            "comparable sides, no skew, and the join recurs: pay the "
+            "shuffle once at write time (operators/skew.py:write_bucketed)",
+            **common,
+        )
+    return JoinAdvice(
+        "shuffle",
+        "comparable sides, no skew, one-off join: the planner's "
+        "sort-merge join is already the right plan",
+        **common,
+    )

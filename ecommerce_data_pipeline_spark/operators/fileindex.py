@@ -139,3 +139,21 @@ def skipping_scan(
         return base, stats
     scanned = spark.read.parquet(*files).filter(pred)
     return scanned, stats
+
+
+def prune_file_stats(
+    spark: SparkSession, path: str, index: DataFrame
+) -> DataFrame:
+    """Index vacuum: drop entries whose files no longer exist under
+    ``path`` (after a compaction/zorder rewrite replaced them). A
+    semi-join of the index against the current listing — both sides
+    file-count-bounded metadata. Rewrites produce NEW paths, so the
+    sequence after a layout job is prune (drop old entries) +
+    ``update_file_stats`` (index the rewritten files): the same
+    log-compaction step Delta performs at checkpoint time."""
+    listing = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    return index.join(F.broadcast(listing), "file_path", "left_semi")

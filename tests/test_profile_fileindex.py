@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.fileindex import (
     build_file_stats,
+    prune_file_stats,
     skipping_scan,
     update_file_stats,
 )
@@ -162,3 +163,36 @@ def test_skipping_scan_multi_column_bands(spark, tmp_path):
     # b <= 100 selects zero files and zero rows.
     empty, stats2 = skipping_scan(spark, index, {"a": (50, 80), "b": (0, 100)})
     assert stats2["n_files_scanned"] == 0 and empty.count() == 0
+
+
+def test_prune_then_update_after_rewrite(spark, tmp_path):
+    """The post-layout-job index maintenance sequence: a rewrite replaces
+    every file; prune drops the dead entries, update indexes the new
+    ones, and the result equals a full rebuild."""
+    import shutil
+
+    path = str(tmp_path / "t5")
+    spark.range(0, 100).select(F.col("id").alias("k")).repartition(
+        4
+    ).write.parquet(path)
+    index = build_file_stats(spark, path, ["k"]).localCheckpoint(eager=True)
+    assert index.count() == 4
+
+    # Layout job: rewrite the table range-clustered into 2 new files.
+    tmp2 = str(tmp_path / "t5_new")
+    spark.read.parquet(path).repartitionByRange(2, "k").sortWithinPartitions(
+        "k"
+    ).write.parquet(tmp2)
+    shutil.rmtree(path)
+    shutil.move(tmp2, path)
+
+    pruned = prune_file_stats(spark, path, index)
+    assert pruned.count() == 0  # every old file replaced
+    refreshed = update_file_stats(spark, path, pruned, ["k"])
+    full = build_file_stats(spark, path, ["k"])
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    scanned, stats = skipping_scan(spark, refreshed, "k", 10, 20)
+    assert stats["n_files_total"] == 2 and stats["n_files_scanned"] == 1
+    assert sorted(r["k"] for r in scanned.collect()) == list(range(10, 21))
