@@ -391,8 +391,15 @@ def main() -> int:
         pt = pf_queries.get(q)
         if not pt or pt < 0.2:
             return False
-        calib_t = t / ratio_for_gate
         raw_trip = t / pt > 1.5 and t - pt > 0.3
+        if not calibration_trusted:
+            # The code itself declared the median suspect — ANDing with a
+            # distrusted ratio could silently SUPPRESS a real regression
+            # (a wrong-high median halves every calibrated time). Fall
+            # back to raw-only: over-flags, and the solo re-measure
+            # recheck below de-noises exactly that direction.
+            return raw_trip
+        calib_t = t / ratio_for_gate
         calib_trip = calib_t / pt > 1.5 and calib_t - pt > 0.3
         return raw_trip and calib_trip
 

@@ -68,7 +68,7 @@ def build_bloom(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
-    """1-row DataFrame ``(bloom: array<bigint>)`` — the Bloom filter of
+    """1-row DataFrame ``(__bloom: array<bigint>)`` — the Bloom filter of
     ``df[key]``'s distinct values as a DENSE n_bits/64-word array.
 
     Fully distributed: distinct → explode seeds → word/bit split →
@@ -114,7 +114,7 @@ def build_bloom(
     ).agg(
         F.transform(
             F.array_sort(F.collect_list("__e")), lambda e: e["w"]
-        ).alias("bloom")
+        ).alias("__bloom")
     )
 
 
@@ -153,9 +153,9 @@ def bloom_prune(
     """
     tagged = probe.crossJoin(F.broadcast(bloom_df))
     kept = tagged.where(
-        might_contain(F.col(key), F.col("bloom"), n_bits, n_hashes)
+        might_contain(F.col(key), F.col("__bloom"), n_bits, n_hashes)
     )
-    return kept.drop("bloom")
+    return kept.drop("__bloom")
 
 
 def bloom_pruned_join(

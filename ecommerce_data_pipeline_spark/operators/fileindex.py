@@ -117,25 +117,44 @@ def skipping_scan(
     index's surviving file list: metadata bounded by file count, the same
     driver-side work as a Delta log read."""
     bands = col if isinstance(col, dict) else {col: (lo, hi)}
+    for c, (blo, bhi) in bands.items():
+        # A None bound would propagate as SQL NULL through the interval
+        # test and silently select ZERO files (NULL comparisons are never
+        # true) — refuse instead of returning a wrong-empty result.
+        if blo is None or bhi is None:
+            raise ValueError(
+                f"skipping_scan band for {c!r} must be closed on both "
+                f"sides, got ({blo!r}, {bhi!r}) — use the column's "
+                "profiled min/max for an open end"
+            )
     keep = None
     for c, (blo, bhi) in bands.items():
         cond = ~(
             (F.col(f"max_{c}") < F.lit(blo)) | (F.col(f"min_{c}") > F.lit(bhi))
         )
         keep = cond if keep is None else (keep & cond)
-    hit = index.filter(keep)
-    files = [r["file_path"] for r in hit.select("file_path").collect()]
-    n_total = index.count()
-    stats = {"n_files_total": n_total, "n_files_scanned": len(files)}
+    # ONE action over the index: collect (path, keep) pairs and derive
+    # both the survivor list and the total from it — the index may be a
+    # lazy union (update_file_stats), where separate filter/count actions
+    # would each re-scan the freshly appended files' data.
+    flagged = index.select("file_path", keep.alias("__keep")).collect()
+    files = [r["file_path"] for r in flagged if r["__keep"]]
+    stats = {"n_files_total": len(flagged), "n_files_scanned": len(files)}
+    if not flagged:
+        raise ValueError(
+            "skipping_scan on an empty index: build_file_stats / "
+            "update_file_stats it first (prune_file_stats after a full "
+            "rewrite legitimately empties it)"
+        )
     pred = None
     for c, (blo, bhi) in bands.items():
         cond = (F.col(c) >= F.lit(blo)) & (F.col(c) <= F.lit(bhi))
         pred = cond if pred is None else (pred & cond)
     if not files:
         # Empty selection: preserve schema via a 0-row read of the index's
-        # first file (stats said nothing matches; the filter re-proves it).
-        first = index.select("file_path").first()
-        base = spark.read.parquet(first["file_path"]).limit(0)
+        # first file (stats said nothing matches; the filter re-proves it) —
+        # reusing the one collected listing, no extra index action.
+        base = spark.read.parquet(flagged[0]["file_path"]).limit(0)
         return base, stats
     scanned = spark.read.parquet(*files).filter(pred)
     return scanned, stats

@@ -39,6 +39,7 @@ def column_profile(
     columns: list[str] | None = None,
     approx_ndv: bool = False,
     rsd: float = 0.05,
+    avg_scale: int = 100,
 ) -> DataFrame:
     """One row per column: ``(col_name, n_rows, n_nulls, ndv, min_num,
     max_num, avg_num, min_str, max_str)`` — numeric stats null for string
@@ -52,7 +53,16 @@ def column_profile(
     O(partitions × sketch bytes) and needs no Expand at all. Exact mode
     stays the ORACLE-certified path (sketches aren't cross-engine
     deterministic); the approx path is bound-tested instead
-    (tests/test_profile_fileindex.py)."""
+    (tests/test_profile_fileindex.py).
+
+    ``avg_scale`` is the mean's fixed-point quantum: values are summed
+    as ``round(v * avg_scale)`` int64 units so the mean never depends on
+    float fold order. The default 100 (cents) fits money columns; for
+    sub-cent domains (rates, probabilities, normalized scores) pass 10^d
+    for d significant decimals — at the default a 0.003-scale column's
+    mean quantizes to 0.0 while its min/max stay exact. Int64 bound:
+    |v| × avg_scale × n_rows must stay under ~9.2e18 (the money_sum
+    arithmetic bound, SCALE.md §10)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else [f.name for f in df.schema.fields]
     unknown = [c for c in cols if c not in fields]
@@ -75,10 +85,12 @@ def column_profile(
         if isinstance(dt, NumericType):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
-            # Cents-exact mean: int64 cents sum / non-null count, one
+            # Fixed-point-exact mean: int64 unit sum / non-null count, one
             # rounded division — no float accumulation order anywhere.
             aggs.append(
-                F.sum(F.round(F.col(c) * 100).cast("long")).alias(f"__cs_{c}")
+                F.sum(
+                    F.round(F.col(c) * avg_scale).cast("long")
+                ).alias(f"__cs_{c}")
             )
             aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         elif isinstance(dt, StringType):
@@ -104,7 +116,7 @@ def column_profile(
                 (
                     F.round(
                         F.col(f"__cs_{c}")
-                        / F.lit(100.0)
+                        / F.lit(float(avg_scale))
                         / F.nullif(F.col(f"__nn_{c}"), F.lit(0)),
                         6,
                     )

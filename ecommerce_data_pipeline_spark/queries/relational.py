@@ -2603,6 +2603,10 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             t_ord, ["l_orderkey"], n_buckets=16,
             sort_cols=["l_orderkey"], path=f"{root}/ord",
         )
+        # Save/restore (NOT unset): unset falls back to the built-in 10MB
+        # default, silently shrinking the session's configured 64m for
+        # every query that runs after this one.
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = spark.table(t_li).join(spark.table(t_ord), "l_orderkey")
@@ -2623,7 +2627,9 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev_bcast
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_ord}")

@@ -73,7 +73,7 @@ def test_bloom_build_is_distributed_and_bounded(spark):
     many = spark.range(0, 5_000).select(F.col("id").alias("k"))
     bloom_df = B.build_bloom(many, "k", n_bits=n_bits)
     row = bloom_df.collect()[0]
-    assert len(row["bloom"]) == n_bits // 64
+    assert len(row["__bloom"]) == n_bits // 64
     # Oversaturated filter (5k keys × 3 hashes into 4096 bits): false
     # positives abound but MEMBERS still always pass — degraded
     # usefulness, never wrong.
@@ -116,3 +116,16 @@ def test_statestore_reader_matches_batch_distinct(spark, tmp_path):
         (r["key"]["event_type"], r["key"]["event_id"]) for r in state.collect()
     )
     assert got == sorted({(t, i) for i, t in rows})
+
+
+def test_bloom_prune_survives_probe_column_named_bloom(spark):
+    """Review r13: the broadcast filter column is __-prefixed so a probe
+    that already carries a 'bloom' column neither collides nor is
+    dropped."""
+    build = _pair_df(spark, [(1, "a"), (2, "b")])
+    probe = spark.createDataFrame(
+        [(1, "keep"), (5, "x")], "k long, bloom string"
+    )
+    kept = B.bloom_prune(probe, "k", B.build_bloom(build, "k"))
+    rows = kept.collect()
+    assert [(r["k"], r["bloom"]) for r in rows] == [(1, "keep")]

@@ -196,3 +196,35 @@ def test_prune_then_update_after_rewrite(spark, tmp_path):
     scanned, stats = skipping_scan(spark, refreshed, "k", 10, 20)
     assert stats["n_files_total"] == 2 and stats["n_files_scanned"] == 1
     assert sorted(r["k"] for r in scanned.collect()) == list(range(10, 21))
+
+
+def test_skipping_scan_refuses_open_band_and_empty_index(spark, tmp_path):
+    """Review r13: a None bound would propagate as SQL NULL and silently
+    select ZERO files; an empty index has no schema to serve — both now
+    refuse loudly instead of returning wrong-empty results."""
+    path = str(tmp_path / "t6")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(path)
+    index = build_file_stats(spark, path, ["k"])
+    with pytest.raises(ValueError, match="closed on both sides"):
+        skipping_scan(spark, index, "k", 5)
+    with pytest.raises(ValueError, match="closed on both sides"):
+        skipping_scan(spark, index, {"k": (None, 7)})
+    empty_index = index.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty index"):
+        skipping_scan(spark, empty_index, "k", 0, 5)
+
+
+def test_column_profile_avg_scale_for_subcent_domains(spark):
+    """Review r13: the default cents quantum collapses sub-cent means to
+    0.0; avg_scale=10^6 profiles a rate column exactly."""
+    df = spark.createDataFrame(
+        [(0.003,), (0.001,), (0.002,)], "rate double"
+    )
+    cents = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert cents["rate"]["avg_num"] == 0.0  # documented cents behavior
+    fine = {
+        r["col_name"]: r
+        for r in column_profile(df, avg_scale=1_000_000).collect()
+    }
+    assert fine["rate"]["avg_num"] == 0.002
+    assert fine["rate"]["min_num"] == 0.001 and fine["rate"]["max_num"] == 0.003

@@ -69,7 +69,9 @@ def test_bucketed_join_has_no_exchange(spark):
     write_bucketed(b, "bkt_b", ["id"], n_buckets=8, sort_cols=["id"])
     try:
         # Force the sort-merge path so the assertion is about bucketing,
-        # not about broadcast sizes.
+        # not about broadcast sizes. Save/restore (NOT unset): unset
+        # falls back to the built-in 10MB default, not the session's 64m.
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
         text = plans.explain_string(joined, "formatted")
@@ -77,6 +79,6 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange" not in text  # co-located: bucket files ARE the shuffle
         assert joined.count() == 500
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
