@@ -48,7 +48,10 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 13 (policy applied): (1) the four postings-backed queries whose
+# ROUND 13 (policy applied): (0) the seven brand-new round-13 queries
+# (bloom-pruned join, statestore reader, in-flight-reader-vs-vacuum,
+# column profiler, file-skipping index, bucketed co-located join,
+# streaming index maintenance); (1) the four postings-backed queries whose
 # operator CONTRACT changed this round — compact_postings now writes the
 # transitive tombstone closure into every manifest and delete mode
 # removes the whole closure leaf-first (ADVICE r12 high: delete-after-
@@ -59,8 +62,8 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # rolled r08-tail queries (r12 ask #2 remainder; all 21 locally
 # oracle-verified at sf0.01 in round 12 and 9 of them judge-verified);
 # (3) the r09 cohort (50 queries, tools/cert_age.py) in cert_age order —
-# the first 25 fit the 50-slot window; the remaining 25
-# (purchase_and_error_users .. winsorized_event_stats) roll to round 14.
+# as many as fit the 50-slot window (17 after the new queries took their
+# slots); the rest roll to round 14.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (0) brand-new this round, no driver row yet: the distributed
