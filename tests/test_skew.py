@@ -82,3 +82,16 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bucketed_query_restores_broadcast_threshold(spark):
+    """Review r13 regression guard: the registry query must leave the
+    session's broadcast threshold exactly as it found it (conf.unset
+    would fall back to the built-in 10MB default, silently changing
+    plans for every query that runs after it in a long session)."""
+    from ecommerce_data_pipeline_spark.queries import QUERIES
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    QUERIES["bucketed_colocated_join"](spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == before
