@@ -109,9 +109,17 @@ def advise_join(
             **common,
         )
     if top_share >= skew_share:
-        parallelism = int(
-            probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        # 'spark.sql.shuffle.partitions' can be non-numeric ('auto' on
+        # some runtimes) — the advisor must not crash on exactly the
+        # skewed path it exists to diagnose.
+        try:
+            parallelism = int(
+                probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            parallelism = (
+                probe.sparkSession.sparkContext.defaultParallelism or 200
+            )
         n_salts = max(2, min(parallelism, int(top_share * parallelism * 2)))
         return JoinAdvice(
             "salted",

@@ -50,6 +50,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, DoubleType, FloatType, IntegralType
 
 DEFAULT_N_BITS = 1 << 20
 DEFAULT_N_HASHES = 3
@@ -62,14 +63,59 @@ def _bit_positions(key: Column, seed: Column | int, n_bits: int) -> Column:
     return F.pmod(F.xxhash64(key, s), F.lit(n_bits))
 
 
+def _canonical_key(col: Column, dtype: DataType) -> Column:
+    """xxhash64 is TYPE-sensitive: ``xxhash64(5::int) !=
+    xxhash64(5::bigint)``, so an int build key probed with a bigint
+    column (or vice versa) would produce silent FALSE NEGATIVES — rows
+    missing from a join documented as row-for-row identical to the plain
+    join. Canonicalize before hashing: every integral type hashes as
+    ``long``, ``float`` as ``double``; other types pass through and must
+    match exactly (``bloom_pruned_join`` asserts that)."""
+    if isinstance(dtype, IntegralType):
+        return col.cast("long")
+    if isinstance(dtype, FloatType):
+        return col.cast("double")
+    return col
+
+
+def _canon_name(dtype: DataType) -> str:
+    """Type keys hash AS after ``_canonical_key``; two key columns are
+    hash-compatible iff these names are equal."""
+    if isinstance(dtype, IntegralType):
+        return "bigint"
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return "double"
+    return dtype.simpleString()
+
+
+def _key_dtype(df: DataFrame, key: str) -> DataType:
+    for f in df.schema.fields:
+        if f.name == key:
+            return f.dataType
+    raise ValueError(f"key column {key!r} not found in {df.columns}")
+
+
+def suggest_n_bits(n_keys: int, min_bits: int = 1 << 14) -> int:
+    """Filter size for ``n_keys`` distinct build keys: next power of two
+    >= 10 * n_keys (fpp ~5% at k=3), floored at ``min_bits`` so tiny
+    builds still get a word array worth broadcasting. Callers that
+    already pay a count on the (small, filtered) build side should feed
+    it here instead of trusting the 2^20 default — at sf>=100 the
+    default saturates and pruning silently approaches zero."""
+    target = max(int(min_bits), 10 * max(1, int(n_keys)))
+    return 1 << (target - 1).bit_length()
+
+
 def build_bloom(
     df: DataFrame,
     key: str,
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
-    """1-row DataFrame ``(__bloom: array<bigint>)`` — the Bloom filter of
-    ``df[key]``'s distinct values as a DENSE n_bits/64-word array.
+    """1-row DataFrame ``(__bloom: array<bigint>, __n_bits: int,
+    __n_hashes: int)`` — the Bloom filter of ``df[key]``'s distinct
+    values as a DENSE n_bits/64-word array, SELF-DESCRIBING so the probe
+    side can never be evaluated with mismatched parameters.
 
     Fully distributed: distinct → explode seeds → word/bit split →
     ``bit_or`` per word → gap-fill against ``range(n_words)`` (a
@@ -78,11 +124,13 @@ def build_bloom(
     by n_bits/64 (16 Ki words at the default) — a filter-sized, never
     data-sized, reduction, and the dense ARRAY makes the probe-side
     ``element_at`` an O(1) indexed access. Null keys set no bits (a null
-    never equi-joins).
+    never equi-joins). Keys hash in CANONICAL type (integral → long,
+    float → double): xxhash64 is type-sensitive and an int-vs-bigint
+    build/probe pair would otherwise yield silent false negatives.
     """
     pos = _bit_positions(F.col("__k"), F.col("__seed"), n_bits)
     words = (
-        df.select(F.col(key).alias("__k"))
+        df.select(_canonical_key(F.col(key), _key_dtype(df, key)).alias("__k"))
         .where(F.col("__k").isNotNull())
         .distinct()
         .select(
@@ -106,15 +154,23 @@ def build_bloom(
     n_words = (n_bits + 63) // 64
     slots = df.sparkSession.range(n_words).select(F.col("id").cast("int"))
     dense = slots.join(F.broadcast(words), slots["id"] == words["__w"], "left")
-    return dense.select(
-        F.struct(
-            F.col("id").alias("i"),
-            F.coalesce(F.col("__word"), F.lit(0).cast("long")).alias("w"),
-        ).alias("__e")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list("__e")), lambda e: e["w"]
-        ).alias("__bloom")
+    return (
+        dense.select(
+            F.struct(
+                F.col("id").alias("i"),
+                F.coalesce(F.col("__word"), F.lit(0).cast("long")).alias("w"),
+            ).alias("__e")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__e")), lambda e: e["w"]
+            ).alias("__bloom")
+        )
+        .select(
+            "__bloom",
+            F.lit(n_bits).alias("__n_bits"),
+            F.lit(n_hashes).alias("__n_hashes"),
+        )
     )
 
 
@@ -140,10 +196,17 @@ def bloom_prune(
     probe: DataFrame,
     key: str,
     bloom_df: DataFrame,
-    n_bits: int = DEFAULT_N_BITS,
-    n_hashes: int = DEFAULT_N_HASHES,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Filter ``probe`` down to rows whose ``key`` might be in the filter.
+
+    ``n_bits``/``n_hashes`` default to the values RECORDED IN the filter
+    row by ``build_bloom`` (read via a 1-row ``first()`` — metadata, not
+    data); passing them explicitly is only an assertion. A filter built
+    with non-default parameters therefore can never be probed with the
+    defaults — the mismatch that would silently produce false negatives
+    raises instead.
 
     The 1-row dense-array filter rides a broadcast nested-loop join
     (filter bytes per executor, zero driver collect); the probe then
@@ -151,9 +214,30 @@ def bloom_prune(
     never reach the shuffle. No false negatives: every actual match
     survives.
     """
-    tagged = probe.crossJoin(F.broadcast(bloom_df))
+    if {"__n_bits", "__n_hashes"} <= set(bloom_df.columns):
+        meta = bloom_df.select("__n_bits", "__n_hashes").first()
+        built_bits, built_hashes = int(meta["__n_bits"]), int(meta["__n_hashes"])
+        if n_bits is not None and n_bits != built_bits:
+            raise ValueError(
+                f"bloom filter was built with n_bits={built_bits}, "
+                f"probe requested {n_bits} — mismatched parameters would "
+                "silently drop matching rows"
+            )
+        if n_hashes is not None and n_hashes != built_hashes:
+            raise ValueError(
+                f"bloom filter was built with n_hashes={built_hashes}, "
+                f"probe requested {n_hashes}"
+            )
+        n_bits, n_hashes = built_bits, built_hashes
+    elif n_bits is None or n_hashes is None:
+        raise ValueError(
+            "bloom_df carries no __n_bits/__n_hashes metadata (pre-r14 "
+            "filter?); pass n_bits and n_hashes explicitly"
+        )
+    probe_key = _canonical_key(F.col(key), _key_dtype(probe, key))
+    tagged = probe.crossJoin(F.broadcast(bloom_df.select("__bloom")))
     kept = tagged.where(
-        might_contain(F.col(key), F.col("__bloom"), n_bits, n_hashes)
+        might_contain(probe_key, F.col("__bloom"), n_bits, n_hashes)
     )
     return kept.drop("__bloom")
 
@@ -181,6 +265,15 @@ def bloom_pruned_join(
     keys = [on] if isinstance(on, str) else list(on)
     if len(keys) != 1:
         raise ValueError("bloom_pruned_join prunes on exactly one key column")
+    # Both sides must canonicalize to the same hash type, else xxhash64's
+    # type sensitivity turns a type mismatch into silent false negatives.
+    p_dt, b_dt = _key_dtype(probe, keys[0]), _key_dtype(build, keys[0])
+    if _canon_name(p_dt) != _canon_name(b_dt):
+        raise TypeError(
+            f"bloom_pruned_join key dtypes are hash-incompatible: "
+            f"probe {p_dt.simpleString()} vs build {b_dt.simpleString()} "
+            "(cast one side first; xxhash64 is type-sensitive)"
+        )
     bloom_df = build_bloom(build, keys[0], n_bits, n_hashes)
     pruned = bloom_prune(probe, keys[0], bloom_df, n_bits, n_hashes)
     return pruned.join(build, keys[0], how)

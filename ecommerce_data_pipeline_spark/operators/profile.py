@@ -130,19 +130,22 @@ def column_profile(
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
-def profile_oracle_sql(table: str, cols: dict[str, str]) -> str:
+def profile_oracle_sql(table: str, cols: dict[str, str], avg_scale: int = 100) -> str:
     """DuckDB twin of ``column_profile`` for oracle certification:
     ``cols`` maps column → 'num' | 'str' | 'other' (nulls+ndv only). Emitted as one UNION ALL over
     per-column single-row aggregates (DuckDB folds them into one scan of
-    a parquet view; the SHAPE matches the Spark result exactly)."""
+    a parquet view; the SHAPE matches the Spark result exactly).
+    ``avg_scale`` must equal the ``column_profile`` call's fixed-point
+    quantum (default 100 = cents) — it is emitted into the SQL so a
+    non-default profile can't silently hash-mismatch its oracle."""
     parts = []
     for c, kind in cols.items():
         if kind == "num":
             mins = f"CAST(min({c}) AS DOUBLE)"
             maxs = f"CAST(max({c}) AS DOUBLE)"
             avgs = (
-                f"round(sum(CAST(round({c} * 100) AS BIGINT)) / 100.0 "
-                f"/ nullif(count({c}), 0), 6)"
+                f"round(sum(CAST(round({c} * {avg_scale}) AS BIGINT)) "
+                f"/ {float(avg_scale)} / nullif(count({c}), 0), 6)"
             )
             smin = "CAST(NULL AS VARCHAR)"
             smax = "CAST(NULL AS VARCHAR)"

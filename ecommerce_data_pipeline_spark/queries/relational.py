@@ -2467,9 +2467,17 @@ def q_bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey")
     )
     probe = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    # Size the filter from the BUILD side (next pow2 >= 10x urgent keys,
+    # ~5% fpp at any scale factor): the fixed 2^20 default saturates near
+    # sf>=100 (~30M urgent keys), where pruning approaches zero and the
+    # strict guard below would fail a still-correct query. The count is
+    # on the filtered dimension — the cheap side by construction.
+    n_bits = B.suggest_n_bits(urgent.count())
     # Pin the (1-row) filter so the guard counts and the final agg reuse
     # it instead of re-running the build per action.
-    bloom_df = B.build_bloom(urgent, "l_orderkey").localCheckpoint(eager=True)
+    bloom_df = B.build_bloom(urgent, "l_orderkey", n_bits=n_bits).localCheckpoint(
+        eager=True
+    )
     pruned = B.bloom_prune(probe, "l_orderkey", bloom_df)
     n_probe, n_pruned = probe.count(), pruned.count()
     if not n_pruned < n_probe:

@@ -66,3 +66,29 @@ def test_advice_is_deterministic(spark):
         second.probe_key_ndv,
         second.build_key_ndv,
     )
+
+
+def test_advisor_survives_non_numeric_shuffle_partitions(spark, monkeypatch):
+    """ADVICE r13 low: 'spark.sql.shuffle.partitions' can be 'auto' on
+    some runtimes; the salted path must fall back to defaultParallelism
+    instead of crashing on exactly the skewed join it diagnoses."""
+    from ecommerce_data_pipeline_spark.operators.advisor import advise_join
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(400)] + [(k, 0) for k in range(2, 52)],
+        "k long, v long",
+    )
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    # OSS Spark's typed conf rejects a literal set('...', 'auto'), so
+    # emulate the Databricks-style runtime by faking the getter.
+    real_get = spark.conf.get
+
+    def fake_get(key, *a, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, *a, **kw)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    a = advise_join(probe, build, "k", broadcast_rows=10, skew_share=0.05)
+    assert a.strategy == "salted"
+    assert a.suggested_n_salts and a.suggested_n_salts >= 2

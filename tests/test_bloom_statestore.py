@@ -129,3 +129,56 @@ def test_bloom_prune_survives_probe_column_named_bloom(spark):
     kept = B.bloom_prune(probe, "k", B.build_bloom(build, "k"))
     rows = kept.collect()
     assert [(r["k"], r["bloom"]) for r in rows] == [(1, "keep")]
+
+
+# ---------------------------------------------------------------------------
+# Round-14 ADVICE fixes: type canonicalization + self-describing filters
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_int_build_bigint_probe_no_false_negatives(spark):
+    """ADVICE r13 medium: xxhash64 is type-sensitive, so an int build key
+    probed with a bigint column used to yield silent false negatives.
+    Canonicalization (integral -> long on BOTH sides) makes the mixed
+    pair exact."""
+    build = spark.createDataFrame([(i,) for i in range(50)], "k int")
+    probe = spark.range(0, 1_000).select(F.col("id").alias("k"))  # bigint
+    joined = B.bloom_pruned_join(probe, build, "k")
+    assert {r["k"] for r in joined.collect()} == set(range(50))
+
+
+def test_bloom_param_mismatch_raises_instead_of_dropping_rows(spark):
+    """A filter built with non-default n_bits probed with a different
+    n_bits raises (the filter row records its own parameters) instead of
+    silently false-negating."""
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom_df = B.build_bloom(build, "k", n_bits=1 << 12)
+    with pytest.raises(ValueError, match="n_bits"):
+        B.bloom_prune(probe, "k", bloom_df, n_bits=1 << 20)
+    with pytest.raises(ValueError, match="n_hashes"):
+        B.bloom_prune(probe, "k", bloom_df, n_bits=1 << 12, n_hashes=5)
+    # Omitting the params reads them from the filter row — the safe path.
+    assert B.bloom_prune(probe, "k", bloom_df).count() == 100
+
+
+def test_bloom_incompatible_key_types_refused(spark):
+    """string build vs bigint probe cannot canonicalize to one hash type;
+    the join refuses rather than silently returning an empty result."""
+    build = spark.createDataFrame([("a",), ("b",)], "k string")
+    probe = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(TypeError, match="hash-incompatible"):
+        B.bloom_pruned_join(probe, build, "k")
+
+
+def test_suggest_n_bits_scales_with_build_side():
+    """ADVICE r13 low: the filter is sized from the build-side key count
+    (next pow2 >= 10x keys, floored) so pruning never saturates at high
+    scale factors."""
+    assert B.suggest_n_bits(0) == 1 << 14
+    assert B.suggest_n_bits(100) == 1 << 14
+    assert B.suggest_n_bits(100_000) == 1 << 20
+    assert B.suggest_n_bits(30_000_000) == 1 << 29
+    for n in (1, 1_000, 123_456):
+        m = B.suggest_n_bits(n)
+        assert m >= 10 * n and (m & (m - 1)) == 0
