@@ -150,3 +150,44 @@ def advise_join(
         "sort-merge join is already the right plan",
         **common,
     )
+
+
+def execute_advice(
+    advice: JoinAdvice,
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    spread_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Run the join THE WAY the advice prescribes — the executable half
+    of the advisor, so "measure → prescribe → execute" is one certified
+    path rather than advice a caller may misread. Every strategy is
+    row-for-row identical to ``probe.join(build, on, how)`` (the
+    certification oracle): broadcast/salted/bloom change only the
+    physical plan. ``bucketed`` is a WRITE-time decision
+    (skew.py:write_bucketed) — executing it here would hide the layout
+    cost, so it falls through to the planner's join with the advice left
+    to the table owner.
+
+    ``spread_col`` is required for the salted path (any probe column
+    with per-row variety — an event id, offset, ts)."""
+    from ecommerce_data_pipeline_spark.operators.bloom import bloom_pruned_join
+    from ecommerce_data_pipeline_spark.operators.skew import salted_join
+
+    if advice.strategy == "broadcast":
+        return probe.join(F.broadcast(build), on, how)
+    if advice.strategy == "salted":
+        if spread_col is None:
+            raise ValueError("salted execution needs a spread_col")
+        return salted_join(
+            probe,
+            build,
+            on=on,
+            spread_col=spread_col,
+            n_salts=advice.suggested_n_salts or 16,
+            how=how,
+        )
+    if advice.strategy == "bloom_prune":
+        return bloom_pruned_join(probe, build, on, how)
+    return probe.join(build, on, how)

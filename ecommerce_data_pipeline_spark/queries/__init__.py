@@ -48,93 +48,75 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 13 (policy applied): (0) the seven brand-new round-13 queries
-# (bloom-pruned join, statestore reader, in-flight-reader-vs-vacuum,
-# column profiler, file-skipping index, bucketed co-located join,
-# streaming index maintenance); (1) the four postings-backed queries whose
-# operator CONTRACT changed this round — compact_postings now writes the
-# transitive tombstone closure into every manifest and delete mode
-# removes the whole closure leaf-first (ADVICE r12 high: delete-after-
-# retained used to orphan tombstones as permanent duplicates), and
-# read_postings derives dirs + consumed from ONE listing (ADVICE r12
-# medium: the double-listing race could silently drop rows) — so their
-# certifications must be refreshed against the new code; (2) the 21
-# rolled r08-tail queries (r12 ask #2 remainder; all 21 locally
-# oracle-verified at sf0.01 in round 12 and 9 of them judge-verified);
-# (3) the r09 cohort (50 queries, tools/cert_age.py) in cert_age order —
-# as many as fit the 50-slot window (17 after the new queries took their
-# slots); the rest roll to round 14.
+# ROUND 14 (policy applied): (0) the two brand-new round-14 queries (the
+# advisor certified end-to-end per VERDICT r13 ask #3, and the Z-order x
+# multi-band skipping composition per ask #4); (1) bloom_pruned_order_
+# revenue, whose operator contract AND in-query plan changed this round
+# (ADVICE r13: canonical key hashing, self-describing filter rows, and
+# build-side-scaled n_bits), so its r13 certification must be refreshed;
+# (2) the FULL r09 cohort (33 queries, tools/cert_age.py — VERDICT r13
+# ask #1); (3) the 14 oldest r10-cohort queries in cert_age order — as
+# many as fit the 50-slot window after the new/changed queries took their
+# slots (ask #1 wanted 17; ann_recall_report..forecast_revenue_change fit,
+# gdpr_delete_audit/hybrid_rrf_search/ivf_topk roll to round 15).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
-    # (0) brand-new this round, no driver row yet: the distributed
-    # Bloom-filter pruned join (operators/bloom.py), the Spark-4 State
-    # Data Source reader, the in-flight-reader-vs-vacuum contract as a
-    # certified query (VERDICT r12 ask #4's query leg), the single-pass
-    # column profiler, the file-stats skipping index, and the bucketed
-    # co-located join.
+    # (0) brand-new this round, no driver row yet
+    "advised_skew_join",
+    "zorder_multiband_scan",
+    # (1) operator contract + in-query plan changed this round
     "bloom_pruned_order_revenue",
-    "streaming_state_inspect",
-    "postings_inflight_reader",
-    "orders_column_profile",
-    "file_skipping_scan",
-    "bucketed_colocated_join",
-    "streaming_file_index",
-    # (1) new this round / operator contract changed this round
-    # (postings tombstone-closure fix): postings_delete_after_retain is
-    # the NEW certified leg of the ADVICE r12 high fix — delete-mode
-    # compaction after a retained one must inherit tombstones.
-    "postings_delete_after_retain",
-    "postings_vacuum_read",
-    "streaming_postings_lifecycle",
-    "ann_postings_compaction",
-    "ivf_postings_probe",
-    # (2) the 21 rolled r08-tail queries (oldest cohort)
-    "events_value_quantiles_approx",
-    "important_parts_by_nation",
-    "inventory_counters",
-    "ivf_pq_topk",
-    "kmeans_ivf_topk",
-    "knn_label_accuracy_ivf",
-    "language_temperature_sample",
-    "local_supplier_revenue",
-    "markup_extract_text",
-    "media_embedding_topk",
-    "min_cost_part_supplier",
-    "mmr_diverse_topk",
-    "multitouch_attribution",
-    "order_payments_enriched",
-    "part_profit_by_nation_year",
-    "pq_recall_report",
-    "returnflag_priority_lateness",
-    "tokenizer_fertility_by_lang",
-    "video_scene_cuts",
-    "vocab_growth_curve",
-    "zipf_slope",
-    # (3) the r09 cohort in cert_age order (first 25 of 50)
-    "cdc_chunk_dedup",
-    "contrastive_pairs",
-    "conversion_lag",
-    "copurchase_lift",
-    "corpus_profile_sets",
-    "corpus_snapshot_diff",
-    "curated_training_set",
-    "customer_rfm_segments",
-    "embedding_drift_by_label",
-    "event_path_trigrams",
-    "event_transition_gaps",
-    "events_quarantine",
-    "incremental_view_refresh",
-    "ivf_pq_rerank_topk",
-    "media_resize_plan",
-    "minute_anomalies",
-    "nation_trade_flows",
-    # (ndcg_label_retrieval, order_count_distribution, order_items_revenue,
-    # orders_status_pivot, paid_orders_recent, part_pagerank,
-    # parts_with_shipments and payment_reconciliation roll to round 14:
-    # the seven round-13 new queries and postings_delete_after_retain
-    # took their slots)
+    # (2) the r09 cohort, cert_age order (all 33)
+    "ndcg_label_retrieval",
+    "order_count_distribution",
+    "order_items_revenue",
+    "orders_status_pivot",
+    "paid_orders_recent",
+    "part_pagerank",
+    "parts_with_shipments",
+    "payment_reconciliation",
+    "purchase_and_error_users",
+    "quality_report",
+    "retention_cohorts",
+    "revenue_rollup",
+    "sales_cube",
+    "salted_user_enrich",
+    "session_window_fact",
+    "shipment_status_current",
+    "shipping_priority_top10",
+    "sliding_window_gmv",
+    "source_quality_drift",
+    "stream_stream_attribution_join",
+    "streaming_trending_topk",
+    "streaming_trending_topk_merge",
+    "supplier_diversity",
+    "tfidf_top_terms",
+    "token_freq_cms",
+    "top_customers_per_nation",
+    "top_tokens",
+    "training_corpus_filter",
+    "unigram_logprob_score",
+    "user_state_history",
+    "user_trailing_hour_value",
+    "user_value_moving_avg",
+    "winsorized_event_stats",
+    # (3) the 14 oldest r10-cohort queries, cert_age order
+    "ann_recall_report",
+    "asof_view_before_purchase",
+    "bag_set_ops",
+    "bigram_logprob_score",
+    "bpe_pair_stats",
+    "branded_shipment_revenue",
+    "ccnet_quality_buckets",
+    "cdc_change_feed",
+    "document_chunks",
+    "dsir_importance_weights",
+    "embedding_int8_audit",
+    "eval_contamination_embedding",
+    "event_funnel",
+    "forecast_revenue_change",
     # (4) remaining cohorts follow in registration order; queries
-    # certified in round 12 go last via their registration position.
+    # certified in round 13 go last via their registration position.
 ]
 
 

@@ -183,6 +183,12 @@ AUDITED = [
     # per column)
     "bloom_pruned_order_revenue",
     "orders_column_profile",
+    # round-14 additions (advised join: the executed plan must carry the
+    # advisor-prescribed __salt on both join inputs — prescription
+    # provably took effect; zorder 2-band: the surviving-file scan must
+    # show both range predicates pushed)
+    "advised_skew_join",
+    "zorder_multiband_scan",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries
