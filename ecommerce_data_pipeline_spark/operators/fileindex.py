@@ -54,6 +54,7 @@ def update_file_stats(
     path: str,
     index: DataFrame,
     stat_cols: list[str],
+    pin_fresh: bool = False,
 ) -> DataFrame:
     """Incremental index refresh on append: scan ONLY files not yet in
     ``index`` (an anti-join of the listing against the index's
@@ -67,6 +68,15 @@ def update_file_stats(
     never change once written; rewrites produce NEW paths (our layout
     jobs — zorder, compaction — always do), so anti-join by path is
     sufficient and a vanished file simply stops matching at scan time.
+
+    ``pin_fresh`` materializes the NEW files' stats rows (O(new files)
+    metadata) before the union, so a caller that keeps the returned
+    lazy union across many refreshes (streaming ingest) never re-scans
+    an already-statted file's DATA when the union is later evaluated —
+    the per-refresh cost stays O(new files) with only the union's
+    lineage depth growing, which the caller bounds by folding
+    (full localCheckpoint) every N refreshes. Without it the returned
+    frame is fully lazy (one-shot callers that evaluate once anyway).
     """
     listing = (
         spark.read.parquet(path)
@@ -91,6 +101,8 @@ def update_file_stats(
         .groupBy("file_path")
         .agg(*aggs)
     )
+    if pin_fresh:
+        fresh_stats = fresh_stats.localCheckpoint(eager=True)
     return index.unionByName(fresh_stats)
 
 

@@ -2671,13 +2671,20 @@ def q_streaming_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original table. At 100 TB this is why the index never becomes a
     re-profiling job: refresh cost tracks ingest rate, not table size.
 
-    The per-batch index handoff is a 1-row-per-file localCheckpoint
-    (file-count-bounded metadata, same class as the posting manifests);
-    batch appends are plain parquet appends, so a retry could duplicate a
-    file's rows in the LAKE (exactly-once needs the posting layout's
-    overwrite-by-batch or Delta) — the availableNow drain here has no
-    retries and the full-rebuild equality plus the oracle hash prove the
-    end state."""
+    The per-batch index handoff is APPEND-AND-FOLD (r13 verdict ask #5):
+    each batch pins only ITS new files' stats rows
+    (``update_file_stats(pin_fresh=True)`` — O(new files) metadata) and
+    unions them lazily; every FOLD_EVERY batches the union is folded
+    (full localCheckpoint) to bound lineage depth. Per-batch work is
+    therefore O(new files) + the listing (Delta-log-class metadata), and
+    the O(total files) materialization is paid 1/FOLD_EVERY of the time
+    — at millions of files this is the difference between an index
+    refresh that tracks ingest rate and one that re-materializes the
+    whole index every 10 seconds. Batch appends are plain parquet
+    appends, so a retry could duplicate a file's rows in the LAKE
+    (exactly-once needs the posting layout's overwrite-by-batch or
+    Delta) — the availableNow drain here has no retries and the
+    full-rebuild equality plus the oracle hash prove the end state."""
     import shutil
     import tempfile
 
@@ -2704,15 +2711,27 @@ def q_streaming_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src)
         schema = spark.read.parquet(src).schema
 
+        FOLD_EVERY = 4
+
         def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out)
             if state["index"] is None:
-                idx = build_file_stats(spark, out, ["o_totalprice"])
-            else:
-                idx = update_file_stats(
-                    spark, out, state["index"], ["o_totalprice"]
-                )
-            state["index"] = idx.localCheckpoint(eager=True)
+                state["index"] = build_file_stats(
+                    spark, out, ["o_totalprice"]
+                ).localCheckpoint(eager=True)
+                return
+            # O(new files) per batch: pin only this batch's stats rows,
+            # union lazily; fold the union every FOLD_EVERY batches so
+            # lineage depth stays bounded without re-materializing the
+            # whole index per batch.
+            idx = update_file_stats(
+                spark, out, state["index"], ["o_totalprice"], pin_fresh=True
+            )
+            state["unfolded"] = state.get("unfolded", 0) + 1
+            if state["unfolded"] >= FOLD_EVERY:
+                idx = idx.localCheckpoint(eager=True)
+                state["unfolded"] = 0
+            state["index"] = idx
 
         stream = (
             spark.readStream.schema(schema)

@@ -45,3 +45,29 @@ def test_first_run_always_publishes_baseline():
     shaky (there is no previous run to calibrate against anyway)."""
     assert bench.baseline_publish_path(False, False, None) == "BENCH_FULL.json"
     assert bench.baseline_publish_path(False, True, 2.0) == "BENCH_FULL.json"
+
+
+def test_update_file_stats_pin_fresh_keeps_equality(spark, tmp_path):
+    """pin_fresh materializes only the new files' stats rows; a chain of
+    lazy pinned unions (the streaming append-and-fold shape) must stay
+    row-for-row equal to a full rebuild."""
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        update_file_stats,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    index = build_file_stats(spark, path, ["v"]).localCheckpoint(eager=True)
+    # Three appends, each refreshed lazily with only its fresh rows pinned.
+    for lo in (100, 200, 300):
+        spark.range(lo, lo + 50).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+        index = update_file_stats(spark, path, index, ["v"], pin_fresh=True)
+    got = sorted(map(tuple, index.collect()))
+    want = sorted(map(tuple, build_file_stats(spark, path, ["v"]).collect()))
+    assert got == want and len(got) >= 5
