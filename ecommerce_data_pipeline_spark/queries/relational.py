@@ -2956,3 +2956,160 @@ def q_zorder_multiband_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Lake maintenance tier: small-file compaction (OPTIMIZE bin-packing) and
+# partition-pruned retention delete (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_files_compaction",
+    # Oracle is the same aggregate over the ORIGINAL table: compaction is
+    # pure layout and must be invisible in the result.
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+  CAST(sum(event_id % 1000000) AS BIGINT) AS id_checksum
+FROM events
+GROUP BY 1
+""",
+)
+def q_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing without a log (operators/layout.py): events
+    are landed as 64 tiny files (the streaming-ingest pathology — every
+    scan pays a task + footer read per file), the per-file size listing
+    (one ``_metadata`` scan, O(files) metadata) plans ``ceil(total /
+    target)`` output files, and ONE round-robin repartition rewrites the
+    layout to exactly the planned count. Guards assert the plan said
+    compaction was worth it, the rewrite produced exactly the planned
+    file count, and that count is strictly below the input's — then the
+    oracle proves the rewritten table is row-for-row the original. At
+    100 TB the plan stays driver-cheap (a 1-row agg over the size
+    listing) and the rewrite is one shuffle of exactly the data being
+    compacted — the same cost Delta's OPTIMIZE pays."""
+    import math
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        compact,
+        file_sizes,
+        plan_compaction,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="compact_")
+    try:
+        src, out = f"{root}/small", f"{root}/compacted"
+        ev.repartition(64).write.mode("overwrite").parquet(src)
+        sizes = file_sizes(spark, src)
+        total = sizes.agg(F.sum("file_bytes").alias("t")).first()["t"]
+        plan = plan_compaction(sizes, target_bytes=math.ceil(total / 8))
+        if not (plan["worth_it"] and plan["n_output_files"] == 8):
+            raise AssertionError(f"unexpected compaction plan: {plan}")
+        compact(spark.read.parquet(src), plan).write.mode(
+            "overwrite"
+        ).parquet(out)
+        n_out = file_sizes(spark, out).count()
+        if not (n_out == plan["n_output_files"] < plan["n_input_files"]):
+            raise AssertionError(
+                f"compaction wrote {n_out} files, plan said "
+                f"{plan['n_output_files']} (from {plan['n_input_files']})"
+            )
+        return (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                money_sum("value").alias("value_sum"),
+                F.sum(F.col("event_id") % 1000000).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "partitioned_retention_delete",
+    # Oracle is the plain row filter over the ORIGINAL table: the
+    # partition-level delete must produce exactly the rows a row-level
+    # DELETE WHERE would keep.
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS kept_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1
+""",
+)
+def q_partitioned_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention DELETE that never rewrites the table
+    (operators/layout.py:retention_delete): orders land partitioned by
+    month (p=yyyy-MM of o_orderdate); deleting rows before a MID-month
+    cutoff drops every wholly-expired month as a directory delete (pure
+    metadata), rewrites exactly ONE boundary month with the row filter,
+    and leaves every newer month untouched — asserted byte-identical
+    (path + size listing before vs after). Work is O(dropped dirs) + one
+    partition rewrite regardless of table size: the shape Delta's
+    ``DELETE WHERE ts < cutoff`` reaches via partition pruning, certified
+    here against the row-level filter oracle. In-query guards require
+    all three classes to be non-empty so a degenerate cutoff can't pass
+    the certification."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        file_sizes,
+        retention_delete,
+    )
+
+    cutoff = "1998-03-15 00:00:00"
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="retention_")
+    try:
+        path = f"{root}/orders"
+        orders.withColumn(
+            "p", F.date_format("o_orderdate", "yyyy-MM")
+        ).write.partitionBy("p").mode("overwrite").parquet(path)
+        # Snapshot the untouched months' file listing BEFORE the delete.
+        cut_month = cutoff[:7]
+        listing = file_sizes(spark, path).collect()
+        untouched_before = {
+            (r["file_path"], r["file_bytes"])
+            for r in listing
+            if f"/p={cut_month}" not in r["file_path"]
+            and r["file_path"].split("/p=")[1][:7] > cut_month
+        }
+        stats = retention_delete(spark, path, "o_orderdate", cutoff, "p")
+        if not (stats["dropped"] and stats["rewritten"] and stats["untouched"]):
+            raise AssertionError(f"degenerate retention split: {stats}")
+        after = file_sizes(spark, path).collect()
+        untouched_after = {
+            (r["file_path"], r["file_bytes"])
+            for r in after
+            if f"/p={cut_month}" not in r["file_path"]
+        }
+        if untouched_before != untouched_after:
+            raise AssertionError(
+                "retention delete touched files outside the boundary "
+                f"partition: {len(untouched_before)} before vs "
+                f"{len(untouched_after)} after"
+            )
+        return (
+            spark.read.parquet(path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("kept_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -71,3 +71,73 @@ def test_update_file_stats_pin_fresh_keeps_equality(spark, tmp_path):
     got = sorted(map(tuple, index.collect()))
     want = sorted(map(tuple, build_file_stats(spark, path, ["v"]).collect()))
     assert got == want and len(got) >= 5
+
+
+def test_compaction_plan_arithmetic(spark, tmp_path):
+    """plan_compaction: ceil(total/target) output files, worth_it only
+    when small files outnumber the planned output; compact() produces
+    exactly the planned count."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        compact,
+        file_sizes,
+        plan_compaction,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    ).repartition(20).write.mode("overwrite").parquet(path)
+    sizes = file_sizes(spark, path)
+    total = sizes.agg(F.sum("file_bytes").alias("t")).first()["t"]
+    plan = plan_compaction(sizes, target_bytes=(total + 3) // 4)
+    assert plan["n_input_files"] == 20
+    assert plan["n_output_files"] == 4
+    assert plan["worth_it"]
+    out = str(tmp_path / "out")
+    compact(spark.read.parquet(path), plan).write.parquet(out)
+    assert file_sizes(spark, out).count() == 4
+    # Already-compacted layout: nothing small enough to justify a pass.
+    plan2 = plan_compaction(file_sizes(spark, out), target_bytes=(total + 3) // 4)
+    assert not plan2["worth_it"]
+
+
+def test_retention_delete_split_and_untouched_files(spark, tmp_path):
+    """retention_delete drops whole partitions below the cutoff month,
+    rewrites exactly the boundary month, and leaves newer partitions'
+    files byte-identical; remaining rows equal the row-level filter."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        file_sizes,
+        retention_delete,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 4:02d}-{1 + i % 27:02d} 12:00:00") for i in range(400)],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    df.withColumn("p", F.date_format("ts", "yyyy-MM")).write.partitionBy(
+        "p"
+    ).parquet(path)
+    cutoff = "2024-02-10 00:00:00"
+    before = {
+        (r["file_path"], r["file_bytes"])
+        for r in file_sizes(spark, path).collect()
+        if "/p=2024-03" in r["file_path"] or "/p=2024-04" in r["file_path"]
+    }
+    stats = retention_delete(spark, path, "ts", cutoff, "p")
+    assert stats["dropped"] == ["2024-01"]
+    assert stats["rewritten"] == ["2024-02"]
+    assert stats["untouched"] == ["2024-03", "2024-04"]
+    after = {
+        (r["file_path"], r["file_bytes"])
+        for r in file_sizes(spark, path).collect()
+        if "/p=2024-03" in r["file_path"] or "/p=2024-04" in r["file_path"]
+    }
+    assert before == after
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    want = {
+        r["id"] for r in df.filter(F.col("ts") >= F.lit(cutoff)).collect()
+    }
+    assert got == want and got

@@ -124,6 +124,19 @@ SKIP_BUILD = {
     # build; final plan is the eager checkpoint of the band aggregate
     # (incremental == full-rebuild equality asserted in-query)
     "streaming_file_index",
+    # r14: z-order rewrite + three index prunes run at build; final plan
+    # is the eager checkpoint of the 2-band aggregate (2-D pruning
+    # superiority asserted in-query; survivor-scan pushdown same as
+    # file_skipping_scan)
+    "zorder_multiband_scan",
+    # r14: 64-file landing + size listing + planned rewrite run at
+    # build; final plan is the eager checkpoint of the content aggregate
+    # (plan arithmetic + exact output file count asserted in-query)
+    "small_files_compaction",
+    # r14: partitioned write + dir drops + boundary rewrite run at
+    # build; final plan is the eager checkpoint of the kept-rows
+    # aggregate (untouched-files byte-identity asserted in-query)
+    "partitioned_retention_delete",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
