@@ -189,5 +189,12 @@ def execute_advice(
             how=how,
         )
     if advice.strategy == "bloom_prune":
-        return bloom_pruned_join(probe, build, on, how)
+        from ecommerce_data_pipeline_spark.operators.bloom import suggest_n_bits
+
+        # The advice already measured the build key NDV — size the filter
+        # from it instead of trusting the fixed default (which saturates
+        # once the build side outgrows ~100k keys; ADVICE r13 low).
+        return bloom_pruned_join(
+            probe, build, on, how, n_bits=suggest_n_bits(advice.build_key_ndv)
+        )
     return probe.join(build, on, how)

@@ -115,6 +115,36 @@ def list_partition_dirs(spark: SparkSession, path: str, col: str) -> list[str]:
     return sorted(vals)
 
 
+_RETENTION_TMP = ".retention_tmp_"
+
+
+def repair_retention(spark: SparkSession, path: str, partition_col: str = "p") -> dict:
+    """Self-heal a crashed ``retention_delete`` swap. For every leftover
+    ``.retention_tmp_<col>=<v>`` dir: if the real partition dir is GONE
+    the crash hit between delete and rename — finish the rename (the tmp
+    holds the complete filtered rewrite, written before the delete); if
+    the real dir still EXISTS the crash hit before the delete — drop the
+    tmp, the original is untouched and the rewrite re-runs. Driver-side
+    metadata only. Returns ``{completed: [...], discarded: [...]}``."""
+    fs, jpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    completed, discarded = [], []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(_RETENTION_TMP)):
+            continue
+        real = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{name[len(_RETENTION_TMP):]}"
+        )
+        if fs.exists(real):
+            fs.delete(st.getPath(), True)
+            discarded.append(name)
+        else:
+            fs.rename(st.getPath(), real)
+            completed.append(name)
+    return {"completed": completed, "discarded": discarded}
+
+
 def retention_delete(
     spark: SparkSession,
     path: str,
@@ -133,7 +163,14 @@ def retention_delete(
     Returns ``{dropped, rewritten, untouched}`` partition-value lists.
     The rewrite is tmp-write → delete → rename within the partition dir —
     the non-transactional analogue of Delta's DELETE; run it in the same
-    maintenance window as compaction."""
+    maintenance window as compaction. Crash-safe via
+    ``repair_retention`` (run automatically first): a crash between the
+    boundary delete and the rename leaves a tmp dir whose original is
+    gone — the repair completes the rename; a crash before the delete
+    leaves both — the repair discards the tmp (the original is still
+    whole, the rewrite simply re-runs). Same self-healing discipline as
+    ``postings.repair_postings``."""
+    repair_retention(spark, path, partition_col)
     parts = list_partition_dirs(spark, path, partition_col)
     if not parts:
         raise ValueError(f"no {partition_col}= partition dirs under {path}")
@@ -148,7 +185,7 @@ def retention_delete(
     for v in boundary:
         part_dir = f"{path}/{partition_col}={v}"
         kept = spark.read.parquet(part_dir).filter(F.col(ts_col) >= F.lit(cutoff))
-        tmp = f"{path}/.retention_tmp_{partition_col}={v}"
+        tmp = f"{path}/{_RETENTION_TMP}{partition_col}={v}"
         kept.write.mode("overwrite").parquet(tmp)
         fs.delete(jvm.org.apache.hadoop.fs.Path(part_dir), True)
         fs.rename(

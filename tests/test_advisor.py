@@ -92,3 +92,42 @@ def test_advisor_survives_non_numeric_shuffle_partitions(spark, monkeypatch):
     a = advise_join(probe, build, "k", broadcast_rows=10, skew_share=0.05)
     assert a.strategy == "salted"
     assert a.suggested_n_salts and a.suggested_n_salts >= 2
+
+
+def test_execute_advice_matches_plain_join_per_strategy(spark):
+    """execute_advice is row-for-row the plain join for every strategy it
+    can execute locally (broadcast, salted, bloom_prune, shuffle) — the
+    bloom leg also exercises the NDV-sized filter path."""
+    from ecommerce_data_pipeline_spark.operators.advisor import (
+        JoinAdvice,
+        advise_join,
+        execute_advice,
+    )
+
+    probe = spark.range(0, 2_000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("rid")
+    )
+    build = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    want = sorted(
+        (r["k"], r["rid"], r["b"]) for r in probe.join(build, "k").collect()
+    )
+    for strategy in ("broadcast", "salted", "bloom_prune", "shuffle"):
+        advice = JoinAdvice(
+            strategy,
+            "forced for test",
+            probe_rows=2_000,
+            build_rows=120,
+            probe_key_ndv=400,
+            build_key_ndv=120,
+            top_key_share=0.0,
+            suggested_n_salts=4,
+        )
+        got = sorted(
+            (r["k"], r["rid"], r["b"])
+            for r in execute_advice(
+                advice, probe, build, on="k", spread_col="rid"
+            ).collect()
+        )
+        assert got == want, strategy

@@ -141,3 +141,69 @@ def test_retention_delete_split_and_untouched_files(spark, tmp_path):
         r["id"] for r in df.filter(F.col("ts") >= F.lit(cutoff)).collect()
     }
     assert got == want and got
+
+
+def _month_table(spark, tmp_path, name="t"):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 3:02d}-{1 + i % 27:02d} 12:00:00") for i in range(300)],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    df.withColumn("p", F.date_format("ts", "yyyy-MM")).write.partitionBy(
+        "p"
+    ).parquet(path)
+    return path, df
+
+
+def test_retention_repair_completes_interrupted_swap(spark, tmp_path):
+    """Crash between delete and rename: tmp dir exists, real dir gone —
+    repair finishes the rename and the table reads whole."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        repair_retention,
+        retention_delete,
+    )
+
+    path, df = _month_table(spark, tmp_path)
+    # Simulate the crash state by hand: filtered rewrite staged in tmp,
+    # original partition deleted, rename never happened.
+    cutoff = "2024-02-10 00:00:00"
+    part = f"{path}/p=2024-02"
+    tmp = f"{path}/.retention_tmp_p=2024-02"
+    spark.read.parquet(part).filter(F.col("ts") >= F.lit(cutoff)).write.parquet(tmp)
+    shutil.rmtree(part)
+    rep = repair_retention(spark, path)
+    assert rep["completed"] == [".retention_tmp_p=2024-02"]
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    want = {
+        r["id"]
+        for r in df.filter(
+            (F.date_format("ts", "yyyy-MM") != "2024-02")
+            | (F.col("ts") >= F.lit(cutoff))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_retention_repair_discards_stale_tmp_and_rerun_is_clean(spark, tmp_path):
+    """Crash before the delete: both dirs exist — repair discards the
+    tmp; a re-run of retention_delete then produces the exact filter."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.layout import retention_delete
+
+    path, df = _month_table(spark, tmp_path)
+    cutoff = "2024-02-10 00:00:00"
+    tmp = f"{path}/.retention_tmp_p=2024-02"
+    # Stale tmp from a crash BEFORE the original was deleted.
+    spark.read.parquet(f"{path}/p=2024-02").limit(3).write.parquet(tmp)
+    stats = retention_delete(spark, path, "ts", cutoff, "p")
+    assert stats["dropped"] == ["2024-01"] and stats["rewritten"] == ["2024-02"]
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    want = {r["id"] for r in df.filter(F.col("ts") >= F.lit(cutoff)).collect()}
+    assert got == want
