@@ -95,15 +95,22 @@ def _key_dtype(df: DataFrame, key: str) -> DataType:
     raise ValueError(f"key column {key!r} not found in {df.columns}")
 
 
-def suggest_n_bits(n_keys: int, min_bits: int = 1 << 14) -> int:
+def suggest_n_bits(
+    n_keys: int, min_bits: int = 1 << 14, max_bits: int = 1 << 27
+) -> int:
     """Filter size for ``n_keys`` distinct build keys: next power of two
     >= 10 * n_keys (fpp ~5% at k=3), floored at ``min_bits`` so tiny
-    builds still get a word array worth broadcasting. Callers that
+    builds still get a word array worth broadcasting, CAPPED at
+    ``max_bits`` (2^27 = 16 MB — the broadcast budget per SCALE.md §10;
+    an uncapped suggestion at ~1e9 keys would prescribe a 2 GiB
+    broadcast). At the cap the filter degrades gracefully — higher fpp,
+    never false negatives; past ~13M keys prefer Spark's own
+    ``runtime.bloomFilter`` or a semi-join pre-pass. Callers that
     already pay a count on the (small, filtered) build side should feed
     it here instead of trusting the 2^20 default — at sf>=100 the
     default saturates and pruning silently approaches zero."""
     target = max(int(min_bits), 10 * max(1, int(n_keys)))
-    return 1 << (target - 1).bit_length()
+    return min(int(max_bits), 1 << (target - 1).bit_length())
 
 
 def build_bloom(

@@ -178,7 +178,10 @@ def test_suggest_n_bits_scales_with_build_side():
     assert B.suggest_n_bits(0) == 1 << 14
     assert B.suggest_n_bits(100) == 1 << 14
     assert B.suggest_n_bits(100_000) == 1 << 20
-    assert B.suggest_n_bits(30_000_000) == 1 << 29
+    # Broadcast-budget cap (SCALE.md §10): 2^27 bits = 16 MB; an uncapped
+    # 30M-key suggestion would be a 64 MB broadcast, 1e9 keys a 2 GiB one.
+    assert B.suggest_n_bits(30_000_000) == 1 << 27
+    assert B.suggest_n_bits(1_000_000_000) == 1 << 27
     for n in (1, 1_000, 123_456):
         m = B.suggest_n_bits(n)
         assert m >= 10 * n and (m & (m - 1)) == 0
