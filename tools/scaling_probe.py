@@ -82,6 +82,13 @@ HEAVY = {
     "zorder_orders_layout": "orders",
     "dup_span_runs": "documents",
     "part_reachability_rcte": "lineitem",
+    # r14 additions (>2.5 s at sf0.1 in the clean r14 bench, plus the two
+    # borderline lake-ops queries for completeness)
+    "zorder_multiband_scan": "orders",
+    "partitioned_retention_delete": "orders",
+    "small_files_compaction": "events",
+    "advised_skew_join": "events",
+    "streaming_file_index": "orders",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
