@@ -135,9 +135,10 @@ def build_bloom(
     float → double): xxhash64 is type-sensitive and an int-vs-bigint
     build/probe pair would otherwise yield silent false negatives.
     """
+    key_dtype = _key_dtype(df, key)
     pos = _bit_positions(F.col("__k"), F.col("__seed"), n_bits)
     words = (
-        df.select(_canonical_key(F.col(key), _key_dtype(df, key)).alias("__k"))
+        df.select(_canonical_key(F.col(key), key_dtype).alias("__k"))
         .where(F.col("__k").isNotNull())
         .distinct()
         .select(
@@ -177,6 +178,7 @@ def build_bloom(
             "__bloom",
             F.lit(n_bits).alias("__n_bits"),
             F.lit(n_hashes).alias("__n_hashes"),
+            F.lit(_canon_name(key_dtype)).alias("__key_type"),
         )
     )
 
@@ -210,10 +212,16 @@ def bloom_prune(
 
     ``n_bits``/``n_hashes`` default to the values RECORDED IN the filter
     row by ``build_bloom`` (read via a 1-row ``first()`` — metadata, not
-    data); passing them explicitly is only an assertion. A filter built
-    with non-default parameters therefore can never be probed with the
-    defaults — the mismatch that would silently produce false negatives
-    raises instead.
+    data); passing them explicitly is only an assertion, and the probe
+    key's canonical type is checked against the recorded ``__key_type``.
+    A filter built with non-default parameters (or over a different key
+    type) therefore can never be probed inconsistently — the mismatch
+    that would silently produce false negatives raises instead.
+
+    The metadata ``first()`` EVALUATES the filter frame: pass a pinned
+    filter (``build_bloom(...).localCheckpoint(eager=True)``, as
+    ``bloom_pruned_join`` does) when the prune feeds more than one
+    action, or the lazy build re-runs per action.
 
     The 1-row dense-array filter rides a broadcast nested-loop join
     (filter bytes per executor, zero driver collect); the probe then
@@ -221,9 +229,25 @@ def bloom_prune(
     never reach the shuffle. No false negatives: every actual match
     survives.
     """
+    probe_dtype = _key_dtype(probe, key)
     if {"__n_bits", "__n_hashes"} <= set(bloom_df.columns):
-        meta = bloom_df.select("__n_bits", "__n_hashes").first()
+        meta_cols = ["__n_bits", "__n_hashes"] + (
+            ["__key_type"] if "__key_type" in bloom_df.columns else []
+        )
+        meta = bloom_df.select(*meta_cols).first()
         built_bits, built_hashes = int(meta["__n_bits"]), int(meta["__n_hashes"])
+        if "__key_type" in meta_cols and meta["__key_type"] != _canon_name(
+            probe_dtype
+        ):
+            # Same silent-false-negative channel as mismatched n_bits: a
+            # filter built from (say) string hashes probed with a bigint
+            # column matches essentially no bits and empties the join.
+            raise TypeError(
+                f"bloom filter was built over {meta['__key_type']} keys; "
+                f"probe column {key!r} canonicalizes to "
+                f"{_canon_name(probe_dtype)} — hash-incompatible "
+                "(cast the probe key first)"
+            )
         if n_bits is not None and n_bits != built_bits:
             raise ValueError(
                 f"bloom filter was built with n_bits={built_bits}, "
@@ -241,7 +265,7 @@ def bloom_prune(
             "bloom_df carries no __n_bits/__n_hashes metadata (pre-r14 "
             "filter?); pass n_bits and n_hashes explicitly"
         )
-    probe_key = _canonical_key(F.col(key), _key_dtype(probe, key))
+    probe_key = _canonical_key(F.col(key), probe_dtype)
     tagged = probe.crossJoin(F.broadcast(bloom_df.select("__bloom")))
     kept = tagged.where(
         might_contain(probe_key, F.col("__bloom"), n_bits, n_hashes)
@@ -281,6 +305,11 @@ def bloom_pruned_join(
             f"probe {p_dt.simpleString()} vs build {b_dt.simpleString()} "
             "(cast one side first; xxhash64 is type-sensitive)"
         )
-    bloom_df = build_bloom(build, keys[0], n_bits, n_hashes)
+    # Pin the 1-row filter: bloom_prune's metadata read plus every
+    # downstream action would otherwise each re-run the whole build-side
+    # aggregation (a lazy build executed once per action).
+    bloom_df = build_bloom(build, keys[0], n_bits, n_hashes).localCheckpoint(
+        eager=True
+    )
     pruned = bloom_prune(probe, keys[0], bloom_df, n_bits, n_hashes)
     return pruned.join(build, keys[0], how)

@@ -119,29 +119,46 @@ _RETENTION_TMP = ".retention_tmp_"
 
 
 def repair_retention(spark: SparkSession, path: str, partition_col: str = "p") -> dict:
-    """Self-heal a crashed ``retention_delete`` swap. For every leftover
-    ``.retention_tmp_<col>=<v>`` dir: if the real partition dir is GONE
-    the crash hit between delete and rename — finish the rename (the tmp
-    holds the complete filtered rewrite, written before the delete); if
-    the real dir still EXISTS the crash hit before the delete — drop the
-    tmp, the original is untouched and the rewrite re-runs. Driver-side
-    metadata only. Returns ``{completed: [...], discarded: [...]}``."""
+    """Self-heal a crashed ``retention_delete`` swap for ``partition_col``'s
+    tmp dirs. The decision key is whether the TMP rewrite COMPLETED (its
+    ``_SUCCESS`` marker exists — Spark writes it as the commit of the
+    job), NOT whether the real dir still exists: ``retention_delete``
+    only starts deleting the original AFTER the tmp write committed, but
+    the recursive delete itself is file-by-file (local FS, object
+    stores), so a crash mid-delete leaves a PARTIAL original — deciding
+    by real-dir existence would discard the complete tmp and re-derive
+    the rewrite from the mutilated original, silently losing rows.
+
+    - tmp has ``_SUCCESS`` → the rewrite is whole: finish the swap
+      (drop whatever remains of the original, rename tmp in).
+    - tmp lacks ``_SUCCESS`` → the crash hit during the tmp write, so
+      the original was never touched: discard the tmp; the rewrite
+      simply re-runs.
+
+    Driver-side metadata only. Returns ``{completed: [...],
+    discarded: [...]}``."""
     fs, jpath = _fs(spark, path)
     jvm = spark.sparkContext._jvm
+    prefix = f"{_RETENTION_TMP}{partition_col}="
     completed, discarded = [], []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith(_RETENTION_TMP)):
+        if not (st.isDirectory() and name.startswith(prefix)):
             continue
         real = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{name[len(_RETENTION_TMP):]}"
         )
-        if fs.exists(real):
-            fs.delete(st.getPath(), True)
-            discarded.append(name)
-        else:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{name}/_SUCCESS"
+        )
+        if fs.exists(marker):
+            if fs.exists(real):
+                fs.delete(real, True)
             fs.rename(st.getPath(), real)
             completed.append(name)
+        else:
+            fs.delete(st.getPath(), True)
+            discarded.append(name)
     return {"completed": completed, "discarded": discarded}
 
 

@@ -185,3 +185,14 @@ def test_suggest_n_bits_scales_with_build_side():
     for n in (1, 1_000, 123_456):
         m = B.suggest_n_bits(n)
         assert m >= 10 * n and (m & (m - 1)) == 0
+
+
+def test_bloom_key_type_mismatch_between_build_and_prune_raises(spark):
+    """Review fix: the filter row records its canonical key type, so the
+    two-step build/prune API (persisted or broadcast filters) refuses a
+    hash-incompatible probe instead of silently pruning to empty."""
+    build = spark.createDataFrame([("a",), ("b",)], "k string")
+    bloom_df = B.build_bloom(build, "k")
+    probe = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(TypeError, match="hash-incompatible"):
+        B.bloom_prune(probe, "k", bloom_df)

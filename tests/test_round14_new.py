@@ -190,9 +190,14 @@ def test_retention_repair_completes_interrupted_swap(spark, tmp_path):
     assert got == want
 
 
-def test_retention_repair_discards_stale_tmp_and_rerun_is_clean(spark, tmp_path):
-    """Crash before the delete: both dirs exist — repair discards the
-    tmp; a re-run of retention_delete then produces the exact filter."""
+def test_retention_repair_discards_uncommitted_tmp_and_rerun_is_clean(
+    spark, tmp_path
+):
+    """Crash DURING the tmp write (no _SUCCESS marker): the original was
+    never touched — repair discards the partial tmp and a re-run of
+    retention_delete produces the exact filter."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ecommerce_data_pipeline_spark.operators.layout import retention_delete
@@ -200,10 +205,48 @@ def test_retention_repair_discards_stale_tmp_and_rerun_is_clean(spark, tmp_path)
     path, df = _month_table(spark, tmp_path)
     cutoff = "2024-02-10 00:00:00"
     tmp = f"{path}/.retention_tmp_p=2024-02"
-    # Stale tmp from a crash BEFORE the original was deleted.
+    # Partial tmp: a write whose job never committed (_SUCCESS removed).
     spark.read.parquet(f"{path}/p=2024-02").limit(3).write.parquet(tmp)
+    os.remove(f"{tmp}/_SUCCESS")
     stats = retention_delete(spark, path, "ts", cutoff, "p")
     assert stats["dropped"] == ["2024-01"] and stats["rewritten"] == ["2024-02"]
     got = {r["id"] for r in spark.read.parquet(path).collect()}
     want = {r["id"] for r in df.filter(F.col("ts") >= F.lit(cutoff)).collect()}
+    assert got == want
+
+
+def test_retention_repair_finishes_swap_over_partially_deleted_original(
+    spark, tmp_path
+):
+    """Crash MID-DELETE of the original (tmp committed, real dir partially
+    gone): deciding by real-dir existence would discard the complete tmp
+    and re-derive from the mutilated original, silently losing rows — the
+    _SUCCESS rule finishes the swap instead and the table reads exactly
+    the filtered rewrite."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.layout import repair_retention
+
+    path, df = _month_table(spark, tmp_path)
+    cutoff = "2024-02-10 00:00:00"
+    part = f"{path}/p=2024-02"
+    tmp = f"{path}/.retention_tmp_p=2024-02"
+    # The committed rewrite (this is what retention_delete stages).
+    spark.read.parquet(part).filter(F.col("ts") >= F.lit(cutoff)).write.parquet(tmp)
+    # Simulate the crash landing mid-way through the file-by-file delete
+    # of the original: one part file already gone, the dir still there.
+    os.remove(sorted(glob.glob(f"{part}/part-*.parquet"))[0])
+    rep = repair_retention(spark, path)
+    assert rep["completed"] == [".retention_tmp_p=2024-02"]
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    want = {
+        r["id"]
+        for r in df.filter(
+            (F.date_format("ts", "yyyy-MM") != "2024-02")
+            | (F.col("ts") >= F.lit(cutoff))
+        ).collect()
+    }
     assert got == want

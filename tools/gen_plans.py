@@ -185,8 +185,10 @@ AUDITED = [
     "orders_column_profile",
     # round-14 additions (advised join: the executed plan must carry the
     # advisor-prescribed __salt on both join inputs — prescription
-    # provably took effect; zorder 2-band: the surviving-file scan must
-    # show both range predicates pushed)
+    # provably took effect; zorder 2-band runs its scans at BUILD time,
+    # so this entry records only the final checkpoint plan — the
+    # survivor-scan pushdown is asserted in-query and by
+    # tests/test_profile_fileindex.py, not here)
     "advised_skew_join",
     "zorder_multiband_scan",
 ]
