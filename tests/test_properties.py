@@ -435,3 +435,95 @@ def test_column_profile_matches_python_property(spark, rows):
     if strs:
         assert prof["s"]["min_str"] == min(strs)
         assert prof["s"]["max_str"] == max(strs)
+
+
+# ---------------------------------------------------------------------------
+# Round-14: lake-maintenance kernels (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+retention_case = st.tuples(
+    # (month, day) per row — months 1..5, days 1..27
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=1, max_value=27),
+        ),
+        min_size=5,
+        max_size=60,
+    ),
+    # cutoff month/day
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=27),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(retention_case)
+def test_retention_delete_equals_row_filter_property(spark, tmp_path_factory, case):
+    """For ANY row distribution over months and ANY cutoff (including
+    cutoffs landing in empty months, the first month, or past the last):
+    the partition-level delete keeps exactly the rows a row-level
+    ``ts >= cutoff`` filter keeps, and the three partition classes are a
+    disjoint cover of the table's months."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.layout import retention_delete
+
+    rows, cm, cd = case
+    path = str(tmp_path_factory.mktemp("ret") / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-{m:02d}-{d:02d} 06:00:00") for i, (m, d) in enumerate(rows)],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    df.withColumn("p", F.date_format("ts", "yyyy-MM")).write.partitionBy(
+        "p"
+    ).parquet(path)
+    cutoff = f"2024-{cm:02d}-{cd:02d} 00:00:00"
+    stats = retention_delete(spark, path, "ts", cutoff, "p")
+    months = {f"2024-{m:02d}" for m, _ in rows}
+    assert set(stats["dropped"] + stats["rewritten"] + stats["untouched"]) == months
+    assert not (set(stats["dropped"]) & set(stats["untouched"]))
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect()) if (
+        stats["rewritten"] or stats["untouched"]
+    ) else []
+    want = sorted(
+        r["id"] for r in df.filter(F.col("ts") >= F.lit(cutoff)).collect()
+    )
+    assert got == want
+
+
+compaction_case = st.tuples(
+    st.integers(min_value=1, max_value=40),  # input files
+    st.integers(min_value=1, max_value=12),  # target divisor
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(compaction_case)
+def test_compaction_content_neutral_property(spark, tmp_path_factory, case):
+    """For ANY input file count and target size: compact() writes exactly
+    plan['n_output_files'] files and the row multiset is unchanged."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        compact,
+        file_sizes,
+        plan_compaction,
+    )
+
+    n_files, divisor = case
+    base = tmp_path_factory.mktemp("cmp")
+    src, out = str(base / "src"), str(base / "out")
+    spark.range(0, 2_000).select(
+        F.col("id"), (F.col("id") % 13).alias("g")
+    ).repartition(n_files).write.parquet(src)
+    sizes = file_sizes(spark, src)
+    total = sizes.agg(F.sum("file_bytes").alias("t")).first()["t"]
+    plan = plan_compaction(sizes, target_bytes=max(1, math.ceil(total / divisor)))
+    compact(spark.read.parquet(src), plan).write.parquet(out)
+    assert file_sizes(spark, out).count() == plan["n_output_files"]
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert got == want
