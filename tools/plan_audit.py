@@ -137,6 +137,10 @@ SKIP_BUILD = {
     # build; final plan is the eager checkpoint of the kept-rows
     # aggregate (untouched-files byte-identity asserted in-query)
     "partitioned_retention_delete",
+    # r14: catalog-table writes + ANALYZE + the two plan contrasts run at
+    # build; final plan is the eager checkpoint of the joined aggregate
+    # (SMJ-without-stats / static-BHJ-with-stats asserted in-query)
+    "cbo_stats_broadcast",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
