@@ -48,19 +48,20 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 14 (policy applied): (0) the five brand-new round-14 queries (the
+# ROUND 14 (policy applied): (0) the six brand-new round-14 queries (the
 # advisor certified end-to-end per VERDICT r13 ask #3, the Z-order x
 # multi-band skipping composition per ask #4, the lake-maintenance
 # pair — small-file compaction and partition-pruned retention delete —
-# and the CBO ANALYZE-statistics plan-flip certification);
+# the CBO ANALYZE-statistics plan-flip certification, and incremental
+# Z-order maintenance);
 # (1) bloom_pruned_order_revenue, whose operator contract AND in-query
 # plan changed this round (ADVICE r13: canonical key hashing,
 # self-describing filter rows, and build-side-scaled n_bits), so its r13
 # certification must be refreshed; (2) the FULL r09 cohort (33 queries,
-# tools/cert_age.py — VERDICT r13 ask #1); (3) the 11 oldest r10-cohort
+# tools/cert_age.py — VERDICT r13 ask #1); (3) the 10 oldest r10-cohort
 # queries in cert_age order — as many as fit the 50-slot window after
 # the new/changed queries took their slots (ask #1 wanted 17;
-# ann_recall_report..embedding_int8_audit fit,
+# ann_recall_report..dsir_importance_weights fit; embedding_int8_audit /
 # eval_contamination_embedding / event_funnel / forecast_revenue_change /
 # gdpr_delete_audit / hybrid_rrf_search / ivf_topk roll to round 15).
 # ---------------------------------------------------------------------------
@@ -71,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "small_files_compaction",
     "partitioned_retention_delete",
     "cbo_stats_broadcast",
+    "incremental_zorder_maintenance",
     # (1) operator contract + in-query plan changed this round
     "bloom_pruned_order_revenue",
     # (2) the r09 cohort, cert_age order (all 33)
@@ -107,7 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_trailing_hour_value",
     "user_value_moving_avg",
     "winsorized_event_stats",
-    # (3) the 11 oldest r10-cohort queries, cert_age order
+    # (3) the 10 oldest r10-cohort queries, cert_age order
     "ann_recall_report",
     "asof_view_before_purchase",
     "bag_set_ops",
@@ -118,7 +120,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_change_feed",
     "document_chunks",
     "dsir_importance_weights",
-    "embedding_int8_audit",
     # (4) remaining cohorts follow in registration order; queries
     # certified in round 13 go last via their registration position.
 ]

@@ -3219,3 +3219,121 @@ def q_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_fact}")
         spark.sql(f"DROP TABLE IF EXISTS {t_dim}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental Z-order maintenance: re-cluster ONLY the appended files
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_zorder_maintenance",
+    # Oracle is the plain band scan over the ORIGINAL table: incremental
+    # re-clustering is pure layout and must be invisible in the result.
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS band_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+GROUP BY 1
+""",
+)
+def q_incremental_zorder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-Clustering-style INCREMENTAL OPTIMIZE (operators/zorder.py +
+    operators/layout.py + operators/fileindex.py composed): a table whose
+    bulk is already Z-ordered receives a batch of unclustered appends
+    (the steady state of every clustered 100 TB table — ingest never
+    arrives pre-clustered); maintenance re-clusters ONLY the appended
+    rows into their own Z-ordered files and swaps them in, leaving every
+    base file byte-identical (asserted: path+size listing of the base is
+    unchanged) — rewrite cost is O(new data), never O(table), which is
+    the whole difference between Delta's OPTIMIZE ZORDER (full rewrite
+    per run) and liquid/incremental clustering. The guard then proves
+    the maintained layout still SKIPS: a band scan through the refreshed
+    stats index reads strictly fewer files than the table holds. Result
+    certified row-identical to the plain band scan of the original."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        skipping_scan,
+    )
+    from ecommerce_data_pipeline_spark.operators.layout import file_sizes
+    from ecommerce_data_pipeline_spark.operators.zorder import zorder
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_rows = orders.filter(F.col("o_orderkey") % 5 != 0)
+    fresh_rows = orders.filter(F.col("o_orderkey") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="inc_zorder_")
+    try:
+        path = f"{root}/orders"
+        # Bulk: Z-ordered base layout (the expensive full OPTIMIZE, paid
+        # once historically).
+        zorder(
+            base_rows, ["o_totalprice", "o_custkey"], bits=5, n_files=16
+        ).write.mode("overwrite").parquet(path)
+        base_files = {
+            (r["file_path"], r["file_bytes"])
+            for r in file_sizes(spark, path).collect()
+        }
+        # Ingest: unclustered appends land as small files.
+        fresh_rows.repartition(8).write.mode("append").parquet(path)
+        appended = [
+            r["file_path"]
+            for r in file_sizes(spark, path).collect()
+            if (r["file_path"], r["file_bytes"]) not in base_files
+        ]
+        if not appended:
+            raise AssertionError("fixture produced no appended files")
+        # Maintenance: re-cluster ONLY the appended files (O(new data)),
+        # then swap them for the clustered replacements.
+        fresh_scan = spark.read.parquet(*appended)
+        zorder(
+            fresh_scan, ["o_totalprice", "o_custkey"], bits=5, n_files=4
+        ).write.mode("overwrite").parquet(f"{root}/reclustered")
+        fs = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        hadoop_fs = fs(path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        for p in appended:
+            hadoop_fs.delete(fs(p), False)
+        import glob
+        import os
+
+        recl = f"{root}/reclustered"
+        for p in sorted(glob.glob(f"{recl}/part-*.parquet")):
+            hadoop_fs.rename(
+                fs(p), fs(f"{path}/recl-{os.path.basename(p)}")
+            )
+        # Base files byte-identical: maintenance never touched the bulk.
+        after = {
+            (r["file_path"], r["file_bytes"])
+            for r in file_sizes(spark, path).collect()
+        }
+        if not base_files <= after:
+            raise AssertionError(
+                "incremental maintenance modified base files: "
+                f"{len(base_files - after)} changed"
+            )
+        # The maintained layout still skips.
+        index = build_file_stats(spark, path, ["o_totalprice"]).localCheckpoint(
+            eager=True
+        )
+        scanned, stats = skipping_scan(
+            spark, index, "o_totalprice", 100000.0, 150000.0
+        )
+        if not stats["n_files_scanned"] < stats["n_files_total"]:
+            raise AssertionError(f"maintained layout does not skip: {stats}")
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("band_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -141,6 +141,11 @@ SKIP_BUILD = {
     # build; final plan is the eager checkpoint of the joined aggregate
     # (SMJ-without-stats / static-BHJ-with-stats asserted in-query)
     "cbo_stats_broadcast",
+    # r14: base z-order write + append + incremental re-cluster + swap
+    # run at build; final plan is the eager checkpoint of the band
+    # aggregate (base-files byte-identity + post-maintenance skipping
+    # asserted in-query)
+    "incremental_zorder_maintenance",
 }
 
 # Documented Arrow-vectorized extension ops (see SCALE.md §5). Anything
