@@ -89,6 +89,8 @@ HEAVY = {
     "small_files_compaction": "events",
     "advised_skew_join": "events",
     "streaming_file_index": "orders",
+    "cbo_stats_broadcast": "lineitem",
+    "incremental_zorder_maintenance": "orders",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
