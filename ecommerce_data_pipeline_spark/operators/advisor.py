@@ -85,8 +85,13 @@ def advise_join(
     ).first()
     probe_rows, probe_ndv = int(p["n"]), int(p["ndv"])
     build_rows, build_ndv = int(b["n"]), int(b["ndv"])
+    # NULL keys never survive an equi-join's isnotnull pushdown, so a
+    # NULL-heavy probe is NOT skewed — counting the NULL group here used
+    # to prescribe a pointless salted join (dim x n_salts explosion) for
+    # rows that never reach the shuffle at all.
     top = (
-        probe.groupBy(key)
+        probe.where(F.col(key).isNotNull())
+        .groupBy(key)
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc())
         .limit(1)
@@ -175,9 +180,20 @@ def execute_advice(
     from ecommerce_data_pipeline_spark.operators.bloom import bloom_pruned_join
     from ecommerce_data_pipeline_spark.operators.skew import salted_join
 
+    # Each strategy's operator supports only the join types where its
+    # rewrite is sound (salting: inner/left; bloom pruning: inner/semi).
+    # Advice is computed per table pair, not per join type, so a cached
+    # prescription executed with an unsupported `how` falls back to the
+    # planner's plain join — same contract as `bucketed` — instead of
+    # crashing on a join the docstring promises to answer.
     if advice.strategy == "broadcast":
         return probe.join(F.broadcast(build), on, how)
-    if advice.strategy == "salted":
+    if advice.strategy == "salted" and how in (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+    ):
         if spread_col is None:
             raise ValueError("salted execution needs a spread_col")
         return salted_join(
@@ -188,7 +204,12 @@ def execute_advice(
             n_salts=advice.suggested_n_salts or 16,
             how=how,
         )
-    if advice.strategy == "bloom_prune":
+    if advice.strategy == "bloom_prune" and how in (
+        "inner",
+        "semi",
+        "left_semi",
+        "leftsemi",
+    ):
         from ecommerce_data_pipeline_spark.operators.bloom import suggest_n_bits
 
         # The advice already measured the build key NDV — size the filter

@@ -266,11 +266,19 @@ def bloom_prune(
             "filter?); pass n_bits and n_hashes explicitly"
         )
     probe_key = _canonical_key(F.col(key), probe_dtype)
-    tagged = probe.crossJoin(F.broadcast(bloom_df.select("__bloom")))
-    kept = tagged.where(
-        might_contain(probe_key, F.col("__bloom"), n_bits, n_hashes)
+    # Collision-proof internal name: a probe frame that itself carries a
+    # __bloom column (e.g. a persisted filter stored next to its data)
+    # would otherwise make the broadcast column ambiguous AND be dropped.
+    wcol = "__bloom"
+    while wcol in probe.columns:
+        wcol += "_x"
+    tagged = probe.crossJoin(
+        F.broadcast(bloom_df.select(F.col("__bloom").alias(wcol)))
     )
-    return kept.drop("__bloom")
+    kept = tagged.where(
+        might_contain(probe_key, F.col(wcol), n_bits, n_hashes)
+    )
+    return kept.drop(wcol)
 
 
 def bloom_pruned_join(

@@ -32,12 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def build_file_stats(
-    spark: SparkSession, path: str, stat_cols: list[str]
-) -> DataFrame:
-    """Per-file stats index: ``(file_path, n_rows, min_<c>, max_<c> ...)``
-    in one scan of ``path``."""
-    df = spark.read.parquet(path)
+def _file_stats(df: DataFrame, stat_cols: list[str]) -> DataFrame:
+    """The one stats-aggregate shape both the full build and the
+    incremental refresh use — a single definition so a future stats
+    schema change cannot silently diverge the two."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -49,6 +47,41 @@ def build_file_stats(
     )
 
 
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Driver-side recursive listing of the parquet data files under
+    ``path`` — a Hadoop FileSystem call, ZERO Spark jobs, O(files)
+    metadata (the exact cost class of a Delta log read). Paths come back
+    in ``_metadata.file_path``'s own format (``Path.toString()`` —
+    verified equal), so they compare directly against index entries.
+    Hidden/commit artifacts (``_SUCCESS``, ``.tmp*``) are excluded, the
+    same way Spark's own file listing skips ``_``/``.``-prefixed names."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):
+            continue
+        # Any _/.-prefixed ancestor dir (e.g. a .retention_tmp_ staging
+        # dir) hides its files too, matching Spark's listing rules.
+        parts = p.toUri().getPath().split("/")
+        if any(seg.startswith(("_", ".")) for seg in parts[:-1] if seg):
+            continue
+        out.append(p.toString())
+    return sorted(out)
+
+
+def build_file_stats(
+    spark: SparkSession, path: str, stat_cols: list[str]
+) -> DataFrame:
+    """Per-file stats index: ``(file_path, n_rows, min_<c>, max_<c> ...)``
+    in one scan of ``path``."""
+    return _file_stats(spark.read.parquet(path), stat_cols)
+
+
 def update_file_stats(
     spark: SparkSession,
     path: str,
@@ -56,13 +89,17 @@ def update_file_stats(
     stat_cols: list[str],
     pin_fresh: bool = False,
 ) -> DataFrame:
-    """Incremental index refresh on append: scan ONLY files not yet in
-    ``index`` (an anti-join of the listing against the index's
-    ``file_path`` column — the listing is driver metadata, the stats scan
-    touches new files' data only) and union their stats in. This is how
-    the index stays O(new files) per refresh instead of re-profiling
-    100 TB on every append — the exact shape of Delta appending per-file
-    stats to its log at commit time.
+    """Incremental index refresh on append: stat ONLY files not yet in
+    ``index``. The new-file discovery is ``list_data_files`` — a
+    driver-side Hadoop FS listing, zero Spark jobs — minus the index's
+    recorded paths (one file-count-bounded metadata collect); only the
+    genuinely new files' DATA is then scanned. This is how the index
+    stays O(new files) per refresh instead of re-profiling 100 TB on
+    every append — the exact shape of Delta appending per-file stats to
+    its log at commit time. (Earlier rounds derived the listing from a
+    ``_metadata.file_path`` DISTINCT over the whole table — one row per
+    DATA row plus a shuffle per refresh, contradicting the O(new files)
+    contract; the FS listing replaces that.)
 
     Immutable-file assumption (same as Delta/Iceberg): a file's stats
     never change once written; rewrites produce NEW paths (our layout
@@ -78,29 +115,15 @@ def update_file_stats(
     (full localCheckpoint) every N refreshes. Without it the returned
     frame is fully lazy (one-shot callers that evaluate once anyway).
     """
-    listing = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file_path"))
-        .distinct()
-    )
-    fresh_paths = [
-        r["file_path"]
-        for r in listing.join(
-            index.select("file_path"), "file_path", "left_anti"
-        ).collect()
-    ]
+    known = {r["file_path"] for r in index.select("file_path").collect()}
+    fresh_paths = [p for p in list_data_files(spark, path) if p not in known]
     if not fresh_paths:
         return index
-    fresh = spark.read.parquet(*fresh_paths)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in stat_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    fresh_stats = (
-        fresh.select(F.col("_metadata.file_path").alias("file_path"), *stat_cols)
-        .groupBy("file_path")
-        .agg(*aggs)
-    )
+    # basePath keeps hive partition columns visible when the table is
+    # partitioned (leaf-path reads would silently drop them, diverging
+    # from the full-table scan build_file_stats profiles).
+    fresh = spark.read.option("basePath", path).parquet(*fresh_paths)
+    fresh_stats = _file_stats(fresh, stat_cols)
     if pin_fresh:
         fresh_stats = fresh_stats.localCheckpoint(eager=True)
     return index.unionByName(fresh_stats)
@@ -112,9 +135,12 @@ def skipping_scan(
     col: str | dict,
     lo=None,
     hi=None,
+    base_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Scan only files whose stats intersect the predicate band(s), with
     the range predicate still applied (and pushed) on the survivors.
+    For a HIVE-PARTITIONED layout pass ``base_path`` (the table root) so
+    the survivor read keeps the partition columns.
 
     ``col`` is either one column name with ``lo``/``hi``, or a dict
     ``{col: (lo, hi), ...}`` of ANDed bands — the multi-column case is
@@ -162,13 +188,20 @@ def skipping_scan(
     for c, (blo, bhi) in bands.items():
         cond = (F.col(c) >= F.lit(blo)) & (F.col(c) <= F.lit(bhi))
         pred = cond if pred is None else (pred & cond)
+    reader = spark.read
+    if base_path is not None:
+        # Keeps hive partition columns visible on a partitioned layout —
+        # a bare leaf-path read would silently drop them and the result
+        # schema would diverge from the plain full-table scan the
+        # certified queries compare against.
+        reader = reader.option("basePath", base_path)
     if not files:
         # Empty selection: preserve schema via a 0-row read of the index's
         # first file (stats said nothing matches; the filter re-proves it) —
         # reusing the one collected listing, no extra index action.
-        base = spark.read.parquet(flagged[0]["file_path"]).limit(0)
+        base = reader.parquet(flagged[0]["file_path"]).limit(0)
         return base, stats
-    scanned = spark.read.parquet(*files).filter(pred)
+    scanned = reader.parquet(*files).filter(pred)
     return scanned, stats
 
 
@@ -181,10 +214,10 @@ def prune_file_stats(
     file-count-bounded metadata. Rewrites produce NEW paths, so the
     sequence after a layout job is prune (drop old entries) +
     ``update_file_stats`` (index the rewritten files): the same
-    log-compaction step Delta performs at checkpoint time."""
-    listing = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file_path"))
-        .distinct()
+    log-compaction step Delta performs at checkpoint time. The listing
+    is the driver-side FS walk (``list_data_files`` — zero Spark jobs),
+    not a data scan."""
+    listing = spark.createDataFrame(
+        [(p,) for p in list_data_files(spark, path)], "file_path string"
     )
     return index.join(F.broadcast(listing), "file_path", "left_semi")

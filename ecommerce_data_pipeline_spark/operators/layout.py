@@ -75,13 +75,14 @@ def plan_compaction(
         ).alias("n_small"),
     ).first()
     n_files, total = int(row["n_files"]), int(row["total_bytes"] or 0)
+    n_small = int(row["n_small"] or 0)  # sum over zero rows is SQL NULL
     n_out = max(1, math.ceil(total / max(1, int(target_bytes))))
     return {
         "n_input_files": n_files,
         "total_bytes": total,
-        "n_small_files": int(row["n_small"]),
+        "n_small_files": n_small,
         "n_output_files": n_out,
-        "worth_it": int(row["n_small"]) > n_out,
+        "worth_it": n_small > n_out,
     }
 
 
@@ -154,7 +155,11 @@ def repair_retention(spark: SparkSession, path: str, partition_col: str = "p") -
         if fs.exists(marker):
             if fs.exists(real):
                 fs.delete(real, True)
-            fs.rename(st.getPath(), real)
+            if not fs.rename(st.getPath(), real):
+                # Hadoop rename reports failure as a false RETURN, not an
+                # exception — swallowing it would report a repair that
+                # never happened while the data sits in the hidden tmp.
+                raise OSError(f"repair rename failed: {name} -> {real}")
             completed.append(name)
         else:
             fs.delete(st.getPath(), True)
@@ -205,8 +210,18 @@ def retention_delete(
         tmp = f"{path}/{_RETENTION_TMP}{partition_col}={v}"
         kept.write.mode("overwrite").parquet(tmp)
         fs.delete(jvm.org.apache.hadoop.fs.Path(part_dir), True)
-        fs.rename(
+        if not fs.rename(
             jvm.org.apache.hadoop.fs.Path(tmp),
             jvm.org.apache.hadoop.fs.Path(part_dir),
-        )
+        ):
+            # A false return (not an exception) is Hadoop's failure
+            # signal; reporting this partition as rewritten while its
+            # data sits in the hidden tmp dir would silently lose the
+            # whole boundary month from every read until the next
+            # repair_retention.
+            raise OSError(
+                f"retention swap rename failed: {tmp} -> {part_dir} "
+                "(tmp retains the complete rewrite; repair_retention "
+                "finishes the swap)"
+            )
     return {"dropped": dropped, "rewritten": boundary, "untouched": untouched}

@@ -250,3 +250,108 @@ def test_retention_repair_finishes_swap_over_partially_deleted_original(
         ).collect()
     }
     assert got == want
+
+
+def test_advisor_ignores_null_keys_in_skew_probe(spark):
+    """NULL join keys never reach an equi-join's shuffle (isnotnull
+    pushdown), so a NULL-heavy probe must not read as skewed."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.advisor import advise_join
+
+    probe = spark.createDataFrame(
+        [(None, i) for i in range(500)] + [(k % 50, 0) for k in range(200)],
+        "k long, v long",
+    )
+    build = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    a = advise_join(probe, build, "k", broadcast_rows=0, skew_share=0.05)
+    assert a.strategy != "salted"
+    assert a.top_key_share < 0.05
+
+
+def test_execute_advice_falls_back_on_unsupported_how(spark):
+    """A cached 'salted'/'bloom_prune' prescription executed with a join
+    type its operator can't rewrite falls back to the plain join instead
+    of crashing (advice is per table pair, not per join type)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.advisor import (
+        JoinAdvice,
+        execute_advice,
+    )
+
+    probe = spark.range(0, 200).select((F.col("id") % 40).alias("k"))
+    build = spark.range(0, 20).select(F.col("id").alias("k"))
+    common = dict(
+        probe_rows=200, build_rows=20, probe_key_ndv=40, build_key_ndv=20,
+        top_key_share=0.5, suggested_n_salts=4,
+    )
+    # bloom with LEFT join: pruning is unsound, plain left join expected.
+    adv = JoinAdvice("bloom_prune", "t", **common)
+    got = sorted(
+        r["k"] for r in execute_advice(adv, probe, build, "k", how="left").collect()
+    )
+    want = sorted(r["k"] for r in probe.join(build, "k", "left").collect())
+    assert got == want
+    # salted with SEMI join: salting unsupported, plain semi join expected.
+    adv = JoinAdvice("salted", "t", **common)
+    got = sorted(
+        r["k"]
+        for r in execute_advice(
+            adv, probe, build, "k", spread_col="k", how="semi"
+        ).collect()
+    )
+    want = sorted(r["k"] for r in probe.join(build, "k", "semi").collect())
+    assert got == want
+
+
+def test_fileindex_partitioned_layout_keeps_partition_column(spark, tmp_path):
+    """update_file_stats and skipping_scan(base_path=...) on a
+    hive-partitioned table: refresh works with a partition stat column
+    visible, and the survivor scan keeps the partition column so the
+    schema matches the plain full-table read."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        skipping_scan,
+        update_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") % 100).alias("v")
+    )
+    df.write.partitionBy("p").parquet(path)
+    index = build_file_stats(spark, path, ["v"]).localCheckpoint(eager=True)
+    # Append into a new partition, refresh incrementally.
+    spark.range(300, 400).select(
+        "id", F.lit(7).alias("p"), (F.col("id") % 100).alias("v")
+    ).write.mode("append").partitionBy("p").parquet(path)
+    index = update_file_stats(spark, path, index, ["v"])
+    got = sorted(map(tuple, index.collect()))
+    want = sorted(map(tuple, build_file_stats(spark, path, ["v"]).collect()))
+    assert got == want
+    scanned, stats = skipping_scan(spark, index, "v", 10, 20, base_path=path)
+    assert "p" in scanned.columns
+    rows = scanned.select("id", "p", "v").collect()
+    want_rows = spark.read.parquet(path).filter(
+        (F.col("v") >= 10) & (F.col("v") <= 20)
+    ).select("id", "p", "v").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want_rows))
+
+
+def test_bloom_prune_probe_with_dunder_bloom_column(spark):
+    """A probe frame that itself carries a __bloom column neither
+    collides with the broadcast filter nor loses its column."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators import bloom as B
+
+    build = spark.range(0, 10).select(F.col("id").alias("k"))
+    probe = spark.createDataFrame(
+        [(1, "mine"), (99, "x")], "k long, __bloom string"
+    )
+    kept = B.bloom_prune(probe, "k", B.build_bloom(build, "k"))
+    rows = kept.collect()
+    assert [(r["k"], r["__bloom"]) for r in rows] == [(1, "mine")]
