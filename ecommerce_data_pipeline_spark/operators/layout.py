@@ -17,6 +17,12 @@ no-log-format equivalent, same contract):
    the certified query proves it (oracle = the same aggregate over the
    original table).
 
+Reference parity: the reference has no compaction or retention job of
+its own — its Delta tables get OPTIMIZE/VACUUM from the platform
+(README's maintenance recommendation); these operators are the
+self-contained equivalent a plain-parquet deployment needs, not a port
+of reference code.
+
 2. **Retention delete** (``retention_delete``): deleting rows older than
    a cutoff from a time-partitioned table must not rewrite 100 TB. With
    the table partitioned on a time-derived column, partitions wholly
