@@ -583,3 +583,83 @@ def corpus_snapshot_diff(
             "n_unchanged"
         ),
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    seg_words: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The REMOVAL stage over ``boilerplate_segment_report``'s audit —
+    the CCNet/RefinedWeb line-dedup rewrite that actually produces
+    training text: segments shared by >= ``min_docs`` distinct docs of
+    the same ``group_col`` are dropped and each doc's text is rebuilt
+    from its surviving segments IN ORDER. Output: (doc_id, n_segments,
+    n_removed, clean_text).
+
+    ``clean_text`` is the normalized token stream (the same
+    lowercase/alpha tokenization the frequency counting uses — text._words),
+    re-joined with single spaces; a production crawl pipeline would map
+    flagged segments back to raw-byte offsets instead, but the
+    keep/drop DECISION — the part that needs the corpus-wide shuffle —
+    is exactly this.
+
+    Plan: the report's tokenize+posexplode map stage and one
+    (group, segment) count shuffle, plus ONE ordered re-aggregation per
+    doc (array_sort over (pos, seg) structs — no window). Nothing
+    quadratic; segment strings are bounded at ``seg_words`` words.
+    """
+    from ecommerce_data_pipeline_spark.operators.text import _words
+
+    words = _words(F.coalesce(F.col(text_col), F.lit("")))
+    n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode_outer(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    freq = (
+        segs.filter(F.col("seg").isNotNull())
+        .groupBy("grp", "seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    flagged = segs.join(freq, ["grp", "seg"], "left")
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("seg").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("n_segments"),
+        F.sum(
+            F.when(
+                F.col("seg").isNotNull() & (F.col("nd") >= min_docs), 1
+            ).otherwise(0)
+        ).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("seg").isNotNull()
+                            & (F.col("nd") < min_docs),
+                            F.struct(F.col("pos").alias("p"), F.col("seg").alias("s")),
+                        )
+                    )
+                ),
+                lambda e: e["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt

@@ -48,20 +48,21 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 14 (policy applied): (0) the six brand-new round-14 queries (the
+# ROUND 14 (policy applied): (0) the seven brand-new round-14 queries (the
 # advisor certified end-to-end per VERDICT r13 ask #3, the Z-order x
 # multi-band skipping composition per ask #4, the lake-maintenance
 # pair — small-file compaction and partition-pruned retention delete —
-# the CBO ANALYZE-statistics plan-flip certification, and incremental
-# Z-order maintenance);
+# the CBO ANALYZE-statistics plan-flip certification, incremental
+# Z-order maintenance, and the boilerplate-REMOVAL rewrite);
 # (1) bloom_pruned_order_revenue, whose operator contract AND in-query
 # plan changed this round (ADVICE r13: canonical key hashing,
 # self-describing filter rows, and build-side-scaled n_bits), so its r13
 # certification must be refreshed; (2) the FULL r09 cohort (33 queries,
-# tools/cert_age.py — VERDICT r13 ask #1); (3) the 10 oldest r10-cohort
+# tools/cert_age.py — VERDICT r13 ask #1); (3) the 9 oldest r10-cohort
 # queries in cert_age order — as many as fit the 50-slot window after
 # the new/changed queries took their slots (ask #1 wanted 17;
-# ann_recall_report..dsir_importance_weights fit; embedding_int8_audit /
+# ann_recall_report..document_chunks fit; dsir_importance_weights /
+# embedding_int8_audit /
 # eval_contamination_embedding / event_funnel / forecast_revenue_change /
 # gdpr_delete_audit / hybrid_rrf_search / ivf_topk roll to round 15).
 # ---------------------------------------------------------------------------
@@ -73,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "partitioned_retention_delete",
     "cbo_stats_broadcast",
     "incremental_zorder_maintenance",
+    "boilerplate_strip",
     # (1) operator contract + in-query plan changed this round
     "bloom_pruned_order_revenue",
     # (2) the r09 cohort, cert_age order (all 33)
@@ -109,7 +111,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_trailing_hour_value",
     "user_value_moving_avg",
     "winsorized_event_stats",
-    # (3) the 10 oldest r10-cohort queries, cert_age order
+    # (3) the 9 oldest r10-cohort queries, cert_age order
     "ann_recall_report",
     "asof_view_before_purchase",
     "bag_set_ops",
@@ -119,7 +121,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ccnet_quality_buckets",
     "cdc_change_feed",
     "document_chunks",
-    "dsir_importance_weights",
     # (4) remaining cohorts follow in registration order; queries
     # certified in round 13 go last via their registration position.
 ]

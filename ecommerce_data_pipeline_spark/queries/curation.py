@@ -1339,3 +1339,54 @@ def q_quarantine_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "boilerplate_strip",
+    # The report query's oracle, extended with the ordered rebuild:
+    # surviving segments re-joined by position — DuckDB recomputes the
+    # keep/drop decision segment-for-segment and the exact output text.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+    list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z ]', '', 'g'), ' '), x -> x <> '') AS words
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, source, i,
+         array_to_string(words[i*4+1 : i*4+4], ' ') AS seg
+  FROM w, unnest(range(CAST(ceil(len(words)/4.0) AS BIGINT))) AS t(i)
+),
+freq AS (
+  SELECT source, seg, count(DISTINCT doc_id) AS nd
+  FROM segs GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_removed,
+         string_agg(CASE WHEN f.nd < 2 THEN s.seg END, ' ' ORDER BY s.i)
+           AS clean_text
+  FROM segs s JOIN freq f USING (source, seg)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_segments, 0) AS INTEGER) AS n_segments,
+       CAST(coalesce(p.n_removed, 0) AS INTEGER) AS n_removed,
+       coalesce(p.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (operators/curate.py:boilerplate_strip) — the
+    rewrite stage after boilerplate_segment_report's audit: 4-word
+    segments shared by >=2 docs of the same source are dropped and each
+    doc's text is rebuilt from its surviving segments in order (the
+    CCNet/RefinedWeb line-dedup step that actually produces training
+    text). One tokenize+posexplode pass, one (source, segment) count
+    shuffle, one ordered per-doc re-aggregation — no window over the
+    corpus, nothing quadratic. The oracle recomputes the decision AND
+    the exact rebuilt string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.boilerplate_strip(docs)

@@ -91,6 +91,7 @@ HEAVY = {
     "streaming_file_index": "orders",
     "cbo_stats_broadcast": "lineitem",
     "incremental_zorder_maintenance": "orders",
+    "boilerplate_strip": "documents",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
