@@ -355,3 +355,33 @@ def test_bloom_prune_probe_with_dunder_bloom_column(spark):
     kept = B.bloom_prune(probe, "k", B.build_bloom(build, "k"))
     rows = kept.collect()
     assert [(r["k"], r["__bloom"]) for r in rows] == [(1, "mine")]
+
+
+def test_boilerplate_strip_edges(spark):
+    """Removal-stage edge cases: a doc whose every segment is shared
+    rebuilds to '', an empty/NULL doc yields 0 segments and '', and a
+    unique doc survives verbatim (normalized)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.operators.curate import boilerplate_strip
+
+    shared = "nav home about contact"  # one full 4-word segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta", "s"),
+            (2, f"{shared} epsilon zeta eta theta", "s"),
+            (3, shared, "s"),
+            (4, None, "s"),
+            (5, "one of a kind", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in boilerplate_strip(docs).collect()
+    }
+    assert got[1] == (2, 1, "alpha beta gamma delta")
+    assert got[2] == (2, 1, "epsilon zeta eta theta")
+    assert got[3] == (1, 1, "")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 0, "one of a kind")
