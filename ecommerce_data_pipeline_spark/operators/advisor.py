@@ -64,6 +64,7 @@ def advise_join(
     skew_share: float = 0.05,
     bloom_ndv_ratio: float = 0.5,
     recurring: bool = False,
+    how: str = "inner",
 ) -> JoinAdvice:
     """Measure both sides and prescribe a join strategy.
 
@@ -74,9 +75,28 @@ def advise_join(
     Bloom pruning pays (the filtered-dimension shape). The measurement
     is two single-pass aggregates + one top-1 key probe — bounded work,
     run it once and cache the advice next to the table like any other
-    statistic."""
+    statistic.
+
+    ``how`` is the INTENDED join type and changes what "skewed" means
+    (ADVICE r14): for inner/semi joins an equi-join's isnotnull pushdown
+    drops NULL-key probe rows before the shuffle, so the skew probe
+    excludes them and the share denominator is the NON-NULL row count.
+    For outer joins (the salted path supports LEFT) null-key rows DO
+    reach the shuffle and all hash to ONE reducer — the NULL group is
+    counted as a skew candidate and the denominator is all rows. Advice
+    is therefore per (tables, join type); re-advise if the type changes."""
+    # NOTE: anti joins are NOT inner-like here — a left_anti must keep
+    # null-key probe rows (they never match), so no isnotnull pushdown
+    # protects the shuffle from a null-heavy probe.
+    inner_like = how.lower().replace("_", "") in (
+        "inner",
+        "semi",
+        "leftsemi",
+        "cross",
+    )
     p = probe.agg(
         F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_notnull"),
         F.approx_count_distinct(key, 0.02).alias("ndv"),
     ).first()
     b = build.agg(
@@ -84,20 +104,18 @@ def advise_join(
         F.approx_count_distinct(key, 0.02).alias("ndv"),
     ).first()
     probe_rows, probe_ndv = int(p["n"]), int(p["ndv"])
+    probe_notnull = int(p["n_notnull"])
     build_rows, build_ndv = int(b["n"]), int(b["ndv"])
-    # NULL keys never survive an equi-join's isnotnull pushdown, so a
-    # NULL-heavy probe is NOT skewed — counting the NULL group here used
-    # to prescribe a pointless salted join (dim x n_salts explosion) for
-    # rows that never reach the shuffle at all.
+    skew_src = probe.where(F.col(key).isNotNull()) if inner_like else probe
+    denom = probe_notnull if inner_like else probe_rows
     top = (
-        probe.where(F.col(key).isNotNull())
-        .groupBy(key)
+        skew_src.groupBy(key)
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc())
         .limit(1)
         .first()
     )
-    top_share = (top["c"] / probe_rows) if (top and probe_rows) else 0.0
+    top_share = (top["c"] / denom) if (top and denom) else 0.0
 
     common = dict(
         probe_rows=probe_rows,

@@ -485,9 +485,16 @@ def boilerplate_segment_report(
     same shape CCNet runs per shard at crawl scale.
 
     Output: (doc_id, n_segments, n_boilerplate, boiler_ratio).
+
+    NULL ``group_col`` docs form their OWN group via a sentinel coalesce
+    (same discipline as ``boilerplate_strip``): a plain equality join on
+    a NULL group matches nothing, so such docs' segments would read
+    nd=NULL and never flag — diverging from any oracle that groups
+    null-safely (ADVICE r14, applied to both boilerplate operators).
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
+    null_grp = "\x00__null_group__"
     words = _words(F.coalesce(F.col(text_col), F.lit("")))
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
@@ -495,7 +502,7 @@ def boilerplate_segment_report(
     )
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
+        F.coalesce(F.col(group_col), F.lit(null_grp)).alias("grp"),
         F.explode_outer(
             F.transform(
                 idx,
@@ -611,9 +618,17 @@ def boilerplate_strip(
     (group, segment) count shuffle, plus ONE ordered re-aggregation per
     doc (array_sort over (pos, seg) structs — no window). Nothing
     quadratic; segment strings are bounded at ``seg_words`` words.
+
+    NULL ``group_col`` docs form their OWN group (the group key is
+    coalesced to a sentinel before the count shuffle and the join back):
+    a plain equality join on a NULL group matches nothing, so such docs'
+    segments would get nd=NULL, fail BOTH keep and drop conditions, and
+    the text would silently vanish while n_removed stayed 0 (ADVICE
+    r14). The oracle mirrors the same sentinel.
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
+    null_grp = "\x00__null_group__"
     words = _words(F.coalesce(F.col(text_col), F.lit("")))
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
@@ -621,7 +636,7 @@ def boilerplate_strip(
     )
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
+        F.coalesce(F.col(group_col), F.lit(null_grp)).alias("grp"),
         F.posexplode_outer(
             F.transform(
                 idx,

@@ -28,8 +28,29 @@ the certified query's oracle (the plain filtered scan) proves it.
 
 from __future__ import annotations
 
+from urllib.parse import unquote, urlsplit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _canon(p: str) -> str:
+    """Canonical DECODED uri-string form for file-path comparison.
+
+    ``_metadata.file_path`` is percent-ENCODED (``a%20b``) while Hadoop
+    ``Path.toString()`` is decoded (``a b``) — verified empirically; the
+    exact representation also varies by Spark version (ADVICE r14) — so
+    every comparison between index entries and FS listings goes through
+    this one function: scheme + authority + percent-decoded path. Both
+    forms of the same file map to the same string. Residual assumption
+    (documented, not checked): a file whose NAME contains a literal
+    ``%``-hex sequence on a Spark build that does NOT encode
+    ``_metadata.file_path`` would decode wrongly; Spark 4.x encodes."""
+    u = urlsplit(p)
+    if not u.scheme:
+        return p
+    host = f"//{u.netloc}" if u.netloc else ""
+    return f"{u.scheme}:{host}{unquote(u.path)}"
 
 
 def _file_stats(df: DataFrame, stat_cols: list[str]) -> DataFrame:
@@ -51,26 +72,38 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Driver-side recursive listing of the parquet data files under
     ``path`` — a Hadoop FileSystem call, ZERO Spark jobs, O(files)
     metadata (the exact cost class of a Delta log read). Paths come back
-    in ``_metadata.file_path``'s own format (``Path.toString()`` —
-    verified equal), so they compare directly against index entries.
-    Hidden/commit artifacts (``_SUCCESS``, ``.tmp*``) are excluded, the
-    same way Spark's own file listing skips ``_``/``.``-prefixed names."""
+    in the canonical ``_canon`` form, so they compare directly against
+    canonicalized index entries. Hidden/commit artifacts (``_SUCCESS``,
+    ``.tmp*``) are excluded, the same way Spark's own file listing skips
+    ``_``/``.``-prefixed names — and, matching Spark's semantics, the
+    hidden-segment rule applies only to path segments BELOW the input
+    root: a table legitimately rooted under a hidden directory (e.g.
+    ``/home/u/.data/tables/t``) lists normally (ADVICE r14).
+
+    DRIVER-MEMORY BOUND: the returned list (and the ``known``-paths set
+    its callers build) holds every live file path of the table in driver
+    memory — O(total files), the same class as a Delta transaction-log
+    read, comfortable to ~10M files (~1 GB of path strings). Past that,
+    shard the table or spill the anti-join to executors (the index frame
+    itself is already distributed); SCALE.md §10 records the policy."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    # Qualified root → its decoded URI path is the prefix we strip so
+    # hidden-segment checks see only the RELATIVE part below the root.
+    root_uri = fs.makeQualified(jpath).toUri()
+    root_path = root_uri.getPath().rstrip("/")
     out: list[str] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         p = it.next().getPath()
-        name = p.getName()
-        if name.startswith(("_", ".")):
+        u = p.toUri()
+        fpath = u.getPath()
+        rel = fpath[len(root_path):] if fpath.startswith(root_path) else fpath
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
             continue
-        # Any _/.-prefixed ancestor dir (e.g. a .retention_tmp_ staging
-        # dir) hides its files too, matching Spark's listing rules.
-        parts = p.toUri().getPath().split("/")
-        if any(seg.startswith(("_", ".")) for seg in parts[:-1] if seg):
-            continue
-        out.append(p.toString())
+        host = f"//{u.getAuthority()}" if u.getAuthority() else ""
+        out.append(f"{u.getScheme()}:{host}{fpath}")
     return sorted(out)
 
 
@@ -115,7 +148,16 @@ def update_file_stats(
     (full localCheckpoint) every N refreshes. Without it the returned
     frame is fully lazy (one-shot callers that evaluate once anyway).
     """
-    known = {r["file_path"] for r in index.select("file_path").collect()}
+    # Canonicalize BOTH sides: index entries carry _metadata's (possibly
+    # percent-encoded) form, the listing the decoded form — a raw string
+    # compare would re-stat already-indexed files on any path with
+    # URL-encodable characters (duplicate index rows → wrong skipping
+    # stats; ADVICE r14). O(total files) driver memory — see
+    # list_data_files' documented bound.
+    known = {
+        _canon(r["file_path"])
+        for r in index.select("file_path").collect()
+    }
     fresh_paths = [p for p in list_data_files(spark, path) if p not in known]
     if not fresh_paths:
         return index
@@ -176,7 +218,10 @@ def skipping_scan(
     # lazy union (update_file_stats), where separate filter/count actions
     # would each re-scan the freshly appended files' data.
     flagged = index.select("file_path", keep.alias("__keep")).collect()
-    files = [r["file_path"] for r in flagged if r["__keep"]]
+    # Canonical (decoded) form for the reader: Hadoop Path treats the
+    # string literally, so a percent-encoded _metadata path would fail
+    # to resolve on a filename with URL-encodable characters.
+    files = [_canon(r["file_path"]) for r in flagged if r["__keep"]]
     stats = {"n_files_total": len(flagged), "n_files_scanned": len(files)}
     if not flagged:
         raise ValueError(
@@ -199,7 +244,7 @@ def skipping_scan(
         # Empty selection: preserve schema via a 0-row read of the index's
         # first file (stats said nothing matches; the filter re-proves it) —
         # reusing the one collected listing, no extra index action.
-        base = reader.parquet(flagged[0]["file_path"]).limit(0)
+        base = reader.parquet(_canon(flagged[0]["file_path"])).limit(0)
         return base, stats
     scanned = reader.parquet(*files).filter(pred)
     return scanned, stats
@@ -210,14 +255,24 @@ def prune_file_stats(
 ) -> DataFrame:
     """Index vacuum: drop entries whose files no longer exist under
     ``path`` (after a compaction/zorder rewrite replaced them). A
-    semi-join of the index against the current listing — both sides
-    file-count-bounded metadata. Rewrites produce NEW paths, so the
+    semi-join of the index against its own surviving entries — both
+    sides file-count-bounded metadata. Survival is decided driver-side
+    in CANONICAL path form (``_canon``: the index may hold percent-
+    encoded ``_metadata`` paths, the listing decoded ones; raw-string
+    comparison would silently drop valid entries — ADVICE r14), then
+    re-expressed as the index's OWN raw strings so the semi-join's
+    exact-string equality is sound. Rewrites produce NEW paths, so the
     sequence after a layout job is prune (drop old entries) +
     ``update_file_stats`` (index the rewritten files): the same
     log-compaction step Delta performs at checkpoint time. The listing
     is the driver-side FS walk (``list_data_files`` — zero Spark jobs),
-    not a data scan."""
-    listing = spark.createDataFrame(
-        [(p,) for p in list_data_files(spark, path)], "file_path string"
-    )
-    return index.join(F.broadcast(listing), "file_path", "left_semi")
+    not a data scan; driver memory is O(total files), the documented
+    ``list_data_files`` bound."""
+    live = set(list_data_files(spark, path))
+    idx_paths = [
+        r["file_path"]
+        for r in index.select("file_path").distinct().collect()
+    ]
+    keep = [(p,) for p in idx_paths if _canon(p) in live]
+    keep_df = spark.createDataFrame(keep, "file_path string")
+    return index.join(F.broadcast(keep_df), "file_path", "left_semi")

@@ -138,9 +138,18 @@ def repair_retention(spark: SparkSession, path: str, partition_col: str = "p") -
 
     - tmp has ``_SUCCESS`` → the rewrite is whole: finish the swap
       (drop whatever remains of the original, rename tmp in).
-    - tmp lacks ``_SUCCESS`` → the crash hit during the tmp write, so
-      the original was never touched: discard the tmp; the rewrite
-      simply re-runs.
+    - tmp lacks ``_SUCCESS`` AND the original dir still exists → the
+      crash hit during the tmp write, so the original was never
+      touched: discard the tmp; the rewrite simply re-runs.
+    - tmp lacks ``_SUCCESS`` AND the original dir is GONE → ambiguous,
+      raise. On clusters that disable success markers
+      (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` —
+      common on object stores) a committed tmp carries no marker, and a
+      crash after the original-partition delete would leave exactly this
+      geometry with the tmp holding the ONLY copy of the boundary
+      partition. Discarding it here would be silent permanent data loss
+      in precisely the crash window the repair exists to cover — an
+      operator must adjudicate (restore the marker / rename by hand).
 
     Driver-side metadata only. Returns ``{completed: [...],
     discarded: [...]}``."""
@@ -168,6 +177,20 @@ def repair_retention(spark: SparkSession, path: str, partition_col: str = "p") -
                 raise OSError(f"repair rename failed: {name} -> {real}")
             completed.append(name)
         else:
+            if not fs.exists(real):
+                # No marker AND no original: either the writer ran with
+                # success markers disabled and the crash hit AFTER the
+                # original-partition delete (tmp = the only copy), or
+                # the marker itself was lost. Both cases make the tmp
+                # potentially the sole surviving data — refuse to decide.
+                raise OSError(
+                    f"ambiguous retention crash state: {name} has no "
+                    f"_SUCCESS marker but the original partition {real} "
+                    "is gone; the tmp may hold the only copy (e.g. "
+                    "marksuccessfuljobs=false). Refusing to discard — "
+                    "inspect the tmp and either rename it in or delete "
+                    "it by hand."
+                )
             fs.delete(st.getPath(), True)
             discarded.append(name)
     return {"completed": completed, "discarded": discarded}

@@ -966,7 +966,9 @@ def q_markup_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chrome), which the oracle recomputes segment-for-segment.
     oracle="""
 WITH w AS (
-  SELECT doc_id, source,
+  -- NULL-source docs form their own group (same sentinel as the
+  -- operator; a plain USING join on NULL matches nothing).
+  SELECT doc_id, coalesce(source, chr(0) || '__null_group__') AS source,
     list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
                 '[^a-z ]', '', 'g'), ' '), x -> x <> '') AS words
   FROM documents
@@ -1348,7 +1350,10 @@ def q_quarantine_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep/drop decision segment-for-segment and the exact output text.
     oracle="""
 WITH w AS (
-  SELECT doc_id, source,
+  -- NULL-source docs form their own group (same sentinel as the
+  -- operator; a plain USING join on NULL matches nothing and the
+  -- doc's text would silently vanish from the rebuild).
+  SELECT doc_id, coalesce(source, chr(0) || '__null_group__') AS source,
     list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
                 '[^a-z ]', '', 'g'), ' '), x -> x <> '') AS words
   FROM documents

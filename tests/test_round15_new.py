@@ -1,0 +1,215 @@
+"""Round-15 additions: the four ADVICE r14 fixes (retention-repair
+ambiguity guard, root-relative hidden-segment listing, canonical path
+comparison, join-type-aware skew advice) plus the null-group boilerplate
+fix mirrored in both operators."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_preflight_gate_decisions():
+    """bench.py host pre-flight (VERDICT r14 ask #2): busy hosts get a
+    bounded sleep-and-retry BEFORE the 6-minute sweep; an exhausted gate
+    still runs but self-describes as degraded-at-start. All IO injected."""
+    import bench
+
+    sleeps: list[float] = []
+
+    def sleep(s):
+        sleeps.append(s)
+
+    # Clean on the first attempt: no sleeping.
+    r = bench.preflight_gate(
+        3.0, probe_fn=lambda: 3.1, load_fn=lambda: 0.2, sleep_fn=sleep
+    )
+    assert r["decision"] == "clean" and sleeps == [] and r["slept_sec"] == 0
+    assert r["attempts"][0]["ratio_vs_baseline"] == pytest.approx(
+        3.1 / 3.0, abs=1e-3
+    )
+    # Busy twice (probe 2.3x the baseline), then the host settles.
+    probes = iter([7.0, 7.0, 3.05])
+    r = bench.preflight_gate(
+        3.0, probe_fn=lambda: next(probes), load_fn=lambda: 0.2,
+        sleep_fn=sleep, sleep_sec=120,
+    )
+    assert r["decision"] == "clean" and sleeps == [120, 120]
+    assert len(r["attempts"]) == 3 and r["slept_sec"] == 240
+    # Load alone trips the gate even with a healthy probe ratio.
+    sleeps.clear()
+    r = bench.preflight_gate(
+        3.0, probe_fn=lambda: 3.0, load_fn=lambda: 9.0,
+        sleep_fn=sleep, retries=2, sleep_sec=60,
+    )
+    assert r["decision"] == "degraded_at_start" and sleeps == [60, 60]
+    assert len(r["attempts"]) == 3 and r["slept_sec"] == 120
+    # No baseline yet: gate on load alone, decision self-describes.
+    r = bench.preflight_gate(
+        None, probe_fn=lambda: 99.0, load_fn=lambda: 0.1, sleep_fn=sleep
+    )
+    assert r["decision"] == "clean_no_reference"
+    assert r["attempts"][0]["ratio_vs_baseline"] is None
+
+
+def _month_table(spark, tmp_path):
+    """Two-month partitioned table (same fixture shape as round 14)."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (i, f"2024-0{1 + (i % 2)}-{10 + (i % 15):02d} 12:00:00")
+            for i in range(40)
+        ],
+        "id long, ts string",
+    ).withColumn("p", F.date_format("ts", "yyyy-MM"))
+    df.write.partitionBy("p").mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_retention_repair_raises_on_ambiguous_crash_state(spark, tmp_path):
+    """tmp WITHOUT _SUCCESS + original partition GONE: on clusters with
+    marksuccessfuljobs=false a committed tmp carries no marker, so this
+    geometry may mean the tmp holds the ONLY copy of the partition —
+    repair must refuse to discard it (ADVICE r14 medium)."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        repair_retention,
+    )
+
+    path, _ = _month_table(spark, tmp_path)
+    part = f"{path}/p=2024-02"
+    tmp = f"{path}/.retention_tmp_p=2024-02"
+    # A committed rewrite written WITHOUT a success marker, then the
+    # original fully deleted (crash after the delete, marker policy off).
+    spark.read.parquet(part).limit(3).write.parquet(tmp)
+    os.remove(f"{tmp}/_SUCCESS")
+    shutil.rmtree(part)
+    with pytest.raises(OSError, match="ambiguous retention crash state"):
+        repair_retention(spark, path)
+    # The tmp — potentially the only copy — must still be intact.
+    assert spark.read.parquet(tmp).count() == 3
+
+
+def test_list_data_files_table_under_hidden_root(spark, tmp_path):
+    """The hidden-segment rule applies only BELOW the input root: a table
+    legitimately rooted under a dot-directory lists normally, while
+    hidden dirs inside the table stay excluded (ADVICE r14 medium)."""
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        list_data_files,
+        prune_file_stats,
+        update_file_stats,
+    )
+
+    root = str(tmp_path / ".data" / "tables" / "t")
+    spark.range(20).withColumn("v", F.col("id") * 2).write.parquet(root)
+    # A staging dir below the root must still be hidden.
+    spark.range(5).write.parquet(f"{root}/.retention_tmp_p=x")
+    files = list_data_files(spark, root)
+    assert files, "table under a hidden ancestor listed as empty"
+    assert all(".retention_tmp" not in f for f in files)
+    assert all(f.rsplit("/", 1)[1].startswith("part-") for f in files)
+    # The index round-trip the regression used to break: update sees no
+    # phantom-new files, prune keeps every valid entry.
+    idx = build_file_stats(spark, root, ["id"]).localCheckpoint(eager=True)
+    idx = idx.filter(~F.col("file_path").contains(".retention_tmp"))
+    n = idx.count()
+    assert update_file_stats(spark, root, idx, ["id"]).count() == n
+    assert prune_file_stats(spark, root, idx).count() == n
+
+
+def test_fileindex_canonical_paths_with_spaces(spark, tmp_path):
+    """_metadata.file_path is percent-encoded, the FS listing decoded:
+    on a path with a space the raw-string compare used to re-stat every
+    file (duplicate index rows) and prune everything (ADVICE r14 low).
+    All comparisons now go through one canonical form."""
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        build_file_stats,
+        prune_file_stats,
+        skipping_scan,
+        update_file_stats,
+    )
+
+    root = str(tmp_path / "tbl with space")
+    spark.range(100).withColumn("v", F.col("id")).repartition(4).write.parquet(
+        root
+    )
+    idx = build_file_stats(spark, root, ["v"]).localCheckpoint(eager=True)
+    assert idx.count() == 4
+    # Encoded index vs decoded listing: nothing is new.
+    refreshed = update_file_stats(spark, root, idx, ["v"])
+    assert refreshed.count() == 4
+    # Prune must keep all four live entries, not drop them as missing.
+    assert prune_file_stats(spark, root, idx).count() == 4
+    # skipping_scan must be able to READ the survivors it selects.
+    df, stats = skipping_scan(spark, idx, "v", 10, 20)
+    got = sorted(r["v"] for r in df.collect())
+    assert got == list(range(10, 21))
+    assert stats["n_files_total"] == 4
+
+
+def test_advisor_join_type_changes_null_skew_verdict(spark):
+    """For inner joins NULL keys never reach the shuffle (isnotnull
+    pushdown) — not skew. For a LEFT join they DO, and all hash to one
+    reducer — a null-heavy probe must read as skewed, and the inner
+    share must use the non-null denominator (ADVICE r14 low)."""
+    from ecommerce_data_pipeline_spark.operators.advisor import advise_join
+
+    probe = spark.createDataFrame(
+        [(None, i) for i in range(500)] + [(k % 50, 0) for k in range(200)],
+        "k long, v long",
+    )
+    build = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    inner = advise_join(probe, build, "k", broadcast_rows=0, skew_share=0.05)
+    assert inner.strategy != "salted"
+    # 50 keys x 4 rows over a NON-NULL denominator of 200 -> 2%, not the
+    # diluted 4/700 the total-rows denominator used to report.
+    assert inner.top_key_share == pytest.approx(4 / 200, abs=1e-4)
+    left = advise_join(
+        probe, build, "k", broadcast_rows=0, skew_share=0.05, how="left"
+    )
+    assert left.strategy == "salted"
+    assert left.top_key_share == pytest.approx(500 / 700, abs=1e-3)
+
+
+def test_boilerplate_null_source_docs_form_their_own_group(spark):
+    """NULL-source docs must not silently lose their text: they group
+    under a sentinel, so unique text survives and shared text within the
+    null group still dedups (ADVICE r14 low; applied to both the strip
+    and the report operators)."""
+    from ecommerce_data_pipeline_spark.operators.curate import (
+        boilerplate_segment_report,
+        boilerplate_strip,
+    )
+
+    shared = "nav home about contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta", None),
+            (2, f"{shared} epsilon zeta eta theta", None),
+            (3, "one of a kind", None),
+            (4, shared, "s"),  # alone in group 's': nothing shared
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in boilerplate_strip(docs).collect()
+    }
+    # Docs 1/2 share the nav segment WITHIN the null group; their tails
+    # survive. Doc 3's unique text survives verbatim. Doc 4's segment is
+    # unique within 's' — kept. Before the fix docs 1-3 rebuilt to ''
+    # with n_removed=0 (nd=NULL failed both join conditions).
+    assert got[1] == (2, 1, "alpha beta gamma delta")
+    assert got[2] == (2, 1, "epsilon zeta eta theta")
+    assert got[3] == (1, 0, "one of a kind")
+    assert got[4] == (1, 0, shared)
+    rep = {
+        r["doc_id"]: (r["n_segments"], r["n_boilerplate"])
+        for r in boilerplate_segment_report(docs).collect()
+    }
+    assert rep[1] == (2, 1) and rep[2] == (2, 1)
+    assert rep[3] == (1, 0) and rep[4] == (1, 0)
