@@ -250,6 +250,70 @@ def skipping_scan(
     return scanned, stats
 
 
+def append_file_stats(
+    spark: SparkSession, table_path: str, index_path: str,
+    stat_cols: list[str],
+) -> int:
+    """One refresh of a PERSISTED stats index: stat only the table files
+    not yet recorded in the parquet table at ``index_path`` and APPEND
+    their rows. This is the production shape SCALE.md §10 names for
+    ``streaming_file_index`` — the index is its own append table (the
+    way Delta appends per-file stats to its log at commit time), so a
+    refresh survives process restarts and its cost is O(new files) data
+    + one O(index) metadata read, never a table re-profile. Small index
+    files accumulate one-per-refresh; ``compact_file_stats`` is the fold
+    (ordinary compaction via operators/layout.py). Returns the number of
+    newly indexed files. Path comparison is canonical (``_canon``)."""
+    # Explicit existence probe (not try/read-except): the first refresh
+    # legitimately finds no index, and letting the reader throw logs a
+    # full WARN stack trace per stream start.
+    jvm = spark.sparkContext._jvm
+    jidx = jvm.org.apache.hadoop.fs.Path(index_path)
+    ifs = jidx.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if ifs.exists(jidx):
+        known = {
+            _canon(r["file_path"])
+            for r in spark.read.parquet(index_path)
+            .select("file_path")
+            .collect()
+        }
+    else:
+        known = set()
+    fresh = [p for p in list_data_files(spark, table_path) if p not in known]
+    if not fresh:
+        return 0
+    stats = _file_stats(
+        spark.read.option("basePath", table_path).parquet(*fresh), stat_cols
+    )
+    stats.write.mode("append").parquet(index_path)
+    return len(fresh)
+
+
+def compact_file_stats(
+    spark: SparkSession, index_path: str, target_bytes: int = 64 << 20
+) -> dict:
+    """The persisted index's fold: per-refresh appends leave one small
+    parquet file each, so the index itself accumulates exactly the
+    small-file problem it helps solve — and the answer is exactly the
+    ordinary compaction operator (operators/layout.py): plan from the
+    size listing, rewrite as ONE repartition to the planned file count.
+    The index is O(table files) rows of metadata, so the snapshot-then-
+    overwrite here is Delta-checkpoint-class work, not a data job.
+    Returns the compaction plan dict (``n_input_files`` →
+    ``n_output_files``)."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        compact,
+        file_sizes,
+        plan_compaction,
+    )
+
+    plan = plan_compaction(file_sizes(spark, index_path), target_bytes)
+    # Materialize the snapshot BEFORE overwriting the path it reads from.
+    snap = spark.read.parquet(index_path).localCheckpoint(eager=True)
+    compact(snap, plan).write.mode("overwrite").parquet(index_path)
+    return plan
+
+
 def prune_file_stats(
     spark: SparkSession, path: str, index: DataFrame
 ) -> DataFrame:

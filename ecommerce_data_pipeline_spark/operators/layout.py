@@ -40,7 +40,10 @@ of reference code.
 
 from __future__ import annotations
 
+import json
 import math
+import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -254,3 +257,205 @@ def retention_delete(
                 "finishes the swap)"
             )
     return {"dropped": dropped, "rewritten": boundary, "untouched": untouched}
+
+
+# ---------------------------------------------------------------------------
+# Versioned retention: manifest-pointer reads (the log-format answer to the
+# in-place swap's reader-during-swap window — r14 verdict ask #4, the same
+# snapshot discipline as operators/postings.py:_manifest_map)
+# ---------------------------------------------------------------------------
+#
+# Layout:   <root>/<value>__gen-<k>/part-*.parquet   (immutable once written)
+#           <root>/_v<0-padded n>.json               (manifest: value -> dir)
+#
+# A COMMIT is publishing manifest _v{n+1}: write to a dot-tmp name, then
+# rename to the final name — rename-to-new-name is atomic, so a manifest
+# either exists whole or not at all; readers take the highest _v*. Data dirs
+# are never mutated or renamed after their manifest publishes: retention
+# writes the boundary partition's NEW generation beside the old one and
+# drops old months from the MAPPING only. A reader that snapshotted manifest
+# n therefore keeps reading consistent data mid-retention (its dirs still
+# exist) — the race the in-place swap's POLICY row concedes simply cannot
+# occur. Orphan cleanup is `vacuum_versioned(min_age >= longest reader)`,
+# the identical contract to postings vacuum. This duplicates, deliberately
+# and minimally, what Delta's log gives for free (`lake.py` delegates to
+# real Delta when installed); partition values stay IN the data so a
+# manifest read is just `spark.read.parquet(*dirs)`.
+
+_MANIFEST_RE = re.compile(r"^_v(\d{10})\.json$")
+
+
+def _versioned_manifests(fs, jvm, path: str) -> list[tuple[int, str]]:
+    out = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m and st.isFile():
+            out.append((int(m.group(1)), st.getPath().getName()))
+    return sorted(out)
+
+
+def read_versioned_manifest(
+    spark: SparkSession, path: str
+) -> tuple[int, dict[str, str]]:
+    """Highest-numbered manifest: ``(version, {partition_value: dir})``.
+    ONE file read — the snapshot point; everything it references is
+    immutable, so any plan built from it stays consistent regardless of
+    concurrent commits."""
+    fs, jpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    versions = _versioned_manifests(fs, jvm, path)
+    if not versions:
+        raise ValueError(f"no _v*.json manifest under {path}")
+    n, name = versions[-1]
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+    finally:
+        stream.close()
+    return n, json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def write_versioned_manifest(
+    spark: SparkSession, path: str, mapping: dict[str, str], version: int
+) -> int:
+    """Publish manifest ``version + 1``: dot-tmp write + atomic rename to
+    the final ``_v{n}.json`` name. Returns the published version."""
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    n = version + 1
+    final = f"{path}/_v{n:010d}.json"
+    tmp = f"{path}/._v{n:010d}.json.tmp"
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    try:
+        out.write(bytearray(json.dumps(mapping).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(final),
+    ):
+        # False return = destination exists (a concurrent commit won the
+        # version) or FS refusal — either way this commit did NOT publish.
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise OSError(
+            f"manifest publish lost/failed for version {n} under {path}"
+        )
+    return n
+
+
+def init_versioned_table(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str = "p"
+) -> dict[str, str]:
+    """Bootstrap: ONE partitioned write (into hive-style ``__pdir=``
+    staging so the job is a single pass), then a metadata rename per
+    partition into ``<value>__gen-0`` and manifest _v1. The partition
+    column stays IN the data (the staging column is a duplicate), so
+    manifest reads need no partition recovery."""
+    staged = df.withColumn("__pdir", F.col(partition_col))
+    staged.write.partitionBy("__pdir").mode("overwrite").parquet(path)
+    fs, jpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    mapping: dict[str, str] = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__pdir="):
+            val = name.split("=", 1)[1]
+            dest = f"{val}__gen-0"
+            if not fs.rename(
+                st.getPath(), jvm.org.apache.hadoop.fs.Path(f"{path}/{dest}")
+            ):
+                raise OSError(f"init rename failed: {name} -> {dest}")
+            mapping[val] = dest
+    write_versioned_manifest(spark, path, mapping, 0)
+    return mapping
+
+
+def snapshot_versioned(
+    spark: SparkSession, path: str
+) -> tuple[int, list[str]]:
+    """A reader's snapshot: the current manifest's version + absolute dir
+    list. Build the scan from these paths; they stay valid until a vacuum
+    whose ``min_age`` exceeds the reader's lifetime."""
+    n, mapping = read_versioned_manifest(spark, path)
+    return n, [f"{path}/{d}" for d in sorted(mapping.values())]
+
+
+def read_versioned(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-pointer read of the current committed snapshot."""
+    _, dirs = snapshot_versioned(spark, path)
+    return spark.read.parquet(*dirs)
+
+
+def retention_delete_versioned(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    cutoff: str,
+    partition_col: str = "p",
+) -> dict:
+    """``retention_delete`` over the versioned layout — no in-place swap,
+    no crash window, no repair: partitions wholly below the cutoff leave
+    the MAPPING (their dirs persist for in-flight readers until vacuum),
+    the boundary partition's filtered rewrite lands in a NEW generation
+    dir, and the commit is one atomic manifest publish. A crash at any
+    point leaves either manifest n (nothing happened, orphan gen swept by
+    vacuum) or manifest n+1 (retention complete) — never a partial
+    partition. Returns ``{dropped, rewritten, untouched, version}``."""
+    ver, mapping = read_versioned_manifest(spark, path)
+    if not mapping:
+        raise ValueError(f"empty manifest under {path}")
+    vals = sorted(mapping)
+    cut_part = cutoff[: len(vals[0])]
+    dropped = [v for v in vals if v < cut_part]
+    boundary = [v for v in vals if v == cut_part]
+    untouched = [v for v in vals if v > cut_part]
+    new_map = {v: mapping[v] for v in untouched}
+    for v in boundary:
+        cur = mapping[v]
+        gen = int(cur.rsplit("__gen-", 1)[1])
+        dest = f"{v}__gen-{gen + 1}"
+        kept = spark.read.parquet(f"{path}/{cur}").filter(
+            F.col(ts_col) >= F.lit(cutoff)
+        )
+        kept.write.mode("overwrite").parquet(f"{path}/{dest}")
+        new_map[v] = dest
+    new_ver = write_versioned_manifest(spark, path, new_map, ver)
+    return {
+        "dropped": dropped,
+        "rewritten": boundary,
+        "untouched": untouched,
+        "version": new_ver,
+    }
+
+
+def vacuum_versioned(
+    spark: SparkSession, path: str, min_age_sec: float
+) -> list[str]:
+    """Delete generation dirs the CURRENT manifest no longer references
+    and superseded manifests — but only those older than ``min_age_sec``
+    (set it above the longest reader's lifetime, exactly the
+    ``vacuum_postings`` contract: an in-flight snapshot reader's dirs
+    must outlive it). Returns the deleted names."""
+    fs, jpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    cur_ver, mapping = read_versioned_manifest(spark, path)
+    live = set(mapping.values())
+    horizon_ms = (time.time() - min_age_sec) * 1000.0
+    deleted: list[str] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        is_old_manifest = False
+        m = _MANIFEST_RE.match(name)
+        if m and st.isFile():
+            is_old_manifest = int(m.group(1)) < cur_ver
+        is_orphan_gen = (
+            st.isDirectory() and "__gen-" in name and name not in live
+        )
+        if not (is_old_manifest or is_orphan_gen):
+            continue
+        if st.getModificationTime() > horizon_ms:
+            continue
+        fs.delete(st.getPath(), True)
+        deleted.append(name)
+    return sorted(deleted)

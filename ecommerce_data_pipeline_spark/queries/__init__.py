@@ -48,81 +48,78 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 14 (policy applied): (0) the seven brand-new round-14 queries (the
-# advisor certified end-to-end per VERDICT r13 ask #3, the Z-order x
-# multi-band skipping composition per ask #4, the lake-maintenance
-# pair — small-file compaction and partition-pruned retention delete —
-# the CBO ANALYZE-statistics plan-flip certification, incremental
-# Z-order maintenance, and the boilerplate-REMOVAL rewrite);
-# (1) bloom_pruned_order_revenue, whose operator contract AND in-query
-# plan changed this round (ADVICE r13: canonical key hashing,
-# self-describing filter rows, and build-side-scaled n_bits), so its r13
-# certification must be refreshed; (2) the FULL r09 cohort (33 queries,
-# tools/cert_age.py — VERDICT r13 ask #1); (3) the 9 oldest r10-cohort
-# queries in cert_age order — as many as fit the 50-slot window after
-# the new/changed queries took their slots (ask #1 wanted 17;
-# ann_recall_report..document_chunks fit; dsir_importance_weights /
-# embedding_int8_audit /
-# eval_contamination_embedding / event_funnel / forecast_revenue_change /
-# gdpr_delete_audit / hybrid_rrf_search / ivf_topk roll to round 15).
+# ROUND 15 (policy applied): (0) the two brand-new round-15 queries
+# (file_index_append_table — the stats index persisted as its own append
+# table with compaction-as-fold, VERDICT r14 ask #6; and
+# retention_inflight_reader — manifest-pointer retention commits that
+# keep an in-flight snapshot reader consistent, ask #4's log-format
+# answer; and advised_null_skew_left_join — the join-type-aware null-skew
+# advice executed as a salted LEFT join, certifying the ADVICE r14
+# advisor fix end-to-end); (1) queries whose operator code or oracle
+# changed this round
+# (ADVICE r14 fixes): the two boilerplate queries (NULL-source sentinel
+# grouping, operator + oracle), advised_skew_join (join-type-aware skew
+# probe), partitioned_retention_delete (repair ambiguity guard), and the
+# four fileindex consumers (canonical path comparison + root-relative
+# hidden-segment listing changed every index/listing code path);
+# (2) the FULL r10 cohort — all 38, cert_age order (VERDICT r14 ask #1:
+# 3 + 8 + 38 = 49 fits the 50-row window; oldest cohort becomes r11).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (0) brand-new this round, no driver row yet
-    "advised_skew_join",
-    "zorder_multiband_scan",
-    "small_files_compaction",
-    "partitioned_retention_delete",
-    "cbo_stats_broadcast",
-    "incremental_zorder_maintenance",
+    "file_index_append_table",
+    "retention_inflight_reader",
+    "advised_null_skew_left_join",
+    # (1) operator code or oracle changed this round
     "boilerplate_strip",
-    # (1) operator contract + in-query plan changed this round
-    "bloom_pruned_order_revenue",
-    # (2) the r09 cohort, cert_age order (all 33)
-    "ndcg_label_retrieval",
-    "order_count_distribution",
-    "order_items_revenue",
-    "orders_status_pivot",
-    "paid_orders_recent",
-    "part_pagerank",
-    "parts_with_shipments",
-    "payment_reconciliation",
-    "purchase_and_error_users",
-    "quality_report",
-    "retention_cohorts",
-    "revenue_rollup",
-    "sales_cube",
-    "salted_user_enrich",
-    "session_window_fact",
-    "shipment_status_current",
-    "shipping_priority_top10",
-    "sliding_window_gmv",
-    "source_quality_drift",
-    "stream_stream_attribution_join",
-    "streaming_trending_topk",
-    "streaming_trending_topk_merge",
-    "supplier_diversity",
-    "tfidf_top_terms",
-    "token_freq_cms",
-    "top_customers_per_nation",
-    "top_tokens",
-    "training_corpus_filter",
-    "unigram_logprob_score",
-    "user_state_history",
-    "user_trailing_hour_value",
-    "user_value_moving_avg",
-    "winsorized_event_stats",
-    # (3) the 9 oldest r10-cohort queries, cert_age order
-    "ann_recall_report",
-    "asof_view_before_purchase",
-    "bag_set_ops",
-    "bigram_logprob_score",
-    "bpe_pair_stats",
-    "branded_shipment_revenue",
-    "ccnet_quality_buckets",
-    "cdc_change_feed",
-    "document_chunks",
-    # (4) remaining cohorts follow in registration order; queries
-    # certified in round 13 go last via their registration position.
+    "boilerplate_segment_report",
+    "advised_skew_join",
+    "partitioned_retention_delete",
+    "file_skipping_scan",
+    "streaming_file_index",
+    "zorder_multiband_scan",
+    "incremental_zorder_maintenance",
+    # (2) the FULL r10 cohort, cert_age order (38 queries)
+    "dsir_importance_weights",
+    "embedding_int8_audit",
+    "eval_contamination_embedding",
+    "event_funnel",
+    "forecast_revenue_change",
+    "gdpr_delete_audit",
+    "hybrid_rrf_search",
+    "ivf_topk",
+    "k_anonymity_audit",
+    "key_skew_report",
+    "knn_label_accuracy",
+    "large_volume_orders",
+    "leakage_safe_split",
+    "matryoshka_audit",
+    "media_audio_decode",
+    "media_audio_frames",
+    "media_image_decode",
+    "media_image_patches",
+    "media_video_frame_sample",
+    "minhash_lsh_pairs",
+    "nation_market_share",
+    "order_value_rank_profile",
+    "part_kcore",
+    "part_triangles",
+    "pmi_top_pairs",
+    "promo_revenue_share",
+    "recent_sales_top10",
+    "retrieve_rerank_prf",
+    "returned_item_customers",
+    "revenue_trend_by_type",
+    "scd2_point_in_time",
+    "schema_evolution_merge",
+    "semantic_dedup_keep",
+    "sequence_packing",
+    "session_overlap_pairs",
+    "shingle_novelty_curve",
+    "simhash",
+    "small_lot_revenue",
+    # (3) remaining cohorts follow in registration order; queries
+    # certified in round 14 go last via their registration position.
 ]
 
 

@@ -2773,6 +2773,133 @@ def q_streaming_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "file_index_append_table",
+    # Oracle is the plain filtered scan of the ORIGINAL table — the
+    # persisted index, its per-batch appends, and its mid-stream
+    # compaction must all be invisible in the result (same discipline as
+    # streaming_file_index).
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  {money_sum_sql("o_totalprice")} AS band_price,
+  CAST(sum(o_orderkey % 1000000) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_totalprice >= 30000 AND o_totalprice <= 80000
+GROUP BY 1
+""",
+)
+def q_file_index_append_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats index PERSISTED as its own append table — the
+    production shape SCALE.md §10 names and the r14 verdict's ask #6
+    (``streaming_file_index`` keeps the index as an in-memory lazy
+    union; that dies with the process). Here every micro-batch appends
+    its rows to the lake AND appends the new files' stats rows to a
+    parquet index table (``append_file_stats`` — O(new files) data +
+    one O(index) metadata read, the Delta append-stats-at-commit shape,
+    restart-safe because the index is on disk). The per-refresh appends
+    leave one small file each, so MID-STREAM the index is folded by
+    ordinary compaction (``compact_file_stats`` → operators/layout.py —
+    the fold IS the compaction operator, asserted to reduce the index's
+    file count) and refreshes keep appending afterwards. After the
+    drain the query asserts the persisted index is row-for-row the full
+    rebuild, answers a range band THROUGH it with files pruned, and
+    hash-matches the plain filtered scan of the original table."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import (
+        append_file_stats,
+        build_file_stats,
+        compact_file_stats,
+        list_data_files,
+        skipping_scan,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="fidx_append_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    state = {"batches": 0, "compact_plan": None}
+    try:
+        src, out, ck = f"{root}/src", f"{root}/lake", f"{root}/ckpt"
+        idx_path = f"{root}/index"
+        # Range-clustered arrival (see streaming_file_index): clustering
+        # is what makes per-file stats selective.
+        orders.repartitionByRange(6, "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+            n_new = append_file_stats(
+                spark, out, idx_path, ["o_totalprice"]
+            )
+            if n_new <= 0:
+                raise AssertionError(
+                    f"batch {batch_id} appended lake files but the index "
+                    "refresh recorded none"
+                )
+            state["batches"] += 1
+            if state["batches"] == 2:
+                # The fold, mid-stream: ordinary compaction of the index
+                # table itself. Later refreshes append on top of it.
+                state["compact_plan"] = compact_file_stats(spark, idx_path)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = state["compact_plan"]
+        if not plan or plan["n_output_files"] >= plan["n_input_files"]:
+            raise AssertionError(
+                f"mid-stream index compaction did not fold: {plan}"
+            )
+        index = spark.read.parquet(idx_path)
+        # Post-compaction appends continued: the index dir must hold the
+        # folded file(s) PLUS the later refreshes' appends.
+        n_idx_files = len(list_data_files(spark, idx_path))
+        if n_idx_files <= plan["n_output_files"]:
+            raise AssertionError(
+                "no index appends landed after the mid-stream fold "
+                f"({n_idx_files} files vs folded {plan['n_output_files']})"
+            )
+        got = sorted(map(tuple, index.collect()))
+        want = sorted(
+            map(tuple, build_file_stats(spark, out, ["o_totalprice"]).collect())
+        )
+        if got != want:
+            raise AssertionError(
+                f"persisted append-table index diverged from full rebuild: "
+                f"{len(got)} vs {len(want)} entries"
+            )
+        scanned, stats = skipping_scan(
+            spark, index, "o_totalprice", 30000.0, 80000.0
+        )
+        if not stats["n_files_scanned"] < stats["n_files_total"]:
+            raise AssertionError(f"file skipping had no effect: {stats}")
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("band_price"),
+                F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Join-strategy advisor, certified end-to-end: measure -> prescribe ->
 # execute -> plan-assert -> result identical to the plain join
@@ -2861,6 +2988,101 @@ def q_advised_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("key_events").alias("sum_key_events"),
         F.min("key_first_seen").alias("first_seen"),
+        money_sum("value").alias("value_sum"),
+    )
+
+
+@register(
+    "advised_null_skew_left_join",
+    # Oracle is the PLAIN left join: the join-type-aware advice and the
+    # salted execution may only change the physical plan, never the
+    # result (the "advice must be invisible" discipline).
+    oracle="""
+WITH p AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN event_type = 'view' THEN NULL ELSE user_id END AS k
+  FROM events
+),
+d AS (
+  SELECT user_id AS k, count(*) AS user_events
+  FROM events WHERE event_type <> 'view' GROUP BY 1
+)
+SELECT p.event_type AS event_type,
+       count(*) AS n_events,
+       CAST(count(d.user_events) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum(d.user_events), 0) AS BIGINT) AS sum_user_events,
+       sum(CAST(round(p.value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM p LEFT JOIN d ON p.k = d.k
+GROUP BY 1
+""",
+)
+def q_advised_null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor's JOIN-TYPE distinction certified end-to-end (ADVICE
+    r14: null keys and outer joins): 'view' events carry a NULL user —
+    the anonymous-traffic shape — making ~20% of the probe one NULL
+    group. For an INNER join those rows never reach the shuffle
+    (isnotnull pushdown), so the advisor must NOT read them as skew
+    (asserted: inner advice is not 'salted'); for the LEFT join
+    actually executed they DO reach the shuffle and all hash to one
+    reducer, so the advisor MUST prescribe salting (asserted), the
+    salted LEFT join is executed via execute_advice, the plan is
+    asserted to carry __salt, and the result — including every
+    null-key row, null-padded — hash-matches the plain left join
+    oracle. The skew probe's denominator is what actually reaches the
+    shuffle: non-null rows for inner, all rows for outer."""
+    from ecommerce_data_pipeline_spark.operators.advisor import (
+        advise_join,
+        execute_advice,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = (
+        ev.filter(F.col("event_type") != "view")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    # skew_share=0.12 sits between the two regimes at EVERY sf: the
+    # null group is ~20% of the probe (uniform event types) while the
+    # hottest real user owns ~1/n_users of the non-null rows — 8.25% at
+    # sf0.001's 15 users, 2% at sf0.01, 0.2% at sf0.1 — so the inner
+    # advice stays un-salted and the left advice salted at all scales.
+    inner_advice = advise_join(
+        probe, dim, "k", broadcast_rows=0, skew_share=0.12, how="inner"
+    )
+    if inner_advice.strategy == "salted":
+        raise AssertionError(
+            "inner-join advice counted the NULL group as skew "
+            f"(top_share={inner_advice.top_key_share}) — isnotnull "
+            "pushdown drops those rows before the shuffle"
+        )
+    advice = advise_join(
+        probe, dim, "k", broadcast_rows=0, skew_share=0.12, how="left"
+    )
+    if advice.strategy != "salted":
+        raise AssertionError(
+            f"left-join advice must read the NULL group as skew "
+            f"(top_share={advice.top_key_share}), got {advice.strategy!r}"
+        )
+    joined = execute_advice(
+        advice, probe, dim, on="k", spread_col="event_id", how="left"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "__salt" not in plan:
+        raise AssertionError(
+            "prescribed salting did not reach the physical plan"
+        )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("user_events").alias("n_matched"),
+        F.coalesce(F.sum("user_events"), F.lit(0)).alias("sum_user_events"),
         money_sum("value").alias("value_sum"),
     )
 
@@ -3108,6 +3330,111 @@ def q_partitioned_retention_delete(spark: SparkSession, sf_dir: str) -> DataFram
                 F.count(F.lit(1)).alias("n_orders"),
                 money_sum("o_totalprice").alias("kept_price"),
                 F.sum(F.col("o_orderkey") % 1000000).alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "retention_inflight_reader",
+    # Oracle is the row-level DELETE-WHERE result over the ORIGINAL
+    # table, per month — the versioned layout, generation dirs, manifest
+    # commits and vacuum must all be invisible in the post-retention
+    # read (and the IN-FLIGHT reader's pre-retention equality is
+    # asserted in-query).
+    oracle="""
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+  count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS month_revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1
+""",
+)
+def q_retention_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-DURING-retention, made safe by manifest-pointer commits
+    (operators/layout.py versioned tier — r14 verdict ask #4, the
+    postings `_manifest_map` discipline applied to the partitioned
+    table): the in-place swap's POLICY row concedes a reader planning
+    mid-swap can see a partial partition; here that race cannot occur
+    by construction. A reader SNAPSHOTS the manifest before retention
+    runs; retention drops expired months from the MAPPING only, writes
+    the boundary month's filtered rewrite as a NEW generation dir, and
+    commits with one atomic manifest rename. In-query guards assert:
+    (a) the pre-retention snapshot re-read AFTER the commit still
+    computes the exact pre-retention aggregate (its dirs are immutable
+    and still present), (b) an age-gated vacuum (min_age > reader
+    lifetime) deletes nothing while the reader is in flight, (c) a
+    zero-age vacuum then sweeps the orphaned generations and superseded
+    manifest, after which the current read still hash-matches the
+    row-level DELETE-WHERE oracle."""
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        init_versioned_table,
+        read_versioned,
+        retention_delete_versioned,
+        snapshot_versioned,
+        vacuum_versioned,
+    )
+
+    cutoff = "1998-03-15 00:00:00"
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="retention_mf_")
+
+    def checksum(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.sum(F.col("o_orderkey") % 1000000).alias("keys"),
+        ).first()
+        return (r["n"], r["cents"], r["keys"])
+
+    try:
+        path = f"{root}/orders"
+        init_versioned_table(
+            spark,
+            orders.withColumn("p", F.date_format("o_orderdate", "yyyy-MM")),
+            path,
+            "p",
+        )
+        # The in-flight reader: snapshot the manifest BEFORE retention.
+        pre_ver, pre_dirs = snapshot_versioned(spark, path)
+        pre = checksum(spark.read.parquet(*pre_dirs))
+        stats = retention_delete_versioned(
+            spark, path, "o_orderdate", cutoff, "p"
+        )
+        if not (stats["dropped"] and stats["rewritten"] and stats["untouched"]):
+            raise AssertionError(f"degenerate retention split: {stats}")
+        if stats["version"] <= pre_ver:
+            raise AssertionError("retention did not publish a new manifest")
+        # (a) The snapshot reader, re-planned AFTER the commit, still
+        # reads the exact pre-retention state — no partial partition,
+        # no vanished month.
+        if checksum(spark.read.parquet(*pre_dirs)) != pre:
+            raise AssertionError(
+                "in-flight snapshot reader saw retention effects"
+            )
+        # (b) An age-gated vacuum must not touch the reader's dirs.
+        if vacuum_versioned(spark, path, min_age_sec=3600):
+            raise AssertionError("vacuum ignored min_age and swept dirs")
+        if checksum(spark.read.parquet(*pre_dirs)) != pre:
+            raise AssertionError("age-gated vacuum broke the snapshot reader")
+        # (c) Reader done: zero-age vacuum sweeps orphans + old manifest.
+        swept = vacuum_versioned(spark, path, min_age_sec=0.0)
+        if not swept:
+            raise AssertionError("zero-age vacuum swept nothing")
+        return (
+            read_versioned(spark, path)
+            .groupBy(F.col("p").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum("o_totalprice").alias("month_revenue"),
             )
             .localCheckpoint(eager=True)
         )

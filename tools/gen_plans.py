@@ -191,6 +191,15 @@ AUDITED = [
     # tests/test_profile_fileindex.py, not here)
     "advised_skew_join",
     "zorder_multiband_scan",
+    # round-15 additions (both execute their lake fixtures at BUILD time
+    # — stream-ingested index appends, manifest commits, vacuum — so the
+    # entries record the final checkpointed-aggregate plan; the skipping
+    # pushdown / snapshot-reader invariants are asserted in-query)
+    "file_index_append_table",
+    "retention_inflight_reader",
+    # (advised left join: the advisor's probes run at build time; the
+    # entry records the salted LEFT join plan — __salt on both inputs)
+    "advised_null_skew_left_join",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -96,9 +96,22 @@ HEAVY = {
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# SPARK_GRAFT_EXTRA_SF appends one more scale dir (e.g. the generated sf1
+# from tools/gen_sf1.py — r14 verdict ask #7: measure the sf0.1 -> sf1
+# decade instead of extrapolating it). With it set, alpha_last_decade is
+# computed over sf0.1 -> sf1. SPARK_GRAFT_PROBE_LAST_TWO=1 additionally
+# drops the two smallest scales so a heavy-tier sweep at sf1 doesn't pay
+# the sf0.001/sf0.01 runs again (their exponents are already in SCALE.md).
+
 
 def main() -> None:
     names = sys.argv[1:] or list(HEAVY)
+    global SFS
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_SF")
+    if extra:
+        SFS = SFS + [extra.rstrip("/")]
+    if os.environ.get("SPARK_GRAFT_PROBE_LAST_TWO") == "1":
+        SFS = SFS[-2:]
     from ecommerce_data_pipeline_spark.session import get_spark
     from ecommerce_data_pipeline_spark.queries import QUERIES
 
@@ -124,20 +137,26 @@ def main() -> None:
                 fn(spark, sf).count()
                 best = min(best, time.time() - t0)
             times[sf] = best
-        lo, mid, hi = (times[s] for s in SFS)
-        growth_last = nrows[(SFS[2], basis)] / nrows[(SFS[1], basis)]
-        alpha_last = math.log10(hi / mid) / math.log10(growth_last)
+        ts = [times[s] for s in SFS]
+        growth_last = nrows[(SFS[-1], basis)] / nrows[(SFS[-2], basis)]
+        alpha_last = (
+            math.log10(ts[-1] / ts[-2]) / math.log10(growth_last)
+            if growth_last > 1
+            else float("nan")
+        )
         results[name] = {
             "basis_table": basis,
             "basis_growth_last_decade": growth_last,
-            "sf0.001_s": round(lo, 2),
-            "sf0.01_s": round(mid, 2),
-            "sf0.1_s": round(hi, 2),
+            **{
+                f"{os.path.basename(s)}_s": round(t, 2)
+                for s, t in zip(SFS, ts)
+            },
             "alpha_last_decade": round(alpha_last, 2),
         }
+        cells = " | ".join(f"{t:.2f}" for t in ts)
         print(
-            f"| {name} | {basis} ×{growth_last:g} | {lo:.2f} | {mid:.2f} "
-            f"| {hi:.2f} | {alpha_last:.2f} |",
+            f"| {name} | {basis} ×{growth_last:g} | {cells} "
+            f"| {alpha_last:.2f} |",
             flush=True,
         )
     print(json.dumps({"results": results}))
