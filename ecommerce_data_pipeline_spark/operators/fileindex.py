@@ -300,7 +300,13 @@ def compact_file_stats(
     The index is O(table files) rows of metadata, so the snapshot-then-
     overwrite here is Delta-checkpoint-class work, not a data job.
     Returns the compaction plan dict (``n_input_files`` →
-    ``n_output_files``)."""
+    ``n_output_files``).
+
+    Crash recovery: the overwrite is Spark's delete-then-write — a crash
+    mid-fold can leave a partial index dir. Unlike the DATA tables the
+    manifest tier protects, the index is a pure DERIVED artifact: the
+    recovery is ``build_file_stats`` over the table (one scan), so the
+    fold needs no swap machinery of its own."""
     from ecommerce_data_pipeline_spark.operators.layout import (
         compact,
         file_sizes,

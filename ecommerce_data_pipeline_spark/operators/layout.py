@@ -401,7 +401,15 @@ def retention_delete_versioned(
     dir, and the commit is one atomic manifest publish. A crash at any
     point leaves either manifest n (nothing happened, orphan gen swept by
     vacuum) or manifest n+1 (retention complete) — never a partial
-    partition. Returns ``{dropped, rewritten, untouched, version}``."""
+    partition. Returns ``{dropped, rewritten, untouched, version}``.
+
+    Edge semantics: a cutoff beyond every partition publishes an EMPTY
+    mapping — the table is legitimately empty and ``read_versioned``
+    raises until new data commits (callers that can reach this state
+    should check ``untouched``/``rewritten`` before reading). Rows with
+    a NULL partition value land in Hive's default partition at init;
+    its name sorts ABOVE ISO date prefixes, so a time cutoff never
+    drops it — the safe default for undated rows (fix them upstream)."""
     ver, mapping = read_versioned_manifest(spark, path)
     if not mapping:
         raise ValueError(f"empty manifest under {path}")

@@ -129,6 +129,87 @@ def test_versioned_retention_crash_and_commit_race(spark, tmp_path):
     assert read_versioned_manifest(spark, path)[0] == ver
 
 
+def test_versioned_retention_edge_semantics(spark, tmp_path):
+    """Documented edges: a cutoff beyond every partition publishes an
+    empty mapping (read raises until new data commits), and NULL
+    partition values survive any time cutoff (Hive default partition
+    sorts above ISO prefixes)."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        init_versioned_table,
+        read_versioned,
+        read_versioned_manifest,
+        retention_delete_versioned,
+    )
+
+    path = str(tmp_path / "vt2")
+    df = spark.createDataFrame(
+        [(1, "2024-01-05", "2024-01"), (2, "2024-02-05", "2024-02"),
+         (3, None, None)],
+        "id long, ts string, p string",
+    )
+    init_versioned_table(spark, df, path, "p")
+    stats = retention_delete_versioned(
+        spark, path, "ts", "2024-02-10 00:00:00", "p"
+    )
+    # 2024-01 expires whole; 2024-02 is the boundary (its one row is
+    # below the cutoff, so its rewrite is empty); the null-partition
+    # row is untouched.
+    assert stats["dropped"] == ["2024-01"]
+    assert stats["rewritten"] == ["2024-02"]
+    assert len(stats["untouched"]) == 1
+    got = read_versioned(spark, path).collect()
+    assert [r["id"] for r in got] == [3]
+    # Now expire everything, including... the null partition must STILL
+    # survive (it sorts above the cutoff prefix) — undated rows are
+    # never silently retention-deleted.
+    stats = retention_delete_versioned(spark, path, "ts", "9999-12-31", "p")
+    assert len(stats["untouched"]) == 1
+    assert [r["id"] for r in read_versioned(spark, path).collect()] == [3]
+    # A genuinely emptied mapping raises on read with a clear message.
+    path2 = str(tmp_path / "vt3")
+    init_versioned_table(
+        spark,
+        spark.createDataFrame([(1, "2024-01-05", "2024-01")],
+                              "id long, ts string, p string"),
+        path2,
+        "p",
+    )
+    stats = retention_delete_versioned(spark, path2, "ts", "2025-01-01", "p")
+    assert stats["dropped"] == ["2024-01"]
+    assert read_versioned_manifest(spark, path2)[1] == {}
+    with pytest.raises(Exception):
+        read_versioned(spark, path2).collect()
+
+
+def test_canon_path_properties():
+    """_canon property contract: idempotent, maps encoded and decoded
+    forms of the same path to one string, leaves scheme-less paths
+    alone (hypothesis over path-safe character pools)."""
+    from urllib.parse import quote
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecommerce_data_pipeline_spark.operators.fileindex import _canon
+
+    segment = st.text(
+        alphabet="abcXYZ019 ~!$&'()+,;=@-._", min_size=1, max_size=12
+    ).filter(lambda s: s.strip())
+
+    @given(st.lists(segment, min_size=1, max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def check(segs):
+        decoded_path = "/" + "/".join(segs)
+        decoded = f"file:{decoded_path}"
+        encoded = f"file:{quote(decoded_path, safe='/')}"
+        # Same file, both representations -> one canonical string.
+        assert _canon(decoded_path) == decoded_path  # scheme-less: untouched
+        assert _canon(_canon(decoded)) == _canon(decoded)  # idempotent...
+        assert _canon(encoded) == _canon(decoded)  # ...and unifying
+
+    check()
+
+
 def test_list_data_files_table_under_hidden_root(spark, tmp_path):
     """The hidden-segment rule applies only BELOW the input root: a table
     legitimately rooted under a dot-directory lists normally, while
