@@ -426,6 +426,7 @@ def kcore(
         return spark.createDataFrame(out, "id long, core_degree long")
 
     active = sym
+    prev_edges = n_edges
     for _ in range(rounds):
         keep = (
             active.groupBy("u")
@@ -438,6 +439,17 @@ def kcore(
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # Early exit on convergence: peeling is monotone, so a round that
+        # removed nothing proves every remaining round is a no-op — the
+        # SAME property the rounds=8 == rounds=10 oracle test pins, used
+        # here to stop paying per-round shuffles + checkpoints once the
+        # core stabilizes (at 19M+ edges each saved round is a full
+        # O(edges) job). The count is metadata-cheap on the checkpointed
+        # frame. Results are bit-identical to the fixed-round loop.
+        cur_edges = active.count()
+        if cur_edges == prev_edges:
+            break
+        prev_edges = cur_edges
     return (
         active.groupBy(F.col("u").alias("id"))
         .agg(F.count(F.lit(1)).alias("core_degree"))

@@ -181,6 +181,31 @@ def test_versioned_retention_edge_semantics(spark, tmp_path):
         read_versioned(spark, path2).collect()
 
 
+def test_kcore_distributed_early_exit_matches_fixed_rounds(spark):
+    """The distributed peel's convergence early-exit is result-invisible:
+    forcing the distributed path (small_graph_edges=0) with generous
+    rounds returns exactly the numpy fast path's fixed-round result."""
+    from ecommerce_data_pipeline_spark.operators.graph import kcore
+
+    # A 3-core (triangle+chords) plus a tail that peels away in 2 rounds.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    want = sorted(
+        map(tuple, kcore(edges, k=3, rounds=8).collect())
+    )  # numpy path
+    got = sorted(
+        map(
+            tuple,
+            kcore(edges, k=3, rounds=8, small_graph_edges=0).collect(),
+        )
+    )  # distributed path with early exit
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3, 4}
+
+
 def test_canon_path_properties():
     """_canon property contract: idempotent, maps encoded and decoded
     forms of the same path to one string, leaves scheme-less paths
