@@ -92,6 +92,10 @@ HEAVY = {
     "cbo_stats_broadcast": "lineitem",
     "incremental_zorder_maintenance": "orders",
     "boilerplate_strip": "documents",
+    # r15 additions (>2.5 s at sf0.1 in the clean r15 bench)
+    "file_index_append_table": "orders",
+    "retention_inflight_reader": "orders",
+    "advised_null_skew_left_join": "events",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
