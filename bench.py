@@ -80,6 +80,21 @@ PREFLIGHT_RETRIES = 3
 PREFLIGHT_SLEEP_SEC = 120
 
 
+def baseline_ref_numpy(host_calib: dict) -> float | None:
+    """The pre-flight's reference: the FASTEST numpy probe the committed
+    baseline recorded. MIN, not mean — a baseline run's own start probe
+    can have been taken on a momentarily throttled host (the committed
+    r15 baseline's was: its preflight read degraded_at_start before the
+    host settled), and a mean inflated by a degraded start would quietly
+    defeat the gate."""
+    refs = [
+        host_calib.get("numpy_matmul_2048x2048x2_sec"),
+        host_calib.get("numpy_matmul_end_sec"),
+    ]
+    refs = [x for x in refs if x]
+    return round(min(refs), 3) if refs else None
+
+
 def _numpy_probe() -> float:
     """The same 2048^2 matmul pair the in-run calibration uses — raw
     single-process CPU, no Spark session needed (the pre-flight runs
@@ -161,12 +176,7 @@ def main() -> int:
     try:
         with open(os.path.join(here_pf, "BENCH_FULL.json")) as fh:
             _bf_calib = (json.load(fh) or {}).get("host_calib") or {}
-        _refs = [
-            _bf_calib.get("numpy_matmul_2048x2048x2_sec"),
-            _bf_calib.get("numpy_matmul_end_sec"),
-        ]
-        _refs = [x for x in _refs if x]
-        ref_numpy = round(sum(_refs) / len(_refs), 3) if _refs else None
+        ref_numpy = baseline_ref_numpy(_bf_calib)
     except (OSError, json.JSONDecodeError):
         pass
     preflight = preflight_gate(ref_numpy)

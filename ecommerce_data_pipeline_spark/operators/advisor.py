@@ -85,14 +85,19 @@ def advise_join(
     reach the shuffle and all hash to ONE reducer — the NULL group is
     counted as a skew candidate and the denominator is all rows. Advice
     is therefore per (tables, join type); re-advise if the type changes."""
-    # NOTE: anti joins are NOT inner-like here — a left_anti must keep
-    # null-key probe rows (they never match), so no isnotnull pushdown
-    # protects the shuffle from a null-heavy probe.
+    # Inner-like = the PROBE side is not preserved, so its null-key rows
+    # can be (and are) filtered before the shuffle. That includes RIGHT
+    # outer joins — they preserve the build side only. NOT inner-like:
+    # left/full outer (probe rows preserved, nulls reach the shuffle)
+    # and anti joins (a left_anti must keep null-key probe rows — they
+    # never match — so no isnotnull pushdown protects the shuffle).
     inner_like = how.lower().replace("_", "") in (
         "inner",
         "semi",
         "leftsemi",
         "cross",
+        "right",
+        "rightouter",
     )
     p = probe.agg(
         F.count(F.lit(1)).alias("n"),

@@ -39,6 +39,13 @@ from ecommerce_data_pipeline_spark.operators.dedup import (
     char_shingles,
 )
 
+# NULL-group sentinel shared by both boilerplate operators (and mirrored
+# as chr(0) || '__null_group__' in their DuckDB oracles — a test pins the
+# two representations equal): NULL group_col docs form their OWN group;
+# a plain equality join on NULL matches nothing and the doc's text would
+# silently vanish (ADVICE r14).
+NULL_GROUP_SENTINEL = "\x00__null_group__"
+
 # PII patterns (Java+RE2-portable). Order of application matters: emails
 # first (an email contains no phone/ip match but keeps counts stable),
 # then IPv4, then phone numbers.
@@ -494,7 +501,6 @@ def boilerplate_segment_report(
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
-    null_grp = "\x00__null_group__"
     words = _words(F.coalesce(F.col(text_col), F.lit("")))
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
@@ -502,7 +508,7 @@ def boilerplate_segment_report(
     )
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(group_col), F.lit(null_grp)).alias("grp"),
+        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
         F.explode_outer(
             F.transform(
                 idx,
@@ -628,7 +634,6 @@ def boilerplate_strip(
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
-    null_grp = "\x00__null_group__"
     words = _words(F.coalesce(F.col(text_col), F.lit("")))
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
@@ -636,7 +641,7 @@ def boilerplate_strip(
     )
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(group_col), F.lit(null_grp)).alias("grp"),
+        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
         F.posexplode_outer(
             F.transform(
                 idx,

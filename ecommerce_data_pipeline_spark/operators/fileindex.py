@@ -86,9 +86,9 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     read, comfortable to ~10M files (~1 GB of path strings). Past that,
     shard the table or spill the anti-join to executors (the index frame
     itself is already distributed); SCALE.md §10 records the policy."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    from ecommerce_data_pipeline_spark.operators.layout import _fs
+
+    fs, jpath = _fs(spark, path)
     # Qualified root → its decoded URI path is the prefix we strip so
     # hidden-segment checks see only the RELATIVE part below the root.
     root_uri = fs.makeQualified(jpath).toUri()
@@ -267,9 +267,9 @@ def append_file_stats(
     # Explicit existence probe (not try/read-except): the first refresh
     # legitimately finds no index, and letting the reader throw logs a
     # full WARN stack trace per stream start.
-    jvm = spark.sparkContext._jvm
-    jidx = jvm.org.apache.hadoop.fs.Path(index_path)
-    ifs = jidx.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    from ecommerce_data_pipeline_spark.operators.layout import _fs
+
+    ifs, jidx = _fs(spark, index_path)
     if ifs.exists(jidx):
         known = {
             _canon(r["file_path"])

@@ -403,6 +403,11 @@ def retention_delete_versioned(
     vacuum) or manifest n+1 (retention complete) — never a partial
     partition. Returns ``{dropped, rewritten, untouched, version}``.
 
+    Single-writer discipline (one retention job at a time — the standard
+    maintenance-scheduler contract): rewrites stage under dot-prefixed
+    names invisible to readers AND to vacuum, and this function sweeps
+    any crashed attempt's leftover staging dirs at entry.
+
     Edge semantics: a cutoff beyond every partition publishes an EMPTY
     mapping — the table is legitimately empty and ``read_versioned``
     raises until new data commits (callers that can reach this state
@@ -413,12 +418,20 @@ def retention_delete_versioned(
     ver, mapping = read_versioned_manifest(spark, path)
     if not mapping:
         raise ValueError(f"empty manifest under {path}")
+    # Entry sweep: a crashed prior attempt's staging dirs (hidden from
+    # readers and vacuum alike) are safe to drop here — single writer.
+    fs0, jpath0 = _fs(spark, path)
+    for st in fs0.listStatus(jpath0):
+        if st.isDirectory() and st.getPath().getName().startswith(".staging_"):
+            fs0.delete(st.getPath(), True)
     vals = sorted(mapping)
     cut_part = cutoff[: len(vals[0])]
     dropped = [v for v in vals if v < cut_part]
     boundary = [v for v in vals if v == cut_part]
     untouched = [v for v in vals if v > cut_part]
     new_map = {v: mapping[v] for v in untouched}
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
     for v in boundary:
         cur = mapping[v]
         gen = int(cur.rsplit("__gen-", 1)[1])
@@ -426,7 +439,23 @@ def retention_delete_versioned(
         kept = spark.read.parquet(f"{path}/{cur}").filter(
             F.col(ts_col) >= F.lit(cutoff)
         )
-        kept.write.mode("overwrite").parquet(f"{path}/{dest}")
+        # Write under a DOT-prefixed staging name and rename to the final
+        # generation name only when complete: a vacuum running CONCURRENTLY
+        # with this rewrite would otherwise see a minutes-old unreferenced
+        # gen dir and delete the boundary's only rewrite mid-write (hidden
+        # names are never vacuum candidates; the rename is one metadata op,
+        # shrinking the unreferenced-but-wanted window from the whole
+        # rewrite to the instant before the manifest publish).
+        stage = f"{path}/.staging_{dest}"
+        kept.write.mode("overwrite").parquet(stage)
+        dest_jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{dest}")
+        if fs.exists(dest_jpath):
+            # A prior crashed attempt's orphan — superseded by this one.
+            fs.delete(dest_jpath, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), dest_jpath):
+            raise OSError(
+                f"retention staging rename failed: {stage} -> {dest}"
+            )
         new_map[v] = dest
     new_ver = write_versioned_manifest(spark, path, new_map, ver)
     return {
@@ -442,9 +471,14 @@ def vacuum_versioned(
 ) -> list[str]:
     """Delete generation dirs the CURRENT manifest no longer references
     and superseded manifests — but only those older than ``min_age_sec``
-    (set it above the longest reader's lifetime, exactly the
-    ``vacuum_postings`` contract: an in-flight snapshot reader's dirs
-    must outlive it). Returns the deleted names."""
+    (set it above the longest reader's lifetime AND the longest writer
+    gap between a generation's completion and its manifest publish,
+    exactly the ``vacuum_postings`` contract: an in-flight snapshot
+    reader's dirs must outlive it). In-progress rewrites are never
+    candidates regardless of age: ``retention_delete_versioned`` stages
+    under a dot-prefixed name and renames atomically on completion, and
+    hidden (``.``/``_``-prefixed) names are skipped here. Returns the
+    deleted names."""
     fs, jpath = _fs(spark, path)
     jvm = spark.sparkContext._jvm
     cur_ver, mapping = read_versioned_manifest(spark, path)
@@ -453,6 +487,11 @@ def vacuum_versioned(
     deleted: list[str] = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
+        if name.startswith("."):
+            # In-progress staging (or other hidden artifacts): never a
+            # vacuum candidate — age cannot distinguish "crashed long
+            # ago" from "actively being written for the last 10 min".
+            continue
         is_old_manifest = False
         m = _MANIFEST_RE.match(name)
         if m and st.isFile():

@@ -48,7 +48,7 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 15 (policy applied): (0) the two brand-new round-15 queries
+# ROUND 15 (policy applied): (0) the three brand-new round-15 queries
 # (file_index_append_table — the stats index persisted as its own append
 # table with compaction-as-fold, VERDICT r14 ask #6; and
 # retention_inflight_reader — manifest-pointer retention commits that

@@ -56,6 +56,24 @@ def test_preflight_gate_decisions():
     assert r["attempts"][0]["ratio_vs_baseline"] is None
 
 
+def test_preflight_reference_uses_fastest_baseline_probe():
+    """The gate's reference is the committed baseline's FASTEST numpy
+    probe: the r15 baseline's own start probe was taken on a throttled
+    host (3.1s vs its clean 1.15s end probe) and a mean would inflate
+    the reference ~1.85x, quietly defeating the gate."""
+    import bench
+
+    hc = {
+        "numpy_matmul_2048x2048x2_sec": 3.106,
+        "numpy_matmul_end_sec": 1.151,
+    }
+    assert bench.baseline_ref_numpy(hc) == 1.151
+    assert bench.baseline_ref_numpy({}) is None
+    assert bench.baseline_ref_numpy(
+        {"numpy_matmul_2048x2048x2_sec": 2.7}
+    ) == 2.7
+
+
 def _month_table(spark, tmp_path):
     """Two-month partitioned table (same fixture shape as round 14)."""
     path = str(tmp_path / "tbl")
@@ -115,12 +133,27 @@ def test_versioned_retention_crash_and_commit_race(spark, tmp_path):
     before = sorted(r["id"] for r in read_versioned(spark, path).collect())
     # Simulated crash: a rewrite landed but its manifest never published.
     spark.range(5).write.parquet(f"{path}/2024-01__gen-1")
+    # An IN-PROGRESS rewrite (dot-staged) must never be a vacuum
+    # candidate regardless of age — a concurrent vacuum deleting it
+    # mid-write would lose the boundary's only rewrite (review r15).
+    spark.range(3).write.parquet(f"{path}/.staging_2024-02__gen-1")
     assert (
         sorted(r["id"] for r in read_versioned(spark, path).collect())
         == before
     ), "orphan generation leaked into a manifest read"
     swept = vacuum_versioned(spark, path, min_age_sec=0.0)
     assert swept == ["2024-01__gen-1"]
+    assert spark.read.parquet(f"{path}/.staging_2024-02__gen-1").count() == 3
+    # The next (single-writer) retention run sweeps crashed staging dirs
+    # at entry.
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        retention_delete_versioned,
+    )
+
+    retention_delete_versioned(spark, path, "p", "2024-02-15", "p")
+    import os
+
+    assert not os.path.exists(f"{path}/.staging_2024-02__gen-1")
     # Version conflict: publishing on top of a version that already
     # exists must raise (the concurrent commit won), not overwrite.
     ver, m = read_versioned_manifest(spark, path)
@@ -179,6 +212,20 @@ def test_versioned_retention_edge_semantics(spark, tmp_path):
     assert read_versioned_manifest(spark, path2)[1] == {}
     with pytest.raises(Exception):
         read_versioned(spark, path2).collect()
+
+
+def test_null_group_sentinel_matches_oracles():
+    """The operator's sentinel and the oracles' chr(0) || '__null_group__'
+    must stay the same string — drift would silently re-split null-source
+    docs across the audit/removal pair."""
+    from ecommerce_data_pipeline_spark.operators.curate import (
+        NULL_GROUP_SENTINEL,
+    )
+    from ecommerce_data_pipeline_spark.queries import ORACLES
+
+    assert NULL_GROUP_SENTINEL == "\x00" + "__null_group__"
+    for q in ("boilerplate_strip", "boilerplate_segment_report"):
+        assert "chr(0) || '__null_group__'" in ORACLES[q], q
 
 
 def test_kcore_distributed_early_exit_matches_fixed_rounds(spark):
