@@ -81,31 +81,59 @@ PREFLIGHT_SLEEP_SEC = 120
 
 
 def baseline_ref_numpy(host_calib: dict) -> float | None:
-    """The pre-flight's reference: the FASTEST numpy probe the committed
-    baseline recorded. MIN, not mean — a baseline run's own start probe
-    can have been taken on a momentarily throttled host (the committed
-    r15 baseline's was: its preflight read degraded_at_start before the
-    host settled), and a mean inflated by a degraded start would quietly
-    defeat the gate."""
-    refs = [
-        host_calib.get("numpy_matmul_2048x2048x2_sec"),
-        host_calib.get("numpy_matmul_end_sec"),
-    ]
-    refs = [x for x in refs if x]
-    return round(min(refs), 3) if refs else None
+    """The pre-flight's reference: the committed baseline's
+    SINGLE-THREAD-pinned matmul probe (``numpy_matmul_1t_sec``).
+
+    Round 15's lesson (VERDICT r15 ask #2): the unpinned multithreaded
+    matmul on a 32-CPU box measures BLAS thread scheduling, not host
+    capacity — its four r15 attempts read 3.3-7.7x "degraded" on a host
+    whose in-run stable-median then read 1.08 parity, and the gate slept
+    6 minutes for nothing. The pinned probe occupies one core, so its
+    runtime tracks per-core clock/steal — genuine capacity — while the
+    load-average check covers co-tenant saturation; together the two
+    signals are orthogonal instead of both scheduling-noise. Baselines
+    that predate the 1t probe return None (gate on load alone) rather
+    than comparing a pinned probe against an unpinned reference."""
+    ref = host_calib.get("numpy_matmul_1t_sec")
+    return round(ref, 3) if ref else None
+
+
+# The probe body times ONLY the matmul pair inside the subprocess, so
+# interpreter + numpy import startup never pollutes the reading.
+_PROBE_1T_SNIPPET = (
+    "import time, numpy as np\n"
+    "a = np.ones((2048, 2048))\n"
+    "t = time.time()\n"
+    "for _ in range(2):\n"
+    "    a = (a @ a) % 7.0\n"
+    "print(time.time() - t)\n"
+)
 
 
 def _numpy_probe() -> float:
-    """The same 2048^2 matmul pair the in-run calibration uses — raw
-    single-process CPU, no Spark session needed (the pre-flight runs
-    before the JVM starts so a retry-sleep holds no resources)."""
-    import numpy as np
+    """One 2048^2 matmul pair with BLAS pinned to ONE thread, run in a
+    subprocess (the thread-count env vars only take effect before the
+    BLAS pool initializes, which in-process numpy has long since done).
+    Raw single-core CPU, no Spark session needed — the pre-flight runs
+    before the JVM starts so a retry-sleep holds no resources."""
+    import subprocess
 
-    t = time.time()
-    a = np.ones((2048, 2048))
-    for _ in range(2):
-        a = (a @ a) % 7.0
-    return round(time.time() - t, 3)
+    env = dict(
+        os.environ,
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        NUMEXPR_NUM_THREADS="1",
+        VECLIB_MAXIMUM_THREADS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE_1T_SNIPPET],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return round(float(out.stdout.strip()), 3)
 
 
 def preflight_gate(
@@ -252,6 +280,14 @@ def main() -> int:
     host_calib = {
         "numpy_matmul_2048x2048x2_sec": calib_numpy,
         "spark_range_200m_agg_sec": calib_spark,
+        # The pre-flight's pinned single-thread probe, re-recorded here so
+        # the NEXT round's pre-flight has a like-for-like reference
+        # (baseline_ref_numpy). MIN over the attempts: a retried gate's
+        # early attempts may have read a transient, and an inflated
+        # reference would quietly defeat the gate.
+        "numpy_matmul_1t_sec": min(
+            a["numpy_sec"] for a in preflight["attempts"]
+        ),
     }
 
     def _calib_end() -> None:

@@ -28,10 +28,21 @@ the certified query's oracle (the plain filtered scan) proves it.
 
 from __future__ import annotations
 
-from urllib.parse import unquote, urlsplit
+import re
+
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Manual scheme/authority split for _canon. urlsplit would stop the path at
+# the first '#'/'?' — but a DECODED Hadoop path (one of the two
+# representations this function exists to absorb) carries those characters
+# literally in a filename, so urlsplit silently truncates exactly the drifted
+# form and the file gets re-statted/mis-pruned under a wrong path
+# (ADVICE r15). File paths here are never queries/fragments, so the whole
+# remainder after scheme[://authority] is the path.
+_URI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/]*)?(?=/)")
 
 
 def _canon(p: str) -> str:
@@ -42,15 +53,23 @@ def _canon(p: str) -> str:
     exact representation also varies by Spark version (ADVICE r14) — so
     every comparison between index entries and FS listings goes through
     this one function: scheme + authority + percent-decoded path. Both
-    forms of the same file map to the same string. Residual assumption
-    (documented, not checked): a file whose NAME contains a literal
-    ``%``-hex sequence on a Spark build that does NOT encode
-    ``_metadata.file_path`` would decode wrongly; Spark 4.x encodes."""
-    u = urlsplit(p)
-    if not u.scheme:
+    forms of the same file map to the same string. The split is manual
+    (``_URI_RE``), never ``urlsplit``: a literal ``#``/``?`` in a decoded
+    filename must stay in the path, not become a fragment/query
+    (ADVICE r15). Residual assumption (documented, not checked): a file
+    whose NAME contains a literal ``%``-hex sequence on a Spark build
+    that does NOT encode ``_metadata.file_path`` would decode wrongly;
+    Spark 4.x encodes."""
+    m = _URI_RE.match(p)
+    if not m:
         return p
-    host = f"//{u.netloc}" if u.netloc else ""
-    return f"{u.scheme}:{host}{unquote(u.path)}"
+    host = m.group(2) or ""
+    if host == "//":
+        # Empty authority: file:///x and file:/x are the same file —
+        # collapse to the authority-less spelling (matches the previous
+        # urlsplit behavior, where an empty netloc dropped the slashes).
+        host = ""
+    return f"{m.group(1)}:{host}{unquote(p[m.end():])}"
 
 
 def _file_stats(df: DataFrame, stat_cols: list[str]) -> DataFrame:
@@ -173,7 +192,7 @@ def update_file_stats(
 
 def skipping_scan(
     spark: SparkSession,
-    index: DataFrame,
+    index: DataFrame | str,
     col: str | dict,
     lo=None,
     hi=None,
@@ -183,6 +202,14 @@ def skipping_scan(
     the range predicate still applied (and pushed) on the survivors.
     For a HIVE-PARTITIONED layout pass ``base_path`` (the table root) so
     the survivor read keeps the partition columns.
+
+    ``index`` is the PERSISTED index's path (a string — the production
+    default per SCALE.md §10: the index is its own on-disk append table,
+    maintained by ``append_file_stats`` / ``compact_file_stats``,
+    restart-safe, O(index) metadata to read) or an index DataFrame (the
+    in-memory ``build_file_stats``/``update_file_stats`` union — the
+    process-local twin for tests and one-shot jobs; it dies with the
+    process).
 
     ``col`` is either one column name with ``lo``/``hi``, or a dict
     ``{col: (lo, hi), ...}`` of ANDed bands — the multi-column case is
@@ -196,6 +223,8 @@ def skipping_scan(
     every range) can't silently pass as "skipping". The collect is the
     index's surviving file list: metadata bounded by file count, the same
     driver-side work as a Delta log read."""
+    if isinstance(index, str):
+        index = spark.read.parquet(index)
     bands = col if isinstance(col, dict) else {col: (lo, hi)}
     for c, (blo, bhi) in bands.items():
         # A None bound would propagate as SQL NULL through the interval
@@ -220,9 +249,17 @@ def skipping_scan(
     flagged = index.select("file_path", keep.alias("__keep")).collect()
     # Canonical (decoded) form for the reader: Hadoop Path treats the
     # string literally, so a percent-encoded _metadata path would fail
-    # to resolve on a filename with URL-encodable characters.
-    files = [_canon(r["file_path"]) for r in flagged if r["__keep"]]
-    stats = {"n_files_total": len(flagged), "n_files_scanned": len(files)}
+    # to resolve on a filename with URL-encodable characters. Dedup in
+    # canonical form, order-preserving: an index that ever held BOTH
+    # encoded and decoded rows for one file (built before the _canon
+    # discipline, refreshed after) must not hand the reader the same
+    # path twice — the scan would double-count its rows (ADVICE r15).
+    # A file is scanned if ANY of its index rows survives the band test.
+    all_canon = list(dict.fromkeys(_canon(r["file_path"]) for r in flagged))
+    files = list(
+        dict.fromkeys(_canon(r["file_path"]) for r in flagged if r["__keep"])
+    )
+    stats = {"n_files_total": len(all_canon), "n_files_scanned": len(files)}
     if not flagged:
         raise ValueError(
             "skipping_scan on an empty index: build_file_stats / "
@@ -244,7 +281,7 @@ def skipping_scan(
         # Empty selection: preserve schema via a 0-row read of the index's
         # first file (stats said nothing matches; the filter re-proves it) —
         # reusing the one collected listing, no extra index action.
-        base = reader.parquet(_canon(flagged[0]["file_path"])).limit(0)
+        base = reader.parquet(all_canon[0]).limit(0)
         return base, stats
     scanned = reader.parquet(*files).filter(pred)
     return scanned, stats
@@ -266,11 +303,16 @@ def append_file_stats(
     newly indexed files. Path comparison is canonical (``_canon``)."""
     # Explicit existence probe (not try/read-except): the first refresh
     # legitimately finds no index, and letting the reader throw logs a
-    # full WARN stack trace per stream start.
+    # full WARN stack trace per stream start. Existence is "has data
+    # files", not "dir exists": a crash inside compact_file_stats'
+    # delete-then-write overwrite can leave the dir present but empty
+    # (or _SUCCESS-only), and reading THAT dies on schema inference
+    # instead of taking the rebuild path (ADVICE r15) — an empty index
+    # and a missing index mean the same thing here: stat everything.
     from ecommerce_data_pipeline_spark.operators.layout import _fs
 
     ifs, jidx = _fs(spark, index_path)
-    if ifs.exists(jidx):
+    if ifs.exists(jidx) and list_data_files(spark, index_path):
         known = {
             _canon(r["file_path"])
             for r in spark.read.parquet(index_path)

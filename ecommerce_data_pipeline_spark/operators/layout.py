@@ -466,24 +466,52 @@ def retention_delete_versioned(
     }
 
 
+# The publish gap a concurrent writer can sit in: a generation dir exists
+# (staging rename done) but the manifest referencing it has not landed yet.
+# Gen dirs younger than this are never vacuum candidates REGARDLESS of the
+# caller's min_age (ADVICE r15: before this floor, a small-min_age vacuum
+# racing a retention job could delete the boundary's only rewrite inside
+# that gap — safety rested solely on the docstring's prose contract). The
+# gap itself is one JSON write + one rename, so minutes of slack is
+# orders of magnitude above the real window.
+VACUUM_WRITER_GAP_SEC = 600.0
+
+
 def vacuum_versioned(
-    spark: SparkSession, path: str, min_age_sec: float
+    spark: SparkSession,
+    path: str,
+    min_age_sec: float,
+    *,
+    assume_no_writer: bool = False,
 ) -> list[str]:
     """Delete generation dirs the CURRENT manifest no longer references
     and superseded manifests — but only those older than ``min_age_sec``
-    (set it above the longest reader's lifetime AND the longest writer
-    gap between a generation's completion and its manifest publish,
-    exactly the ``vacuum_postings`` contract: an in-flight snapshot
-    reader's dirs must outlive it). In-progress rewrites are never
-    candidates regardless of age: ``retention_delete_versioned`` stages
-    under a dot-prefixed name and renames atomically on completion, and
-    hidden (``.``/``_``-prefixed) names are skipped here. Returns the
-    deleted names."""
+    (set it above the longest reader's lifetime, exactly the
+    ``vacuum_postings`` contract: an in-flight snapshot reader's dirs
+    must outlive it). In-progress rewrites are never candidates
+    regardless of age: ``retention_delete_versioned`` stages under a
+    dot-prefixed name and renames atomically on completion, hidden
+    (``.``/``_``-prefixed) names are skipped here, and — enforced, not
+    prose (ADVICE r15) — an unreferenced generation dir younger than
+    ``VACUUM_WRITER_GAP_SEC`` is spared even when ``min_age_sec`` is
+    smaller: it may be a completed rewrite whose manifest publish is
+    in flight. ``assume_no_writer=True`` waives that floor for callers
+    that hold the single-writer role themselves (an in-query sweep run
+    strictly after its own commit, or tests); superseded manifests need
+    no floor — publish is atomic, so an old manifest is old the moment
+    a newer one exists. Returns the deleted names."""
     fs, jpath = _fs(spark, path)
     jvm = spark.sparkContext._jvm
     cur_ver, mapping = read_versioned_manifest(spark, path)
     live = set(mapping.values())
-    horizon_ms = (time.time() - min_age_sec) * 1000.0
+    now = time.time()
+    horizon_ms = (now - min_age_sec) * 1000.0
+    gen_floor_sec = (
+        min_age_sec
+        if assume_no_writer
+        else max(min_age_sec, VACUUM_WRITER_GAP_SEC)
+    )
+    gen_horizon_ms = (now - gen_floor_sec) * 1000.0
     deleted: list[str] = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
@@ -501,8 +529,124 @@ def vacuum_versioned(
         )
         if not (is_old_manifest or is_orphan_gen):
             continue
-        if st.getModificationTime() > horizon_ms:
+        limit_ms = gen_horizon_ms if is_orphan_gen else horizon_ms
+        if st.getModificationTime() > limit_ms:
             continue
         fs.delete(st.getPath(), True)
         deleted.append(name)
     return sorted(deleted)
+
+
+def rewrite_versioned(
+    spark: SparkSession,
+    path: str,
+    rewrite_fn,
+) -> dict:
+    """Generic LAYOUT-maintenance commit over the versioned layout — the
+    manifest-pointer discipline ``retention_delete_versioned`` certifies,
+    generalized to any content-neutral per-partition rewrite (r15 verdict
+    ask #3: compaction and Z-order maintenance previously rewrote in
+    place with the conceded reader-during-swap window; here that race
+    cannot occur by construction, same as retention).
+
+    ``rewrite_fn(df, value) -> DataFrame | None`` receives one
+    partition's current generation and its partition value; returning
+    ``None`` skips the partition (it keeps its current generation —
+    how compaction declines not-worth-it partitions). Each rewrite
+    lands in a NEW ``<value>__gen-<k+1>`` dir via a dot-prefixed
+    staging write + atomic rename (invisible to readers and vacuum
+    until complete), and ALL rewrites commit together with ONE atomic
+    manifest publish — a reader that snapshotted manifest n keeps
+    reading its immutable generation dirs throughout; a crash leaves
+    manifest n intact and at worst orphan/staging dirs for vacuum and
+    the next run's entry sweep. Single-writer discipline (one
+    maintenance job at a time), identical to retention.
+
+    Returns ``{rewritten, skipped, version}``; ``version`` is unchanged
+    when every partition was skipped (no manifest bump for a no-op)."""
+    ver, mapping = read_versioned_manifest(spark, path)
+    if not mapping:
+        raise ValueError(f"empty manifest under {path}")
+    fs, jpath = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    # Entry sweep: a crashed prior attempt's staging dirs (hidden from
+    # readers and vacuum alike) are safe to drop here — single writer.
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and st.getPath().getName().startswith(".staging_"):
+            fs.delete(st.getPath(), True)
+    new_map = dict(mapping)
+    rewritten: list[str] = []
+    skipped: list[str] = []
+    for v in sorted(mapping):
+        cur = mapping[v]
+        out = rewrite_fn(spark.read.parquet(f"{path}/{cur}"), v)
+        if out is None:
+            skipped.append(v)
+            continue
+        gen = int(cur.rsplit("__gen-", 1)[1])
+        dest = f"{v}__gen-{gen + 1}"
+        stage = f"{path}/.staging_{dest}"
+        out.write.mode("overwrite").parquet(stage)
+        dest_jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{dest}")
+        if fs.exists(dest_jpath):
+            # A prior crashed attempt's orphan — superseded by this one.
+            fs.delete(dest_jpath, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), dest_jpath):
+            raise OSError(f"rewrite staging rename failed: {stage} -> {dest}")
+        new_map[v] = dest
+        rewritten.append(v)
+    new_ver = ver
+    if rewritten:
+        new_ver = write_versioned_manifest(spark, path, new_map, ver)
+    return {"rewritten": rewritten, "skipped": skipped, "version": new_ver}
+
+
+def compact_versioned(
+    spark: SparkSession, path: str, target_bytes: int
+) -> dict:
+    """OPTIMIZE bin-packing over the versioned layout: per partition,
+    plan from the size listing (O(files) metadata) and rewrite ONLY
+    partitions the plan says are worth it — each into a new generation,
+    all committed by one atomic manifest publish (``rewrite_versioned``).
+    Content-neutral by construction: the certified query's oracle is the
+    same aggregate over the original table. Returns the
+    ``rewrite_versioned`` dict plus ``plans`` (per rewritten value)."""
+    plans: dict[str, dict] = {}
+
+    def _fn(df: DataFrame, v: str) -> DataFrame | None:
+        plan = plan_compaction(
+            df.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.file_size").alias("file_bytes"),
+            )
+            .groupBy("file_path")
+            .agg(F.first("file_bytes").alias("file_bytes")),
+            target_bytes,
+        )
+        if not plan["worth_it"]:
+            return None
+        plans[v] = plan
+        return compact(df, plan)
+
+    out = rewrite_versioned(spark, path, _fn)
+    out["plans"] = plans
+    return out
+
+
+def zorder_versioned(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 6,
+    n_files: int | None = None,
+) -> dict:
+    """OPTIMIZE ZORDER over the versioned layout: every partition's
+    current generation is re-clustered on the Morton curve of ``cols``
+    (operators/zorder.py) into a new generation dir; one atomic manifest
+    publish commits the whole pass — in-flight snapshot readers are
+    unaffected by construction (``rewrite_versioned``)."""
+    from ecommerce_data_pipeline_spark.operators.zorder import zorder
+
+    return rewrite_versioned(
+        spark, path, lambda df, v: zorder(df, cols, bits, n_files)
+    )

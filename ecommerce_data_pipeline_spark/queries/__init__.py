@@ -48,78 +48,84 @@ from ecommerce_data_pipeline_spark.queries import (  # noqa: E402,F401  isort: s
 # registration order behind these; queries certified in the immediately
 # previous round go last.
 #
-# ROUND 15 (policy applied): (0) the three brand-new round-15 queries
-# (file_index_append_table — the stats index persisted as its own append
-# table with compaction-as-fold, VERDICT r14 ask #6; and
-# retention_inflight_reader — manifest-pointer retention commits that
-# keep an in-flight snapshot reader consistent, ask #4's log-format
-# answer; and advised_null_skew_left_join — the join-type-aware null-skew
-# advice executed as a salted LEFT join, certifying the ADVICE r14
-# advisor fix end-to-end); (1) queries whose operator code or oracle
-# changed this round
-# (ADVICE r14 fixes): the two boilerplate queries (NULL-source sentinel
-# grouping, operator + oracle), advised_skew_join (join-type-aware skew
-# probe), partitioned_retention_delete (repair ambiguity guard), and the
-# four fileindex consumers (canonical path comparison + root-relative
-# hidden-segment listing changed every index/listing code path);
-# (2) the FULL r10 cohort — all 38, cert_age order (VERDICT r14 ask #1:
-# 3 + 8 + 38 = 49 fits the 50-row window; oldest cohort becomes r11).
+# ROUND 16 (policy applied): (0) the one brand-new round-16 query
+# (compaction_inflight_reader — the manifest-pointer commit generalized to
+# compaction AND Z-order maintenance, VERDICT r15 ask #3, proving a
+# snapshot reader survives both mid-maintenance commits); (1) the two
+# queries whose executed code changed most this round:
+# retention_inflight_reader (vacuum_versioned grew the ADVICE r15
+# writer-gap floor and the query's zero-age sweep now asserts the
+# single-writer role explicitly) and file_index_append_table (the
+# empty-index-dir probe + urlsplit-free _canon sit directly on its path);
+# (2) the FULL r11 cohort — all 47, cert_age order (VERDICT r15 ask #1:
+# 1 + 2 + 47 = 50 fills the window exactly; oldest cohort becomes r12).
+# The three remaining fileindex consumers whose _canon/skipping_scan
+# internals changed behavior-preservingly (file_skipping_scan,
+# streaming_file_index, zorder_multiband_scan) take positions 51-53 —
+# their latest driver rows are r15 green, the changed paths are covered
+# by round-16 unit tests, and all three re-verified against their DuckDB
+# oracles locally this round (tools/verify_correctness.py sf0.01 PASS).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # (0) brand-new this round, no driver row yet
-    "file_index_append_table",
+    "compaction_inflight_reader",
+    # (1) executed code changed this round (vacuum floor; index probe)
     "retention_inflight_reader",
-    "advised_null_skew_left_join",
-    # (1) operator code or oracle changed this round
-    "boilerplate_strip",
-    "boilerplate_segment_report",
-    "advised_skew_join",
-    "partitioned_retention_delete",
+    "file_index_append_table",
+    # (2) the FULL r11 cohort, cert_age order (47 queries)
+    "audio_fingerprint_dedup",
+    "bpe_encode_tokens",
+    "bpe_merge_vocab",
+    "cart_totals",
+    "catalog_search_page",
+    "cosine_topk",
+    "decode_media_features",
+    "dedup_rate_by_source",
+    "dormant_rich_customers",
+    "dup_span_runs",
+    "embedding_near_dup_pairs",
+    "eval_contamination_ivf",
+    "events_json_props",
+    "events_minute_users",
+    "events_value_quantiles",
+    "exact_dedup",
+    "fct_sales_minute",
+    "fingerprint",
+    "frame_sample_plan",
+    "freshness_by_type",
+    "image_phash_dedup",
+    "language_id",
+    "language_id_confusion",
+    "late_sole_blame_suppliers",
+    "linear_quality_classifier",
+    "lineitem_orc_roundtrip",
+    "lineitem_pricing_summary",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "notification_emails",
+    "order_status_current",
+    "orders_kafka_encoded",
+    "part_reachability_rcte",
+    "priority_late_orders",
+    "quality_score",
+    "source_capped_sample",
+    "streaming_ann_assign",
+    "streaming_incremental_dedup",
+    "streaming_replay_dedup",
+    "streaming_session_windows",
+    "table_time_travel",
+    "token_budget_mixture",
+    "top_supplier_quarter",
+    "user_activity_similarity",
+    "user_sessions",
+    "variant_props_rollup",
+    "zorder_orders_layout",
+    # (51-53) changed-internals fileindex consumers, re-verified locally
     "file_skipping_scan",
     "streaming_file_index",
     "zorder_multiband_scan",
-    "incremental_zorder_maintenance",
-    # (2) the FULL r10 cohort, cert_age order (38 queries)
-    "dsir_importance_weights",
-    "embedding_int8_audit",
-    "eval_contamination_embedding",
-    "event_funnel",
-    "forecast_revenue_change",
-    "gdpr_delete_audit",
-    "hybrid_rrf_search",
-    "ivf_topk",
-    "k_anonymity_audit",
-    "key_skew_report",
-    "knn_label_accuracy",
-    "large_volume_orders",
-    "leakage_safe_split",
-    "matryoshka_audit",
-    "media_audio_decode",
-    "media_audio_frames",
-    "media_image_decode",
-    "media_image_patches",
-    "media_video_frame_sample",
-    "minhash_lsh_pairs",
-    "nation_market_share",
-    "order_value_rank_profile",
-    "part_kcore",
-    "part_triangles",
-    "pmi_top_pairs",
-    "promo_revenue_share",
-    "recent_sales_top10",
-    "retrieve_rerank_prf",
-    "returned_item_customers",
-    "revenue_trend_by_type",
-    "scd2_point_in_time",
-    "schema_evolution_merge",
-    "semantic_dedup_keep",
-    "sequence_packing",
-    "session_overlap_pairs",
-    "shingle_novelty_curve",
-    "simhash",
-    "small_lot_revenue",
-    # (3) remaining cohorts follow in registration order; queries
-    # certified in round 14 go last via their registration position.
+    # (4) remaining cohorts follow in registration order; queries
+    # certified in round 15 go last via their registration position.
 ]
 
 

@@ -56,22 +56,23 @@ def test_preflight_gate_decisions():
     assert r["attempts"][0]["ratio_vs_baseline"] is None
 
 
-def test_preflight_reference_uses_fastest_baseline_probe():
-    """The gate's reference is the committed baseline's FASTEST numpy
-    probe: the r15 baseline's own start probe was taken on a throttled
-    host (3.1s vs its clean 1.15s end probe) and a mean would inflate
-    the reference ~1.85x, quietly defeating the gate."""
+def test_preflight_reference_is_pinned_single_thread_probe():
+    """The gate's reference is the baseline's SINGLE-THREAD-pinned probe
+    (VERDICT r15 ask #2): the unpinned multithreaded keys are never a
+    reference for the pinned probe — a baseline that predates the 1t
+    probe returns None, so the gate falls back to load-only instead of
+    comparing across probe shapes."""
     import bench
 
-    hc = {
-        "numpy_matmul_2048x2048x2_sec": 3.106,
-        "numpy_matmul_end_sec": 1.151,
-    }
-    assert bench.baseline_ref_numpy(hc) == 1.151
-    assert bench.baseline_ref_numpy({}) is None
+    assert bench.baseline_ref_numpy({"numpy_matmul_1t_sec": 0.82}) == 0.82
+    # Old-shape baselines (multithreaded keys only) yield no reference.
     assert bench.baseline_ref_numpy(
-        {"numpy_matmul_2048x2048x2_sec": 2.7}
-    ) == 2.7
+        {
+            "numpy_matmul_2048x2048x2_sec": 1.671,
+            "numpy_matmul_end_sec": 3.5,
+        }
+    ) is None
+    assert bench.baseline_ref_numpy({}) is None
 
 
 def _month_table(spark, tmp_path):
@@ -141,7 +142,14 @@ def test_versioned_retention_crash_and_commit_race(spark, tmp_path):
         sorted(r["id"] for r in read_versioned(spark, path).collect())
         == before
     ), "orphan generation leaked into a manifest read"
-    swept = vacuum_versioned(spark, path, min_age_sec=0.0)
+    # Writer-gap floor (ADVICE r15): a minutes-old unreferenced gen dir
+    # may be a completed rewrite whose manifest publish is in flight, so
+    # a small-min_age vacuum must SPARE it unless the caller asserts the
+    # single-writer role itself.
+    assert vacuum_versioned(spark, path, min_age_sec=0.0) == []
+    swept = vacuum_versioned(
+        spark, path, min_age_sec=0.0, assume_no_writer=True
+    )
     assert swept == ["2024-01__gen-1"]
     assert spark.read.parquet(f"{path}/.staging_2024-02__gen-1").count() == 3
     # The next (single-writer) retention run sweeps crashed staging dirs

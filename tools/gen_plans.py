@@ -200,6 +200,11 @@ AUDITED = [
     # (advised left join: the advisor's probes run at build time; the
     # entry records the salted LEFT join plan — __salt on both inputs)
     "advised_null_skew_left_join",
+    # round-16 addition (same execute-at-build shape as the r15 lake
+    # queries: compaction + zorder manifest commits, vacuums and the
+    # snapshot-reader invariants all run in-query; the entry records the
+    # final checkpointed-aggregate plan)
+    "compaction_inflight_reader",
 ]
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -96,6 +96,8 @@ HEAVY = {
     "file_index_append_table": "orders",
     "retention_inflight_reader": "orders",
     "advised_null_skew_left_join": "events",
+    # r16 addition (manifest-pointer compaction + zorder maintenance)
+    "compaction_inflight_reader": "events",
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
