@@ -3485,8 +3485,11 @@ def q_compaction_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     then (1) ``compact_versioned`` plans per partition from the size
     listing and rewrites every worth-it partition into a NEW
     generation, committed by ONE atomic manifest publish, and (2)
-    ``zorder_versioned`` re-clusters the compacted generations on
-    (value, event_id) and commits the same way. In-query guards
+    ``zorder_versioned`` re-clusters TWO targeted partitions on
+    (value, event_id) — the incremental-maintenance shape: production
+    re-clusters the recently-ingested partitions, never the whole
+    table — leaving a MIXED-generation mapping (gen-2 beside gen-1)
+    as one consistent committed snapshot. In-query guards
     assert: the plans said compaction was worth it and the new
     generations hold strictly fewer files; BOTH commits bumped the
     manifest version; the pre-maintenance snapshot re-read after BOTH
@@ -3559,14 +3562,21 @@ def q_compaction_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"compaction did not shrink the layout: "
                 f"{n_files_before} -> {n_files_mid}"
             )
-        # 4 bits/dim: the certification needs the commit machinery, not a
-        # production-grade curve — 16 buckets/dim keeps the per-partition
-        # quantile probes cheap while still exercising the full path.
+        # Targeted zorder — the INCREMENTAL maintenance shape: re-cluster
+        # only two partitions (production re-clusters the recently
+        # ingested ones, never the whole table), leaving a MIXED-
+        # generation mapping (gen-2 beside gen-1) behind one commit.
+        # 4 bits/dim: the certification needs the commit machinery, not
+        # a production-grade curve.
+        zvals = ["click", "purchase"]
         zstats = zorder_versioned(
-            spark, path, ["value", "event_id"], bits=4, n_files=2
+            spark, path, ["value", "event_id"], bits=4, n_files=2,
+            values=zvals,
         )
-        if zstats["skipped"] or zstats["version"] <= stats["version"]:
+        if sorted(zstats["rewritten"]) != zvals or not zstats["skipped"]:
             raise AssertionError(f"zorder commit degenerate: {zstats}")
+        if zstats["version"] <= stats["version"]:
+            raise AssertionError("zorder did not publish a new manifest")
         # The in-flight snapshot reader, re-planned AFTER both commits,
         # still reads the exact pre-maintenance state.
         if checksum(spark.read.parquet(*pre_dirs)) != pre:
@@ -3578,18 +3588,30 @@ def q_compaction_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("vacuum ignored min_age and swept dirs")
         if checksum(spark.read.parquet(*pre_dirs)) != pre:
             raise AssertionError("age-gated vacuum broke the snapshot reader")
-        # Reader done: single-writer zero-age vacuum sweeps the gen-0 and
-        # gen-1 tiers plus the two superseded manifests (this query IS
-        # the only writer and both its commits published — the ADVICE
-        # r15 writer-gap floor is waived legitimately).
+        # Reader done: single-writer zero-age vacuum sweeps all gen-0
+        # dirs, the re-clustered partitions' superseded gen-1 dirs, and
+        # the two superseded manifests (this query IS the only writer
+        # and both its commits published — the ADVICE r15 writer-gap
+        # floor is waived legitimately).
         swept = vacuum_versioned(
             spark, path, min_age_sec=0.0, assume_no_writer=True
         )
-        if len(swept) < 2 * len(pre_dirs):
-            raise AssertionError(f"vacuum swept too little: {swept}")
+        want_swept = len(pre_dirs) + len(zvals) + 2
+        if len(swept) != want_swept:
+            raise AssertionError(
+                f"vacuum swept {len(swept)} (want {want_swept}): {swept}"
+            )
         _, mapping = read_versioned_manifest(spark, path)
-        if any("__gen-2" not in d for d in mapping.values()):
-            raise AssertionError(f"unexpected live generations: {mapping}")
+        want_gens = {
+            v: 2 if v in zvals else 1 for v in mapping
+        }
+        got_gens = {
+            v: int(d.rsplit("__gen-", 1)[1]) for v, d in mapping.items()
+        }
+        if got_gens != want_gens:
+            raise AssertionError(
+                f"unexpected live generations: {mapping}"
+            )
         return (
             read_versioned(spark, path)
             .groupBy(F.col("event_type"))

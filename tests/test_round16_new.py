@@ -163,15 +163,32 @@ def test_rewrite_versioned_commit_and_skip(spark, tmp_path):
     again = compact_versioned(spark, path, target_bytes=8 << 20)
     assert again["rewritten"] == [] and again["version"] == stats["version"]
 
-    # Z-order maintenance: same commit discipline, rows preserved.
+    # Targeted Z-order (the incremental-maintenance shape): only the
+    # named partition moves to a new generation; the commit leaves a
+    # MIXED-generation mapping as one consistent snapshot.
+    z1 = zorder_versioned(
+        spark, path, ["v", "id"], bits=3, n_files=2, values=["g1"]
+    )
+    assert z1["rewritten"] == ["g1"] and sorted(z1["skipped"]) == ["g0", "g2"]
+    assert z1["version"] == stats["version"] + 1
+    _, mixed = read_versioned_manifest(spark, path)
+    assert mixed["g1"].endswith("__gen-2")
+    assert mixed["g0"].endswith("__gen-1") and mixed["g2"].endswith("__gen-1")
+    assert sorted(
+        r["id"] for r in read_versioned(spark, path).collect()
+    ) == before
+
+    # Full Z-order pass: same commit discipline, rows preserved.
     z = zorder_versioned(spark, path, ["v", "id"], bits=3, n_files=2)
     assert z["rewritten"] == ["g0", "g1", "g2"]
-    assert z["version"] == stats["version"] + 1
+    assert z["version"] == z1["version"] + 1
     assert sorted(
         r["id"] for r in read_versioned(spark, path).collect()
     ) == before
     _, mapping = read_versioned_manifest(spark, path)
-    assert all(d.endswith("__gen-2") for d in mapping.values())
+    assert mapping["g1"].endswith("__gen-3")
+    assert mapping["g0"].endswith("__gen-2")
+    assert mapping["g2"].endswith("__gen-2")
 
 
 def test_rewrite_versioned_rejects_empty_manifest(spark, tmp_path):
