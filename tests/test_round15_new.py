@@ -65,6 +65,11 @@ def test_preflight_reference_is_pinned_single_thread_probe():
     import bench
 
     assert bench.baseline_ref_numpy({"numpy_matmul_1t_sec": 0.82}) == 0.82
+    # Min over the baseline's start/end pinned probes: a stolen-core
+    # spike in either must not inflate the reference.
+    assert bench.baseline_ref_numpy(
+        {"numpy_matmul_1t_sec": 4.796, "numpy_matmul_1t_end_sec": 1.21}
+    ) == 1.21
     # Old-shape baselines (multithreaded keys only) yield no reference.
     assert bench.baseline_ref_numpy(
         {
