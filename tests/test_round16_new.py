@@ -202,3 +202,55 @@ def test_rewrite_versioned_rejects_empty_manifest(spark, tmp_path):
     write_versioned_manifest(spark, path, {}, 0)
     with pytest.raises(ValueError, match="empty manifest"):
         rewrite_versioned(spark, path, lambda d, v: d)
+
+
+def test_rewrite_versioned_crash_recovery(spark, tmp_path):
+    """Crash geometry coverage for the generalized maintenance commit:
+    (a) crash DURING a staging write leaves a hidden .staging_ dir —
+    readers and vacuum never see it, the next run's entry sweep drops
+    it; (b) crash AFTER the generation rename but BEFORE the manifest
+    publish leaves an orphan gen dir — readers still resolve the old
+    manifest, the default vacuum spares the orphan (writer-gap floor),
+    and the next maintenance run supersedes it in place."""
+    from ecommerce_data_pipeline_spark.operators.layout import (
+        compact_versioned,
+        init_versioned_table,
+        read_versioned,
+        read_versioned_manifest,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(40)], "id long, p string"
+    )
+    init_versioned_table(spark, df.repartition(6), path, "p")
+    ver0, _ = read_versioned_manifest(spark, path)
+    before = sorted(r["id"] for r in read_versioned(spark, path).collect())
+
+    # Crash geometry (b): a completed rewrite whose publish never landed.
+    spark.range(7).write.parquet(f"{path}/g0__gen-1")
+    # Readers resolve manifest ver0 — the orphan is invisible.
+    assert sorted(
+        r["id"] for r in read_versioned(spark, path).collect()
+    ) == before
+    # The default vacuum spares the minutes-old orphan (it cannot know
+    # whether a publish is in flight); only the single-writer override
+    # may sweep it.
+    assert vacuum_versioned(spark, path, min_age_sec=0.0) == []
+    # The next maintenance run supersedes the orphan: its dest dir name
+    # collides (g0 -> gen-1), the stale orphan is deleted and replaced,
+    # and ONE manifest publish commits the whole run.
+    stats = compact_versioned(spark, path, target_bytes=8 << 20)
+    assert "g0" in stats["rewritten"] and stats["version"] == ver0 + 1
+    assert sorted(
+        r["id"] for r in read_versioned(spark, path).collect()
+    ) == before
+    # The superseded-orphan path must not leak the crashed attempt's
+    # rows: g0's live generation holds exactly its 20 original ids.
+    _, mapping = read_versioned_manifest(spark, path)
+    g0 = sorted(
+        r["id"]
+        for r in spark.read.parquet(f"{path}/{mapping['g0']}").collect()
+    )
+    assert g0 == sorted(i for i in range(40) if i % 2 == 0)
