@@ -30,6 +30,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon_edges(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, int, int]:
+    """Materialize the undirected edge set in CANONICAL form — one
+    ``(least, greatest)`` row per distinct undirected edge — instead of
+    the old symmetrize-then-distinct (r16 optimization, guide §2.3
+    "shuffle fewer bytes"): the distinct's shuffle now processes HALF the
+    rows, the block manager pins half the bytes, and driver fast paths
+    collect half and symmetrize in numpy. Returns
+    ``(canon, n_sym, n_loops)`` where ``n_sym`` is the size of the full
+    symmetric set (``2*|canon| - |loops|`` — exactly the row count the
+    old ``union.distinct()`` produced, keeping every fast-path threshold
+    comparison unchanged)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = canon.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("u") == F.col("v")).cast("long")).alias("loops"),
+    ).first()
+    n_loops = int(r["loops"] or 0)
+    return canon, 2 * int(r["n"]) - n_loops, n_loops
+
+
+def _sym_of(canon: DataFrame) -> DataFrame:
+    """The full symmetric edge frame, derived from the checkpointed
+    canonical set by a NARROW union (no shuffle, no second distinct):
+    each direction of every non-loop edge plus each loop once — the
+    identical row set the old ``union.distinct()`` materialized."""
+    return canon.union(
+        canon.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -52,17 +93,22 @@ def connected_components(
     whole edge set fits in one task. The iterative plan below is the
     100 TB path and produces the identical labeling.
     """
-    sym = edges.select(
+    # Materialize the DIRECTED input pairs once; the symmetric frame is a
+    # narrow union over this checkpoint (r16 optimization: the old code
+    # checkpointed the doubled symmetric set and collected ALL of it on
+    # the driver fast path — union-find needs each undirected edge once,
+    # so both the pinned bytes and the collect were 2x what the
+    # algorithm consumes).
+    raw = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
     # Iterate ONLY over vertices that touch an edge: isolated vertices can
     # never change label (component = self) and are appended after the
     # loop. At dedup scale this is the difference between shuffling the
     # CORPUS id set every round and shuffling the (far smaller) dup-graph
     # vertex set — labels are O(edge endpoints), not O(documents).
-    n_edges = sym.count()  # sym is checkpointed: metadata-cheap
+    n_edges = 2 * raw.count()  # same arithmetic as the old sym.count()
     spark = edges.sparkSession
     if n_edges <= small_graph_edges:
         parent: dict = {}
@@ -75,7 +121,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in sym.collect():
+        for row in raw.collect():
             u, v = row["u"], row["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -86,7 +132,7 @@ def connected_components(
                 parent[hi] = lo
         labels = spark.createDataFrame(
             [(x, find(x)) for x in parent],
-            schema=sym.select(
+            schema=raw.select(
                 F.col("u").alias(id_col), F.col("v").alias("component")
             ).schema,
         )
@@ -96,6 +142,9 @@ def connected_components(
     # tasks instead of 32 near-empty ones (per-round latency, not
     # throughput, dominates iterative loops on small graphs).
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    # Symmetric frame derived narrowly from the checkpointed raw pairs —
+    # the repartition below is the only shuffle it pays.
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         sym.select(F.col("u").alias(id_col))
         .distinct()
@@ -251,25 +300,24 @@ def pagerank(
     the node count N is a one-scalar driver read (same class as the
     incremental bound A4), not a data collect.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = sym.count()  # checkpointed: metadata-cheap
+    canon, n_edges, _loops = _canon_edges(edges, src, dst)
     if n_edges <= small_graph_edges:
         # Driver fast path (same dual-path design as connected_components
-        # above): the whole symmetric edge list fits in one bounded
-        # collect (≤80 MB of long pairs at the default), and 10 rounds of
-        # int64 scatter-adds over numpy arrays beat 10 distributed jobs
-        # by ~10×. Identical integer arithmetic → identical labeling.
+        # above): the canonical half of the edge list fits in one bounded
+        # collect (≤40 MB of long pairs at the default — the swapped
+        # directions are reconstructed by one numpy concatenate), and 10
+        # rounds of int64 scatter-adds over numpy arrays beat 10
+        # distributed jobs by ~10×. Identical integer arithmetic →
+        # identical labeling.
         import numpy as np
         import pandas as pd
 
-        pdf = sym.toPandas()
-        uu = pdf["u"].to_numpy()
-        vv = pdf["v"].to_numpy()
+        pdf = canon.toPandas()
+        cu = pdf["u"].to_numpy()
+        cv = pdf["v"].to_numpy()
+        nonloop = cu != cv
+        uu = np.concatenate([cu, cv[nonloop]])
+        vv = np.concatenate([cv, cu[nonloop]])
         ids, inv_u = np.unique(uu, return_inverse=True)
         inv_v = np.searchsorted(ids, vv)
         n = len(ids)
@@ -288,6 +336,7 @@ def pagerank(
         )
         return out
 
+    sym = _sym_of(canon)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
@@ -337,11 +386,13 @@ def triangle_counts(
     join and a bounded shuffle. Output: (id, triangles) for vertices in
     ≥1 triangle; each triangle credits all three corners.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
+    # Canonical distinct + narrow symmetrize (r16): halves the distinct's
+    # shuffle, and the eager checkpoint inside _canon_edges collapses the
+    # old plan's duplicated union-distinct subtree — deg, the orientation
+    # join and the closing-edge probe all re-read one materialized frame
+    # instead of re-planning the distinct three times.
+    canon, _n_sym, _loops = _canon_edges(edges, src, dst)
+    sym = _sym_of(canon)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranked = sym.join(deg, "u").select(
         "u", "v", F.col("deg").alias("du")
@@ -395,20 +446,17 @@ def kcore(
     round, no FP anywhere). Output: (id, core_degree) for nodes with at
     least one surviving edge.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = sym.count()  # checkpointed: metadata-cheap
+    canon, n_edges, _loops = _canon_edges(edges, src, dst)
     if n_edges <= small_graph_edges:
         import numpy as np
         import pandas as pd
 
-        pdf = sym.toPandas()
-        uu = pdf["u"].to_numpy()
-        vv = pdf["v"].to_numpy()
+        pdf = canon.toPandas()
+        cu = pdf["u"].to_numpy()
+        cv = pdf["v"].to_numpy()
+        nonloop = cu != cv
+        uu = np.concatenate([cu, cv[nonloop]])
+        vv = np.concatenate([cv, cu[nonloop]])
         ids, inv_u = np.unique(uu, return_inverse=True)
         inv_v = np.searchsorted(ids, vv)
         n = len(ids)
@@ -425,7 +473,7 @@ def kcore(
         spark = edges.sparkSession
         return spark.createDataFrame(out, "id long, core_degree long")
 
-    active = sym
+    active = _sym_of(canon)
     prev_edges = n_edges
     for _ in range(rounds):
         keep = (

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import re
 import time
 
@@ -541,6 +542,7 @@ def rewrite_versioned(
     spark: SparkSession,
     path: str,
     rewrite_fn,
+    max_concurrent: int | None = None,
 ) -> dict:
     """Generic LAYOUT-maintenance commit over the versioned layout — the
     manifest-pointer discipline ``retention_delete_versioned`` certifies,
@@ -563,7 +565,22 @@ def rewrite_versioned(
     maintenance job at a time), identical to retention.
 
     Returns ``{rewritten, skipped, version}``; ``version`` is unchanged
-    when every partition was skipped (no manifest bump for a no-op)."""
+    when every partition was skipped (no manifest bump for a no-op).
+
+    Partition rewrites run CONCURRENTLY from a small driver thread pool
+    (r16 optimization, guide §2.6 "overlap independent jobs"): each
+    partition's plan-and-rewrite is an independent Spark job writing to
+    its own staging dir, and Spark's FIFO scheduler back-fills executors
+    freed by one job's straggler tail with the next job's tasks — the
+    sequential loop left most of the cluster idle between per-partition
+    jobs. ``max_concurrent`` (or $SPARK_GRAFT_MAINT_POOL, default 4)
+    bounds in-flight jobs: enough to fill stage tails, few enough that
+    concurrent rewrites do not fight for executor memory at 100 TB
+    partition sizes. Commit semantics are unchanged — ALL rewrites still
+    land before the ONE manifest publish, a failure in any partition
+    aborts the commit (manifest n stays current; completed gen dirs
+    become vacuum-sweepable orphans, same as a crash), and the published
+    mapping is assembled in deterministic sorted order."""
     ver, mapping = read_versioned_manifest(spark, path)
     if not mapping:
         raise ValueError(f"empty manifest under {path}")
@@ -574,15 +591,15 @@ def rewrite_versioned(
     for st in fs.listStatus(jpath):
         if st.isDirectory() and st.getPath().getName().startswith(".staging_"):
             fs.delete(st.getPath(), True)
-    new_map = dict(mapping)
-    rewritten: list[str] = []
-    skipped: list[str] = []
-    for v in sorted(mapping):
+
+    def _one(v: str) -> str | None:
+        """Rewrite one partition; returns its new gen dir or None (skip).
+        Py4J and Hadoop FileSystem handles are thread-safe; each thread
+        drives its own Spark job against a distinct staging dir."""
         cur = mapping[v]
         out = rewrite_fn(spark.read.parquet(f"{path}/{cur}"), v)
         if out is None:
-            skipped.append(v)
-            continue
+            return None
         gen = int(cur.rsplit("__gen-", 1)[1])
         dest = f"{v}__gen-{gen + 1}"
         stage = f"{path}/.staging_{dest}"
@@ -593,8 +610,29 @@ def rewrite_versioned(
             fs.delete(dest_jpath, True)
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), dest_jpath):
             raise OSError(f"rewrite staging rename failed: {stage} -> {dest}")
-        new_map[v] = dest
-        rewritten.append(v)
+        return dest
+
+    values = sorted(mapping)
+    pool_n = max_concurrent or int(os.environ.get("SPARK_GRAFT_MAINT_POOL", "4"))
+    pool_n = max(1, min(pool_n, len(values)))
+    if pool_n == 1:
+        results = [(v, _one(v)) for v in values]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=pool_n) as pool:
+            # pool.map preserves input order and re-raises the first
+            # failure at iteration — aborting before the manifest publish.
+            results = list(zip(values, pool.map(_one, values)))
+    new_map = dict(mapping)
+    rewritten: list[str] = []
+    skipped: list[str] = []
+    for v, dest in results:
+        if dest is None:
+            skipped.append(v)
+        else:
+            new_map[v] = dest
+            rewritten.append(v)
     new_ver = ver
     if rewritten:
         new_ver = write_versioned_manifest(spark, path, new_map, ver)

@@ -697,6 +697,42 @@ def q_orders_tbl_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 # One SQL text serves BOTH engines: recursive CTEs are ANSI (DuckDB has
 # always had them; Spark gained them in 4.0), and the probe in
+def _copurchase_pairs(li: DataFrame, min_weight: int | None = None) -> DataFrame:
+    """Part co-purchase pairs ``(src < dst)`` from ONE lineitem shuffle
+    (r16 optimization, guide §2.3/§2.4): the old per-order SELF-JOIN
+    shuffled lineitem TWICE (both join sides exchange on l_orderkey);
+    here one groupBy collects each order's sorted partkey multiset and
+    per-row array expressions emit every in-order pair — at 100 TB that
+    halves the edge build's shuffle bytes, and order width (≤7 lines)
+    bounds the arrays. Row-pair multiplicity matches the join exactly:
+    position i pairs with every LATER position j whose value differs, so
+    a part appearing on two lines contributes two copies of each of its
+    pairs — which is what ``a.l_partkey < b.l_partkey`` row pairs
+    produced, and what the ``min_weight`` (HAVING count(*) >= w) support
+    prune counts. Consumers that need the distinct pair set apply their
+    own distinct, as before."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(filter(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> y != x), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    if min_weight is not None:
+        pairs = (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= min_weight)
+            .select("src", "dst")
+        )
+    return pairs
+
+
 # tests/test_round11_new.py pins that the two engines' recursive UNION ALL
 # + per-level DISTINCT semantics agree on a known graph.
 _RCTE_REACH_SQL = """
@@ -742,19 +778,7 @@ def q_part_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-engine agreement on per-level DISTINCT is additionally pinned by
     a probe test on a known graph)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    pairs = _copurchase_pairs(li, min_weight=2)
     sym = (
         pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(pairs.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -1090,20 +1114,9 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_data_pipeline_spark.operators import graph as gr
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        # no .distinct() here: pagerank symmetrizes-then-distincts anyway,
-        # and a second dedup would just add a shuffle
-    )
+    # no .distinct() here: pagerank canonical-distincts anyway, and a
+    # second dedup would just add a shuffle
+    pairs = _copurchase_pairs(li)
     ranks = gr.pagerank(pairs, iters=10)
     return (
         ranks.orderBy(F.col("rank_nano").desc(), F.col("id"))
@@ -1256,20 +1269,7 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_data_pipeline_spark.operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("src", "dst")
-    )
+    pairs = _copurchase_pairs(li, min_weight=2)
     return (
         triangle_counts(pairs)
         .orderBy(F.col("triangles").desc(), F.col("id"))
@@ -2313,15 +2313,7 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_data_pipeline_spark.operators import graph as gr
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
+    pairs = _copurchase_pairs(li)
     return gr.kcore(pairs, k=3, rounds=8).select(
         F.col("id").alias("part_id"), "core_degree"
     )
