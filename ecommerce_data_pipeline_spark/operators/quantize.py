@@ -89,31 +89,54 @@ def kmeans_fit(
     already used different accumulation orders than each other, and every
     emitted value downstream is rounded/ranked far above that noise floor.
     """
-    import hashlib
+    return _lloyd(
+        _fit_sample_matrix(vectors, id_col, vec_col, fit_sample), k, iters
+    )
 
-    rows = (
-        vectors.select(
-            F.col(id_col).cast("string").alias("id"),
-            _as_double(F.col(vec_col)).alias("v"),
-        )
-        .collect()
-        if fit_sample is None
-        else vectors.select(
-            F.col(id_col).cast("string").alias("id"),
-            _as_double(F.col(vec_col)).alias("v"),
-        )
-        .withColumn("__h", F.md5(F.col("id")))
+
+def _collect_fit_rows(
+    vectors: DataFrame, id_col: str, vec_col: str, fit_sample: int | None
+):
+    """One bounded collect of the deterministic fit sample (see
+    ``kmeans_fit``): full corpus when ``fit_sample`` is None, else the
+    ``fit_sample`` smallest-md5(id) rows. Selection depends only on the id
+    column, never the vector values — which is what lets one collect feed
+    every PQ subspace fit (``pq_fit``)."""
+    sel = vectors.select(
+        F.col(id_col).cast("string").alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    if fit_sample is None:
+        return sel.collect()
+    return (
+        sel.withColumn("__h", F.md5(F.col("id")))
         .orderBy("__h")
         .limit(fit_sample)
         .collect()
     )
+
+
+def _fit_sample_matrix(
+    vectors: DataFrame, id_col: str, vec_col: str, fit_sample: int | None
+):
+    """Collected fit sample as a float64 matrix in md5(id) order — the
+    row order Lloyd's init slices its first k centroids from."""
+    import hashlib
+
     import numpy as np
 
+    rows = _collect_fit_rows(vectors, id_col, vec_col, fit_sample)
     order = sorted(
         range(len(rows)),
         key=lambda i: hashlib.md5(rows[i]["id"].encode()).hexdigest(),
     )
-    x = np.array([rows[i]["v"] for i in order], dtype=np.float64)
+    return np.array([rows[i]["v"] for i in order], dtype=np.float64)
+
+
+def _lloyd(x, k: int, iters: int) -> list[list[float]]:
+    """Driver-side deterministic Lloyd's over a prepared sample matrix —
+    exactly the arithmetic the docstring above pins (argmin assignment,
+    per-cell means, empty cells keep their previous centroid)."""
     centroids = x[:k].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -347,26 +370,21 @@ def pq_fit(
     PQ is the memory tier below int8: m×log2(k) bits per vector (16 bits
     at the 4×8 defaults vs 64 bytes int8 vs 256 bytes float32) — the
     compression that lets a 100 TB embedding corpus's index live in RAM.
-    Fit cost = m small k-means over the same bounded sample."""
-    dim = len(vectors.select(_as_double(F.col(vec_col)).alias("v")).first()["v"])
+    Fit cost = ONE bounded sample collect + m in-driver k-means: the
+    sample is selected by md5(id) alone, so every subspace sees exactly
+    the rows a per-subspace collect would have seen, and slicing the
+    collected matrix column-wise is the same float64 values F.slice would
+    have shipped — m scans of the vector table collapse to one."""
+    x = _fit_sample_matrix(vectors, id_col, vec_col, fit_sample)
+    if not len(x):
+        raise ValueError("pq_fit: empty vector table")
+    dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    books = []
-    for s in range(m):
-        sub = vectors.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub).alias(
-                "embedding"
-            ),
-        )
-        books.append(
-            kmeans_fit(
-                sub, k=k, iters=iters, id_col=id_col, vec_col="embedding",
-                fit_sample=fit_sample,
-            )
-        )
-    return books
+    return [
+        _lloyd(x[:, s * d_sub : (s + 1) * d_sub], k, iters) for s in range(m)
+    ]
 
 
 def pq_encode(
@@ -586,16 +604,25 @@ def ivf_pq_topk(
     coarse = kmeans_fit(
         vectors, k=n_cells, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     )
-    cells = assign_cells(vectors, coarse, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell"
-    )
     books = pq_fit(
         vectors, m=m, k=pq_k, iters=pq_iters, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(vectors, books, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    # Cell id and PQ codes are both pure per-row expressions over the same
+    # vector — compute them in ONE projection instead of joining two
+    # single-column derivations of the table back together on id (the join
+    # shuffled the corpus twice for values a single map stage produces).
+    v = _as_double(F.col(vec_col))
+    d_sub_enc = len(books[0][0])
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _cell_expr(v, coarse).alias("cell"),
+        F.array(
+            *[
+                _cell_expr(F.slice(v, s * d_sub_enc + 1, d_sub_enc), cb)
+                for s, cb in enumerate(books)
+            ]
+        ).alias("pq_codes"),
     )
-    corpus = cells.join(codes, "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
