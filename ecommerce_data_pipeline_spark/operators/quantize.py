@@ -31,13 +31,32 @@ from ecommerce_data_pipeline_spark.operators.similarity import (
 )
 
 
+def _dbl_sql(x: float) -> str:
+    """A double as a SQL literal token. repr() is the shortest string that
+    round-trips to the same IEEE-754 double, and the SQL parser's
+    Double.parseDouble is correctly rounded, so the parsed literal is
+    bit-identical to the Python float."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {v}")
+    return repr(v) + "D"
+
+
 def _centroid_lit(centroids: list[list[float]]) -> Column:
     """All centroids as ONE array<array<double>> literal. A per-centroid
     expression tree (k × dim literal nodes) made Catalyst re-derive and
     codegen-compile a huge plan every Lloyd iteration — at k=8, dim=64
     that compile dominated the whole fit on small corpora. A single nested
-    literal is one plan node regardless of k×dim."""
-    return F.lit([[float(x) for x in c] for c in centroids])
+    literal is one plan node regardless of k×dim.
+
+    Built as one SQL string parsed JVM-side: F.lit on a nested Python list
+    recurses into one py4j round trip per ELEMENT (k×dim socket calls —
+    measured 3.8 s of a 5.9 s ivf_pq_topk plan build at 8×64 + 4×8×16);
+    one expr() call carries the whole literal across the boundary once."""
+    rows = ",".join(
+        "array(" + ",".join(_dbl_sql(x) for x in c) + ")" for c in centroids
+    )
+    return F.expr(f"array({rows})")
 
 
 def _dist2_col(v: Column, c: Column) -> Column:
@@ -46,7 +65,11 @@ def _dist2_col(v: Column, c: Column) -> Column:
 
 
 def _dist2(v: Column, centroid: list[float]) -> Column:
-    return _dist2_col(v, F.lit([float(x) for x in centroid]))
+    # One-call literal construction for the same py4j reason as
+    # _centroid_lit.
+    return _dist2_col(
+        v, F.expr("array(" + ",".join(_dbl_sql(x) for x in centroid) + ")")
+    )
 
 
 def _cell_expr(v: Column, centroids: list[list[float]]) -> Column:
@@ -58,13 +81,19 @@ def _cell_expr(v: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+# Default cap on the driver-side fit collect (see kmeans_fit). Module-level
+# so compositions that share one collected matrix across fits (ivf_pq_topk)
+# can slice the exact sample the default sampled path would have selected.
+DEFAULT_FIT_SAMPLE = 100_000
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fit_sample: int | None = 100_000,
+    fit_sample: int | None = DEFAULT_FIT_SAMPLE,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means; returns the centroid list.
 
@@ -601,12 +630,23 @@ def ivf_pq_topk(
     """
     from pyspark.sql.window import Window
 
-    coarse = kmeans_fit(
-        vectors, k=n_cells, iters=coarse_iters, id_col=id_col, vec_col=vec_col
-    )
-    books = pq_fit(
-        vectors, m=m, k=pq_k, iters=pq_iters, id_col=id_col, vec_col=vec_col
-    )
+    # ONE fit collect feeds both fits. The full matrix is md5(id)-ordered,
+    # so its first DEFAULT_FIT_SAMPLE rows ARE the smallest-md5 sample
+    # kmeans_fit's default sampled path would have collected — identical
+    # rows in identical order — and pq_fit's default is the full corpus
+    # (fit_sample=None), which is the whole matrix. Two scans+collects of
+    # the vector table collapse to one with bit-identical centroids.
+    x = _fit_sample_matrix(vectors, id_col, vec_col, None)
+    if not len(x):
+        raise ValueError("ivf_pq_topk: empty vector table")
+    coarse = _lloyd(x[:DEFAULT_FIT_SAMPLE], n_cells, coarse_iters)
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m {m}")
+    d_sub_fit = x.shape[1] // m
+    books = [
+        _lloyd(x[:, s * d_sub_fit : (s + 1) * d_sub_fit], pq_k, pq_iters)
+        for s in range(m)
+    ]
     # Cell id and PQ codes are both pure per-row expressions over the same
     # vector — compute them in ONE projection instead of joining two
     # single-column derivations of the table back together on id (the join
