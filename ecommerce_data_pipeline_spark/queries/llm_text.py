@@ -163,17 +163,27 @@ def q_text_minhash_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=256,
         n_bands=64,
     )
+    # Mirror each pair to both endpoints with ONE explode over one pass of
+    # the pair set — the union-of-two-projections form planned the whole
+    # LSH candidate+verify subtree once per branch (localCheckpoint inside
+    # _minhash_profile shares the profile, but the bucket join and the
+    # verification joins re-executed twice).
     m = pairs.select(
-        F.col("doc_id_a").alias("doc_id"),
-        F.col("doc_id_b").alias("neighbor_id"),
-        "jaccard",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_id_b").alias("doc_id"),
-            F.col("doc_id_a").alias("neighbor_id"),
-            "jaccard",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_a").alias("doc_id"),
+                    F.col("doc_id_b").alias("neighbor_id"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+                F.struct(
+                    F.col("doc_id_b").alias("doc_id"),
+                    F.col("doc_id_a").alias("neighbor_id"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.neighbor_id", "e.jaccard")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("neighbor_id")
     )
@@ -242,13 +252,21 @@ def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (source, shingle_occurrences, novel_shingles, novelty_rate)."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
-    hashed = dd._exploded_shingle_hashes(docs, 12, "text", "doc_id")
+    # Pin the exploded shingle hashes: owners AND occurrence counts both
+    # read this one frame, so the corpus is scanned and shingled ONCE (the
+    # size(char_shingles(...)) occurrence branch re-ran the CPU-bound
+    # shingling over a second full scan). Per-doc exploded row count ==
+    # size(char_shingles(text)) in every case — char_shingles is
+    # array_distinct'd, and the NULL/empty-text degenerate both yield one
+    # row either way — so the sums are identical.
+    hashed = dd._exploded_shingle_hashes(docs, 12, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     owners = hashed.groupBy("h").agg(F.min("doc_id").alias("owner_doc"))
     occ = (
-        docs.select(
-            "source",
-            F.size(dd.char_shingles(F.col("text"), 12)).alias("n_shingles"),
-        )
+        hashed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(src, "doc_id")
         .groupBy("source")
         .agg(F.sum("n_shingles").alias("shingle_occurrences"))
     )
