@@ -69,6 +69,20 @@ def column_profile(
     if unknown:
         raise ValueError(f"columns not in frame: {unknown}")
 
+    # Parallelism-adaptive spread (guide §2: scale-adaptive partitioning,
+    # not a constant): string min/max buffers are not UnsafeRow-mutable,
+    # so this aggregation plans as SortAggregate — and over a single-file
+    # input the whole Expand+sort+partial-agg leg runs on ONE task. Only
+    # rebalance when the scan has fewer splits than cores (the small/local
+    # case); a production many-file table is already parallel and must not
+    # pay a full-table shuffle here.
+    if cols:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.select(*dict.fromkeys(cols)).repartition(
+                sc.defaultParallelism
+            )
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         dt = fields[c]

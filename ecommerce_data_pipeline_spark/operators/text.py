@@ -393,7 +393,7 @@ def bpe_merge_vocab(
     vocab = wf.select(
         F.concat(F.lit(","), F.array_join(chars, ",,"), F.lit(",")).alias("seg"),
         "n",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         s = F.expr("split(substring(seg, 2, length(seg) - 2), ',,')")
@@ -419,12 +419,18 @@ def bpe_merge_vocab(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((r, a, b, a + b, cnt))
+        # Lazy checkpoint: round r+1's argmax collect materializes this
+        # frame anyway, so eager=True paid a SECOND job per round for the
+        # same materialization — and the final round's vocab (never read
+        # after the loop) is now never computed at all. Lineage still
+        # truncates at each materialization, so no round replans its
+        # predecessors.
         vocab = vocab.select(
             F.replace(
                 F.col("seg"), F.lit(f",{a},,{b},"), F.lit(f",{a}{b},")
             ).alias("seg"),
             "n",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         schema="merge_round int, sym_a string, sym_b string, "
