@@ -517,7 +517,18 @@ def banded_hamming_pairs(
     recall per the band S-curve), then exact popcount verification. The
     shuffle is keyed on (band, bucket) fixed-width ints — never all-pairs.
     Output: (doc_id_a, doc_id_b, hamming int).
+
+    The signature frame is projected to (id, hash) and materialized ONCE
+    (lazy localCheckpoint, 16 B/doc) before the self-join: both join
+    sides otherwise re-plan — and re-RUN — the full signature subtree,
+    which for the perceptual tiers is a mapInPandas codec decode of every
+    payload (r16 optimization, guide §1.2 "don't compute things twice" /
+    §5 checkpoint-to-cut-lineage; measured 2x decode in the before plans
+    of image_phash_dedup / audio_fingerprint_dedup / simhash_pairs).
     """
+    sig = sig.select(
+        F.col(id_col), F.col(hash_col)
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col).alias("doc_id"),
         F.col(hash_col).alias("__sig"),
