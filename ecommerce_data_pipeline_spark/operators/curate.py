@@ -498,17 +498,30 @@ def boilerplate_segment_report(
     a NULL group matches nothing, so such docs' segments would read
     nd=NULL and never flag — diverging from any oracle that groups
     null-safely (ADVICE r14, applied to both boilerplate operators).
+
+    The word array is materialized as a COLUMN in a projection BELOW the
+    segment Generate (r16 optimization, guide §1.2/§4.1): inlined, the
+    tokenize chain (regexp_replace+split+filter) sat inside the
+    per-segment slice lambda and was re-evaluated once per SEGMENT —
+    O(n_words × n_segments) per doc; as a Generate-child column it
+    evaluates once per doc (no optimizer rule inlines a Project into a
+    generator expression, so the split stays put).
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
-    words = _words(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("__ws"),
+    )
+    words = F.col("__ws")
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    segs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
+    segs = base.select(
+        "doc_id",
+        "grp",
         F.explode_outer(
             F.transform(
                 idx,
@@ -631,17 +644,26 @@ def boilerplate_strip(
     segments would get nd=NULL, fail BOTH keep and drop conditions, and
     the text would silently vanish while n_removed stayed 0 (ADVICE
     r14). The oracle mirrors the same sentinel.
+
+    The word array is materialized as a Generate-child column so the
+    tokenize chain runs once per doc, not once per segment (r16
+    optimization — see boilerplate_segment_report for the rationale).
     """
     from ecommerce_data_pipeline_spark.operators.text import _words
 
-    words = _words(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("__ws"),
+    )
+    words = F.col("__ws")
     n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    segs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(group_col), F.lit(NULL_GROUP_SENTINEL)).alias("grp"),
+    segs = base.select(
+        "doc_id",
+        "grp",
         F.posexplode_outer(
             F.transform(
                 idx,
