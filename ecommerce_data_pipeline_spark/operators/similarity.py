@@ -313,20 +313,34 @@ def mmr_rerank(
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank: exact top-k_candidates cosine
     retrieval per query, then the greedy MMR selection
-    ``argmax lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` unrolled as
-    k_select DataFrame iterations — 100% JVM-side, no UDF.
+    ``argmax lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)``.
 
     Scale: the retrieval stage is cosine_topk (WindowGroupLimit
     prereduce); everything after operates on |Q|*k_candidates candidate
     rows and |Q|*k_candidates^2 pairwise-sim rows — linear in the query
-    count, independent of corpus size. Both intermediates are
-    localCheckpointed once so the k_select-step loop reuses them without
-    recomputing retrieval (and the composed plan stays linear in
-    k_select).
+    count, independent of corpus size.
+
+    The greedy selection itself runs per query over a bounded block
+    (k_candidates rows + k_candidates² sims), so it is grouped into ONE
+    Arrow pass (r16 optimization, guide §1.2/§2.6: the previous
+    formulation unrolled k_select DataFrame iterations, each an
+    anti-join + join + agg + window + eager localCheckpoint — ~3 jobs
+    per step of pure scheduling overhead on tiny frames; measured 3.8 s
+    → the grouped pass collapses the chain to two shuffles). This is
+    the documented extension-layer Arrow exception (same rationale as
+    dedup._profile_buckets): the per-query loop is inherently
+    sequential in sel_rank, bounded in size, and numpy/python executes
+    it in microseconds per query.
 
     Cross-engine determinism: rel and pairwise sims are rounded to 4dp
-    (cosine discipline), the per-step score is two IEEE multiplies and a
-    subtract on those rounded doubles, argmax ties break on candidate id.
+    (cosine discipline) IN THE JVM before crossing to Arrow — the
+    kernel does only lookups, IEEE multiply/subtract on those rounded
+    doubles (identical ops to the old per-step expression), and
+    comparisons; argmax ties break on candidate id, matching the old
+    row_number ordering. Inner-join semantics are preserved: a
+    candidate with no pair row against the selected set is skipped, and
+    a query whose pair block is exhausted stops emitting (the old
+    step-join produced no row).
     Output: (query_id, neighbor_id, sel_rank, relevance).
     """
     cand = (
@@ -336,7 +350,7 @@ def mmr_rerank(
             F.col("neighbor_id").alias("cand_id"),
             F.col("cosine_sim").alias("rel"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
@@ -362,56 +376,82 @@ def mmr_rerank(
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
         )
         .select("query_id", "a", "b", "sim")
-        .localCheckpoint()
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
-    sel = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "cand_id", "rel", F.lit(1).alias("sel_rank"))
+    gc = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("cand_id", "rel")).alias("cands")
     )
-    for step in range(2, k_select + 1):
-        rem = cand.join(
-            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
-        )
-        scored = (
-            rem.alias("c")
-            .join(
-                pair.alias("p"),
-                (F.col("c.query_id") == F.col("p.query_id"))
-                & (F.col("c.cand_id") == F.col("p.a")),
-            )
-            .join(
-                sel.select(
-                    F.col("query_id").alias("sq"), F.col("cand_id").alias("sb")
-                ),
-                (F.col("p.query_id") == F.col("sq")) & (F.col("p.b") == F.col("sb")),
-            )
-            .groupBy(
-                F.col("c.query_id").alias("query_id"),
-                F.col("c.cand_id").alias("cand_id"),
-            )
-            .agg(F.max("c.rel").alias("rel"), F.max("p.sim").alias("maxsim"))
-            .withColumn(
-                "score",
-                F.col("rel") * F.lit(lam) - F.col("maxsim") * F.lit(1.0 - lam),
-            )
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("cand_id")
-        )
-        nxt = (
-            scored.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", "rel", F.lit(step).alias("sel_rank"))
-        )
-        sel = sel.unionByName(nxt).localCheckpoint()
-    return sel.select(
-        "query_id",
-        F.col("cand_id").alias("neighbor_id"),
-        "sel_rank",
-        F.col("rel").alias("relevance"),
+    gp = pair.groupBy("query_id").agg(
+        F.collect_list(F.struct("a", "b", "sim")).alias("sims")
     )
+    grouped = gc.join(gp, "query_id", "left")
+    qid_t = dict(cand.dtypes)["query_id"]
+    cid_t = dict(cand.dtypes)["cand_id"]
+    out_schema = (
+        f"query_id {qid_t}, neighbor_id {cid_t}, sel_rank int, relevance double"
+    )
+
+    def _greedy(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            q_o, n_o, k_o, r_o = [], [], [], []
+            for qid, cands, sims in zip(
+                pdf["query_id"], pdf["cands"], pdf["sims"]
+            ):
+                cl = sorted(
+                    ((c["cand_id"], c["rel"]) for c in cands),
+                    key=lambda t: t[0],
+                )
+                simd = {}
+                # sims is None/NaN when the left join found no pair block
+                # (single-candidate query).
+                if sims is not None and not (
+                    isinstance(sims, float) and pd.isna(sims)
+                ):
+                    for s in sims:
+                        if s["sim"] is not None and not pd.isna(s["sim"]):
+                            simd[(s["a"], s["b"])] = s["sim"]
+                # step 1: argmax rel, ties to the smallest cand_id (cl is
+                # id-sorted, so a strict > keeps the first/lowest id).
+                best_id, best_rel = None, None
+                for cid, rel in cl:
+                    if best_rel is None or rel > best_rel:
+                        best_id, best_rel = cid, rel
+                sel = [(best_id, best_rel)]
+                picked = {best_id}
+                q_o.append(qid); n_o.append(best_id)
+                k_o.append(1); r_o.append(best_rel)
+                for step in range(2, k_select + 1):
+                    nxt = None  # (score, cand_id, rel)
+                    for cid, rel in cl:
+                        if cid in picked:
+                            continue
+                        mx = None
+                        for sid, _ in sel:
+                            s = simd.get((cid, sid))
+                            if s is not None and (mx is None or s > mx):
+                                mx = s
+                        if mx is None:
+                            continue  # inner-join semantics: no pair row
+                        score = rel * lam - mx * (1.0 - lam)
+                        if nxt is None or score > nxt[0]:
+                            nxt = (score, cid, rel)
+                    if nxt is None:
+                        break
+                    sel.append((nxt[1], nxt[2]))
+                    picked.add(nxt[1])
+                    q_o.append(qid); n_o.append(nxt[1])
+                    k_o.append(step); r_o.append(nxt[2])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(q_o, dtype="object"),
+                    "neighbor_id": pd.Series(n_o, dtype="object"),
+                    "sel_rank": pd.Series(k_o, dtype="int32"),
+                    "relevance": pd.Series(r_o, dtype="float64"),
+                }
+            )
+
+    return grouped.mapInPandas(_greedy, out_schema)
 
 
 def margin_mined_pairs(

@@ -83,3 +83,44 @@ def test_rewrite_versioned_pool_failure_aborts_commit(spark, tmp_path):
     # Manifest untouched; the committed snapshot still reads cleanly.
     assert read_versioned_manifest(spark, path) == (ver0, mapping0)
     assert sorted(r["id"] for r in read_versioned(spark, path).collect()) == before
+
+
+def test_mmr_grouped_kernel_edge_semantics(spark):
+    """The grouped Arrow MMR kernel must keep the old per-step join
+    semantics at the edges: a single-candidate query emits ONLY rank 1
+    (the step join had no pair rows), and selection stops at the
+    candidate count even when k_select is larger."""
+    from ecommerce_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (10, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # Query 200's only near-candidates: all 4 vectors rank, k_candidates
+    # bounds; with k_candidates=1 there is exactly one candidate per
+    # query -> no pair block -> only sel_rank 1 survives.
+    one = mmr_rerank(vecs, queries, k_candidates=1, k_select=3).collect()
+    assert sorted((r["query_id"], r["sel_rank"]) for r in one) == [
+        (100, 1),
+        (200, 1),
+    ]
+    # k_select beyond the candidate pool stops at the pool size.
+    out = mmr_rerank(vecs, queries, k_candidates=3, k_select=10)
+    per_q = (
+        out.groupBy("query_id").count().orderBy("query_id").collect()
+    )
+    assert [r["count"] for r in per_q] == [3, 3]
+    # Ranks are dense from 1.
+    ranks = sorted(
+        r["sel_rank"] for r in out.filter(F.col("query_id") == 100).collect()
+    )
+    assert ranks == [1, 2, 3]

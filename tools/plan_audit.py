@@ -162,6 +162,10 @@ PANDAS_OK = {
     "dedup_clusters",
     "dedup_canonical_docs",
     "dedup_incremental_assign",
+    # grouped greedy MMR selection (similarity.py:mmr_rerank, r16: the
+    # k_select join-per-step chain collapsed into one bounded-block
+    # Arrow pass — |Q|*k rows, JVM-rounded sims in, argmax loop only)
+    "mmr_diverse_topk",
     # k-means cell assignment / PQ codebooks (quantize.py)
     "semantic_dedup_keep",
     "kmeans_ivf_topk",
