@@ -525,6 +525,17 @@ def banded_hamming_pairs(
     payload (r16 optimization, guide §1.2 "don't compute things twice" /
     §5 checkpoint-to-cut-lineage; measured 2x decode in the before plans
     of image_phash_dedup / audio_fingerprint_dedup / simhash_pairs).
+
+    Pairs agreeing on several bands are de-duplicated by the
+    FIRST-AGREEING-BAND rule — keep the joined row only when its band is
+    the smallest band on which the two signatures agree, a pure
+    expression over (h_a, h_b) — instead of a ``distinct`` (r16
+    optimization, guide §2.4; the same rule interval_overlap_pairs uses
+    for shared buckets). On a duplicate-heavy corpus the candidate set
+    is quadratic in the duplicate group sizes, and the distinct was a
+    full extra shuffle of exactly that set (identical signatures agree
+    on ALL 4 bands, so the old plan shuffled every dup pair 4x to keep
+    one copy).
     """
     sig = sig.select(
         F.col(id_col), F.col(hash_col)
@@ -543,6 +554,13 @@ def banded_hamming_pairs(
     )
     x = banded.alias("x")
     y = banded.alias("y")
+
+    def _band(col: str, b: int) -> Column:
+        return F.shiftright(F.col(col), b * 16).bitwiseAND(F.lit(0xFFFF))
+
+    first_agree = F.when(_band("h_a", 0) == _band("h_b", 0), 0)
+    for b in range(1, 4):
+        first_agree = first_agree.when(_band("h_a", b) == _band("h_b", b), b)
     cand = (
         x.join(
             y,
@@ -555,8 +573,9 @@ def banded_hamming_pairs(
             F.col("y.doc_id").alias("doc_id_b"),
             F.col("x.__sig").alias("h_a"),
             F.col("y.__sig").alias("h_b"),
+            F.col("x.band").alias("band"),
         )
-        .distinct()
+        .filter(F.col("band") == first_agree)
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
