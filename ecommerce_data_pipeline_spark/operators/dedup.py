@@ -536,6 +536,15 @@ def banded_hamming_pairs(
     full extra shuffle of exactly that set (identical signatures agree
     on ALL 4 bands, so the old plan shuffled every dup pair 4x to keep
     one copy).
+
+    PRECONDITION (load-bearing since the first-agreeing-band rewrite,
+    ADVICE r16): ``sig`` must hold exactly ONE row per ``id_col`` value.
+    The old ``distinct`` silently collapsed duplicate candidate pairs
+    produced by duplicate input rows; the band filter emits one pair per
+    duplicate-row combination instead. Every in-repo caller aggregates
+    to one signature per doc (simhash majority vote, one phash/
+    fingerprint per asset), which is also what makes (id_a, id_b) a
+    meaningful pair key downstream.
     """
     sig = sig.select(
         F.col(id_col), F.col(hash_col)

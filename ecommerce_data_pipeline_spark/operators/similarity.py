@@ -413,10 +413,23 @@ def mmr_rerank(
                             simd[(s["a"], s["b"])] = s["sim"]
                 # step 1: argmax rel, ties to the smallest cand_id (cl is
                 # id-sorted, so a strict > keeps the first/lowest id).
+                # Null/NaN relevance (a NULL or uncastable embedding makes
+                # cosine_topk emit rel NULL; a NaN component makes it NaN)
+                # is defined OUT of the selection entirely (ADVICE r16):
+                # the old window formulation ordered nulls last — only
+                # reachable when fewer than k_select clean candidates
+                # exist — and its NaN ordering was an accident of Spark's
+                # NaN-greatest desc sort. Dirty candidates are skipped, so
+                # the kernel never compares None/NaN with '>' (the crash
+                # the advice reproduced) and never emits a dirty rel.
                 best_id, best_rel = None, None
                 for cid, rel in cl:
+                    if rel is None or rel != rel:  # None or NaN
+                        continue
                     if best_rel is None or rel > best_rel:
                         best_id, best_rel = cid, rel
+                if best_id is None:
+                    continue  # no clean candidate at all
                 sel = [(best_id, best_rel)]
                 picked = {best_id}
                 q_o.append(qid); n_o.append(best_id)
@@ -424,7 +437,7 @@ def mmr_rerank(
                 for step in range(2, k_select + 1):
                     nxt = None  # (score, cand_id, rel)
                     for cid, rel in cl:
-                        if cid in picked:
+                        if cid in picked or rel is None or rel != rel:
                             continue
                         mx = None
                         for sid, _ in sel:

@@ -1047,7 +1047,13 @@ def q_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             legs_t.read(spark).join(F.broadcast(affected), "order_id"),
             orders.join(F.broadcast(affected), "order_id"),
         )
-        view_t.merge(spark, refreshed, keys=["order_id"])
+        # probe_insert_only=False: the refresh set ALWAYS overlaps the
+        # view by construction (every %11 order already has a bootstrap
+        # row), so the insert-only fast-path probe is a job this merge
+        # can never win (lake.py documents exactly this caller class).
+        view_t.merge(
+            spark, refreshed, keys=["order_id"], probe_insert_only=False
+        )
         return view_t.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1168,7 +1168,7 @@ def q_postings_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_postings,
         read_postings,
         vacuum_postings,
-        write_posting_batch,
+        write_posting_batches,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1181,10 +1181,16 @@ def q_postings_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="postings_vacuum_")
     try:
         out = f"{root}/postings"
-        for i in range(4):
-            write_posting_batch(
-                assigned.filter(F.col("vec_id") % 4 == i), out, i
-            )
+        # The four micro-batch dirs are independent — pooled writes
+        # (guide §2.6, r17); the lifecycle sequence (writes → compact →
+        # vacuum) is unchanged.
+        write_posting_batches(
+            (
+                (assigned.filter(F.col("vec_id") % 4 == i), i)
+                for i in range(4)
+            ),
+            out,
+        )
         stats = compact_postings(
             spark, out, file_threshold=4, retain_inputs=True
         )
@@ -1250,22 +1256,32 @@ def q_postings_delete_after_retain(spark: SparkSession, sf_dir: str) -> DataFram
         _list_batch_dirs,
         compact_postings,
         read_postings,
-        write_posting_batch,
+        write_posting_batches,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = emb.select(
         "vec_id", F.expr("CAST((vec_id DIV 4) % 8 AS INT)").alias("cell")
     )
-    n_total = assigned.count()
-    n_wave1 = assigned.filter(F.col("vec_id") % 6 < 4).count()
+    # One aggregate job for both guard scalars (was two full-scan counts).
+    _tot = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("vec_id") % 6 < 4, 1)).alias("w1"),
+    ).first()
+    n_total, n_wave1 = int(_tot["n"]), int(_tot["w1"])
     root = tempfile.mkdtemp(prefix="postings_del_ret_")
     try:
         out = f"{root}/postings"
-        for i in range(4):
-            write_posting_batch(
-                assigned.filter(F.col("vec_id") % 6 == i), out, i
-            )
+        # Wave-1's four micro-batch dirs are independent — pooled writes
+        # (guide §2.6, r17); wave ordering (4 writes → retained
+        # compaction → 2 writes → delete-mode compaction) is unchanged.
+        write_posting_batches(
+            (
+                (assigned.filter(F.col("vec_id") % 6 == i), i)
+                for i in range(4)
+            ),
+            out,
+        )
         s1 = compact_postings(
             spark, out, file_threshold=4, retain_inputs=True
         )
@@ -1274,10 +1290,13 @@ def q_postings_delete_after_retain(spark: SparkSession, sf_dir: str) -> DataFram
         # Retention window live: wave 1 double-counted raw, snapshot exact.
         if spark.read.parquet(out).count() != n_wave1 + n_wave1:
             raise AssertionError("tombstone window missing before wave 2")
-        for i in (4, 5):
-            write_posting_batch(
-                assigned.filter(F.col("vec_id") % 6 == i), out, i
-            )
+        write_posting_batches(
+            (
+                (assigned.filter(F.col("vec_id") % 6 == i), i)
+                for i in (4, 5)
+            ),
+            out,
+        )
         if read_postings(spark, out).count() != n_total:
             raise AssertionError("snapshot read inexact during retention")
         s2 = compact_postings(spark, out, file_threshold=0, min_input_dirs=1)
@@ -1376,12 +1395,27 @@ def q_streaming_postings_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     new = emb.filter(F.col("vec_id") % 4 == 0)
     wave1 = new.filter(F.col("vec_id") % 8 == 0)
     wave2 = new.filter(F.col("vec_id") % 8 == 4)
-    n_wave1, n_new = wave1.count(), new.count()
-    centroids = kmeans_fit(existing, k=8, iters=3)
+    # One aggregate job for both guard scalars (was two full-scan counts).
+    _n = new.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count(F.when(F.col("vec_id") % 8 == 0, 1)).alias("n_w1"),
+    ).first()
+    n_wave1, n_new = int(_n["n_w1"]), int(_n["n_new"])
     root = tempfile.mkdtemp(prefix="postings_lifecycle_")
     try:
         src, out, ck = f"{root}/src", f"{root}/postings", f"{root}/ckpt"
-        wave1.repartition(4).write.mode("overwrite").parquet(src)
+        # The k-means fit collect (existing split) and the wave-1 source
+        # staging write (new split) are independent jobs — overlap them
+        # (guide §2.6, r17).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _fc = _pool.submit(kmeans_fit, existing, 8, 3)
+            _fw = _pool.submit(
+                wave1.repartition(4).write.mode("overwrite").parquet, src
+            )
+            centroids = _fc.result()
+            _fw.result()
         schema = spark.read.parquet(src).schema
 
         def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2898,7 +2932,7 @@ def q_postings_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_postings,
         read_postings,
         vacuum_postings,
-        write_posting_batch,
+        write_posting_batches,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2908,19 +2942,28 @@ def q_postings_inflight_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="postings_inflight_")
     try:
         out = f"{root}/postings"
-        for i in range(4):
-            write_posting_batch(
-                assigned.filter(F.col("vec_id") % 4 == i), out, i
-            )
+        # Independent micro-batch dirs — pooled writes (guide §2.6, r17).
+        write_posting_batches(
+            (
+                (assigned.filter(F.col("vec_id") % 4 == i), i)
+                for i in range(4)
+            ),
+            out,
+        )
         stats = compact_postings(
             spark, out, file_threshold=4, retain_inputs=True
         )
         if not stats["compacted"]:
             raise AssertionError(f"compaction did not run: {stats}")
         # Snapshot reader: force analysis + file-index resolution NOW,
-        # before the vacuum — this is the in-flight scan.
+        # before the vacuum — this is the in-flight scan. inputFiles()
+        # resolves the same file index explain() did without printing a
+        # plan into the bench's stdout (r17; the driver keeps only a
+        # bounded stdout tail, so plan noise risks truncating the one
+        # JSON line that matters).
         snap = read_postings(spark, out)
-        snap.explain()
+        if not snap.inputFiles():
+            raise AssertionError("snapshot reader resolved no files")
         vac = vacuum_postings(spark, out, min_age_sec=0)
         if len(vac["removed"]) != 4:
             raise AssertionError(f"vacuum did not reclaim inputs: {vac}")

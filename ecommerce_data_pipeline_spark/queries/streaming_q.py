@@ -100,8 +100,19 @@ def q_streaming_fct_sales_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t0 = time.time()
         o_src, p_src = f"{root}/src/orders", f"{root}/src/payments"
-        o_schema = stage_event_files(spark, orders_events(spark, sf_dir), o_src)
-        p_schema = stage_event_files(spark, payments_events(spark, sf_dir), p_src)
+        # The two topic stagings are independent fixture writes — run
+        # them from a 2-thread pool so the second write's tasks back-fill
+        # executors freed by the first's tail (guide §2.6, r17).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _fo = _pool.submit(
+                stage_event_files, spark, orders_events(spark, sf_dir), o_src
+            )
+            _fp = _pool.submit(
+                stage_event_files, spark, payments_events(spark, sf_dir), p_src
+            )
+            o_schema, p_schema = _fo.result(), _fp.result()
         STREAMING_PHASES["stage_fixture_files_sec"] = round(time.time() - t0, 3)
         # Unpartitioned silver: the fixture's order dates scatter uniformly
         # over ~7 years, so date-partitioned micro-batch merges would rewrite
@@ -587,6 +598,11 @@ def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFr
     try:
         p_src, v_src = f"{root}/purchases", f"{root}/views"
         out, ck = f"{root}/out", f"{root}/ckpt"
+        # Staged sequentially on purpose: an r17 attempt pooled these two
+        # writes (guide §2.6) and measured WORSE — solo 8-run median
+        # 5.3 s vs 4.35 s sequential, plus 18-21 s outliers when profiled
+        # after thread-pooled streaming queries in the same session.
+        # Reverted with numbers (OPTIMIZATION_r17.md).
         ev.filter(F.col("event_type") == "purchase").repartition(4).write.mode(
             "overwrite"
         ).parquet(p_src)
@@ -813,17 +829,41 @@ def _register_streaming_incremental_dedup() -> None:
         try:
             t0 = time.time()
             art = f"{root}/artifact"
+            src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
             exact_t, banded_t, prof_t = dd.signature_artifact(existing)
-            exact_t.write.mode("overwrite").parquet(f"{art}/exact")
-            banded_t.write.mode("overwrite").parquet(f"{art}/buckets")
-            prof_t.write.mode("overwrite").parquet(f"{art}/shingles")
+
+            # The three artifact writes and the new-batch staging write
+            # are independent jobs — overlap them from a small driver
+            # pool (guide §2.6, r17) instead of paying four sequential
+            # job tails. Ordering constraint kept: shingles lands first
+            # IN ITS THREAD so the shared minhash-profile checkpoint is
+            # materialized exactly once, then buckets reads it from the
+            # block manager (bucket rows derive from the profile).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _shingles_then_buckets() -> None:
+                prof_t.write.mode("overwrite").parquet(f"{art}/shingles")
+                banded_t.write.mode("overwrite").parquet(f"{art}/buckets")
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(
+                        exact_t.write.mode("overwrite").parquet,
+                        f"{art}/exact",
+                    ),
+                    pool.submit(_shingles_then_buckets),
+                    pool.submit(
+                        new.repartition(4).write.mode("overwrite").parquet,
+                        src,
+                    ),
+                ]
+                for f in futs:
+                    f.result()
             STREAMING_PHASES["incdedup_artifact_build_sec"] = round(
                 time.time() - t0, 3
             )
 
             t0 = time.time()
-            src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
-            new.repartition(4).write.mode("overwrite").parquet(src)
             schema = spark.read.parquet(src).schema
 
             # Resolve the three artifact scans ONCE, outside foreachBatch

@@ -139,26 +139,45 @@ def replicate_embeddings(src: str, dst: str, n: int = 4) -> int:
     return out.num_rows
 
 
+def generate_relational(
+    dst_dir: str, src: str = SRC, with_documents: bool = True
+) -> dict[str, int]:
+    """Generate the sf1 replica into ``dst_dir`` from ``src`` (default:
+    the driver's sf0.1 testdata). ``with_documents=False`` skips the
+    word-shuffled document replicas (a driver-side python loop — the one
+    expensive generation step) and COPIES the source corpus instead; the
+    bench's sf1 heavy tier uses that mode because none of its tier
+    queries read documents. Returns {table: rows} for the generated
+    tables. Deterministic (fixed SEED) — every run regenerates the same
+    bytes from the same source; nothing is cached across runs."""
+    os.makedirs(dst_dir, exist_ok=True)
+    out: dict[str, int] = {}
+    for name in ("region", "nation"):
+        shutil.copyfile(f"{src}/{name}.parquet", f"{dst_dir}/{name}.parquet")
+    for name, (n, strides) in REPLICATION.items():
+        out[name] = replicate_keyshift(
+            f"{src}/{name}.parquet", f"{dst_dir}/{name}.parquet", n, strides
+        )
+    if with_documents:
+        out["documents"] = replicate_documents(
+            f"{src}/documents.parquet", f"{dst_dir}/documents.parquet"
+        )
+    else:
+        shutil.copyfile(
+            f"{src}/documents.parquet", f"{dst_dir}/documents.parquet"
+        )
+    out["embeddings"] = replicate_embeddings(
+        f"{src}/embeddings.parquet", f"{dst_dir}/embeddings.parquet"
+    )
+    return out
+
+
 def main() -> int:
     dst_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
-    os.makedirs(dst_dir, exist_ok=True)
     t0 = time.time()
-    for name in ("region", "nation"):
-        shutil.copyfile(f"{SRC}/{name}.parquet", f"{dst_dir}/{name}.parquet")
-        print(f"{name}: copied")
-    for name, (n, strides) in REPLICATION.items():
-        rows = replicate_keyshift(
-            f"{SRC}/{name}.parquet", f"{dst_dir}/{name}.parquet", n, strides
-        )
-        print(f"{name}: {rows} rows (x{n})")
-    rows = replicate_documents(
-        f"{SRC}/documents.parquet", f"{dst_dir}/documents.parquet"
-    )
-    print(f"documents: {rows} rows (x10, word-shuffled replicas)")
-    rows = replicate_embeddings(
-        f"{SRC}/embeddings.parquet", f"{dst_dir}/embeddings.parquet"
-    )
-    print(f"embeddings: {rows} rows (x4, rotated replicas)")
+    rows = generate_relational(dst_dir, SRC, with_documents=True)
+    for name, n in rows.items():
+        print(f"{name}: {n} rows")
     print(f"done in {time.time() - t0:.1f}s -> {dst_dir}")
     return 0
 
