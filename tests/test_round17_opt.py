@@ -60,6 +60,50 @@ def test_mmr_kernel_all_null_candidates_emit_nothing(spark):
     rows = mmr_rerank(vecs, queries, k_candidates=2, k_select=2).collect()
     assert rows == []
 
+def test_merge_capture_changes_probe_reads_change_set(spark, tmp_path):
+    """r17: with capture_changes=True the insert-only probe is answered
+    from the already-checkpointed change set instead of a second full
+    target-key semi-join. Pins both decisions: an all-new batch still
+    takes the append fast path (file count grows, no rewrite of the
+    bootstrap file), a mixed batch still takes the rewrite path, and the
+    change-set tags match the key overlap exactly."""
+    import os
+
+    from ecommerce_data_pipeline_spark.lake import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.merge(spark, base, keys=["id"])
+    files_before = set(os.listdir(t.path))
+
+    # All-new keys: append path (bootstrap files untouched), all 'insert'.
+    ch = t.merge(
+        spark,
+        spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string"),
+        keys=["id"],
+        capture_changes=True,
+    )
+    tags = {r["id"]: r["_change_type"] for r in ch.collect()}
+    assert tags == {3: "insert", 4: "insert"}
+    assert files_before <= set(os.listdir(t.path))  # append, no rewrite
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {
+        1: "a", 2: "b", 3: "c", 4: "d"
+    }
+
+    # Mixed batch: rewrite path, postimage tag on the matched key.
+    ch2 = t.merge(
+        spark,
+        spark.createDataFrame([(4, "D"), (5, "e")], "id long, v string"),
+        keys=["id"],
+        capture_changes=True,
+    )
+    tags2 = {r["id"]: r["_change_type"] for r in ch2.collect()}
+    assert tags2 == {4: "update_postimage", 5: "insert"}
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {
+        1: "a", 2: "b", 3: "c", 4: "D", 5: "e"
+    }
+
+
 def test_pq_fit_sample_cap_selection_and_equivalence(spark):
     """VERDICT r16 ask #2: pq_fit (and semantic_dedup's kmeans pass-through)
     now default to the bounded smallest-md5(id) fit sample. Pins:
